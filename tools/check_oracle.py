@@ -1,0 +1,134 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same parquet tables, then compares row count, column
+names, and an order-insensitive value comparison (rows sorted by all
+columns after sorting columns by name). Reports per-query PASS/FAIL
+with a diff sample on mismatch.
+
+Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from datetime import date, datetime
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style canonicalization: exact repr of the double
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return repr(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(canon(r[i]) for i in order))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from tpg_weather_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="check_oracle")
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {tname} AS "
+            f"SELECT * FROM read_parquet('{args.sf}/{tname}.parquet')"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = args.names or list(qs)
+    n_pass = n_fail = 0
+    for name in names:
+        if name not in qs:
+            print(f"  {name}: NO SUCH QUERY")
+            n_fail += 1
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            print(f"✗ {name}: SPARK ERROR: {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"~ {name}: rows-only ({len(srows)} rows, {t_spark:.1f}s) — no oracle")
+            n_pass += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as exc:
+            print(f"✗ {name}: ORACLE ERROR: {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if not problems:
+            _, sc = canon_rows(scols, srows)
+            _, oc = canon_rows(ocols, orows)
+            if sc != oc:
+                ndiff = sum(1 for a, b in zip(sc, oc) if a != b)
+                problems.append(f"values differ in {ndiff}/{len(sc)} rows")
+                for a, b in zip(sc, oc):
+                    if a != b:
+                        problems.append(f"  spark : {a}")
+                        problems.append(f"  oracle: {b}")
+                        break
+        if problems:
+            print(f"✗ {name} ({t_spark:.1f}s):")
+            for p in problems:
+                print(f"    {p}")
+            n_fail += 1
+        else:
+            print(f"✓ {name} ({len(srows)} rows, {t_spark:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,740 @@
+"""Core relational query gate — one entry per SURVEY.md §2 operator
+class, expressed over the driver's TPC-H-ish testdata tables, each with
+an exact DuckDB oracle.
+
+Float-parity strategy (so order-insensitive value hashes match):
+- counts            → bigint (exact both engines)
+- sums/avgs of doubles → route through DECIMAL(24,8): decimal summation
+  is exact and order-independent, then cast the final value to DOUBLE.
+  Scale 8 exceeds the true decimal scale of every product of 2-decimal
+  inputs, so the double→decimal cast never lands on a rounding tie and
+  so results are bit-identical and deterministic under AQE re-ordering.
+- medians           → both engines use exact interpolating median.
+- p90               → exact *discrete* quantile (DuckDB quantile_disc
+  semantics: sorted 1-based index ceil(p*n)) via operators.quantiles.
+- transcendentals   → rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tpg_weather_etl_spark.functions.macros import (
+    minute_diff,
+    rain_bin,
+    second_diff,
+    temp_bin,
+    wind_bin,
+)
+from tpg_weather_etl_spark.functions.time import (
+    cyclic_hour_cos,
+    cyclic_hour_sin,
+    dow_monday0,
+    month_key,
+    time_bin,
+)
+from tpg_weather_etl_spark.operators.asof import asof_join
+from tpg_weather_etl_spark.operators.dedupe import priority_dedupe
+from tpg_weather_etl_spark.operators.quantiles import with_group_quantiles
+from tpg_weather_etl_spark.operators.sampling import (
+    deterministic_sample,
+    deterministic_sample_sql,
+)
+
+
+from tpg_weather_etl_spark.sources.tables import read_table as t  # noqa: E402
+
+
+def _dsum(col) -> F.Column:
+    """Order-independent, engine-portable exact sum of a double expr.
+
+    Sum in DECIMAL(24,8) (exact, order-independent under AQE), round to
+    scale 4 and shrink to DECIMAL(18,4) *before* casting to double: the
+    shrunken unscaled integer stays below 2^53, where the decimal→double
+    conversion is exact in both Spark (BigDecimal.doubleValue) and
+    DuckDB (int128 / 10^scale) — at scale 8 DuckDB double-rounds and
+    the engines disagree in the last ulp.
+    """
+    return (
+        F.round(F.sum(col.cast("decimal(24,8)")), 4)
+        .cast("decimal(18,4)")
+        .cast("double")
+    )
+
+
+def _davg(col) -> F.Column:
+    return (F.sum(col.cast("decimal(24,8)")).cast("double")
+            / F.count(col)).alias("avg")
+
+
+# ---------------------------------------------------------------------------
+# A8 flagship: pricing summary (grouped hash-agg; TPC-H Q1 shape)
+# parity: reference A8 grouped feature aggregation
+# (11_build_features_by_stop_line.py:103-135)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_charge,
+  CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE)/COUNT(l_extendedprice) AS avg_price,
+  CAST(CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE)/COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1+O2: top revenue orders (broadcast dim join + agg + top-k)
+# ---------------------------------------------------------------------------
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# J-chain: revenue by nation (multi-broadcast star join; TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT n_name,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2: left-semi join cascade (reference GTFS subset filtering,
+# 01_ingest_gtfs.py:178,199,223)
+# ---------------------------------------------------------------------------
+
+def q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return p.join(l, p.p_partkey == l.l_partkey, "left_semi").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+
+
+SQL_SEMI_JOIN_PARTS = """
+SELECT p_partkey, p_name, p_brand, p_size
+FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anti join (reference K6 delete-matching semantics, 03_ingest_weather.py:267-276)
+# ---------------------------------------------------------------------------
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 + P5: left equi join enrich + IN-list-or-NULL predicate
+# (reference 01_ingest_gtfs.py:147-150; 02_ingest_istdaten.py:258)
+# ---------------------------------------------------------------------------
+
+def q_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            | F.col("o_orderpriority").isNull()
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+            "o_totalprice",
+        )
+    )
+
+
+SQL_LEFT_JOIN_ENRICH = """
+SELECT o_orderkey, o_orderpriority,
+       COALESCE(c_mktsegment, 'UNKNOWN') AS segment, o_totalprice
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority IN ('1-URGENT','2-HIGH') OR o_orderpriority IS NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1: exact dedupe (reference drop_duplicates, 01_ingest_gtfs.py:160)
+# ---------------------------------------------------------------------------
+
+def q_dedupe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "events").select("user_id", "event_type").dropDuplicates()
+
+
+SQL_DEDUPE_EXACT = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
+# A2: priority dedupe — top-1 per business key under multi-column
+# priority (reference 02_ingest_istdaten.py:271-325, incl. H2 tiebreak)
+# ---------------------------------------------------------------------------
+
+def _event_rank():
+    return (
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+    )
+
+
+def q_dedupe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    best = priority_dedupe(
+        e,
+        key_cols=["user_id", "day"],
+        priority=[_event_rank().desc(), F.col("value").desc(), F.col("ts").desc()],
+        tiebreak=[F.col("event_id").desc()],
+    )
+    return best.select("user_id", "day", "event_id", "event_type", "value")
+
+
+SQL_DEDUPE_PRIORITY = """
+SELECT user_id, CAST(ts AS DATE) AS day, event_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, CAST(ts AS DATE)
+  ORDER BY CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+                           WHEN 'click' THEN 1 ELSE 0 END DESC,
+           value DESC, ts DESC, event_id DESC
+) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3: per-group median collapse (reference weather collision dedupe,
+# 03_ingest_weather.py:172-217)
+# ---------------------------------------------------------------------------
+
+def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (_dsum(F.col("value")) / F.count("value")).alias("avg_value"),
+        F.median("value").alias("med_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+SQL_GROUP_MEDIAN = """
+SELECT user_id, COUNT(*) AS n,
+  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE)/COUNT(value) AS avg_value,
+  MEDIAN(value) AS med_value,
+  MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8 on the event grid: 10-min-bin grouped features with exact discrete
+# p90 (hazard H3) — mirror of 11_build_features_by_stop_line.py:103-135
+# ---------------------------------------------------------------------------
+
+def q_agg_by_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").withColumn("bin10", time_bin(F.col("ts"), 10))
+    extra = [
+        F.count(F.lit(1)).alias("n_events"),
+        (_dsum(F.col("value")) / F.count("value")).alias("value_avg"),
+        F.median("value").alias("value_p50"),
+        (F.sum(F.when(F.col("value") >= 20.0, 1).otherwise(0)).cast("double")
+         / F.count(F.lit(1))).alias("share_ge20"),
+        F.max("value").alias("value_max"),
+    ]
+    return with_group_quantiles(
+        e, ["event_type", "bin10"], "value",
+        quantiles={"value_p90": 0.9}, extra_aggs=extra,
+    )
+
+
+SQL_AGG_BY_BIN = """
+SELECT event_type,
+  make_timestamp((CAST(floor(epoch(ts)/600) AS BIGINT))*600*1000000) AS bin10,
+  COUNT(*) AS n_events,
+  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE)/COUNT(value) AS value_avg,
+  MEDIAN(value) AS value_p50,
+  CAST(SUM(CASE WHEN value >= 20.0 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS share_ge20,
+  MAX(value) AS value_max,
+  quantile_disc(value, 0.9) AS value_p90
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4: dominant group (argmax by count, 10_build_features.py:96-107)
+# ---------------------------------------------------------------------------
+
+def q_dominant_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(1)
+    )
+
+
+SQL_DOMINANT_EVENT_TYPE = """
+SELECT event_type, COUNT(*) AS n FROM events
+GROUP BY event_type ORDER BY n DESC, event_type ASC LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5+A6: distinct month keys + min/max bounds (02:450; 03:97-99)
+# ---------------------------------------------------------------------------
+
+def q_distinct_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(month_key(F.col("o_orderdate")).alias("ym"))
+        .distinct()
+        .orderBy("ym")
+    )
+
+
+SQL_DISTINCT_MONTHS = """
+SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ym FROM orders ORDER BY ym
+"""
+
+
+def q_minmax_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+SQL_MINMAX_BOUNDS = """
+SELECT event_type, MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+       MIN(value) AS value_min, MAX(value) AS value_max,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# A10: column-wise null-rate profile (app/streamlit_app.py:142-148)
+# ---------------------------------------------------------------------------
+
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.agg(
+        *[
+            F.avg(F.col(c).isNull().cast("double")).alias(f"nullrate_{c}")
+            for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ]
+    )
+
+
+SQL_NULL_PROFILE = """
+SELECT
+  AVG(CASE WHEN event_id IS NULL THEN 1.0 ELSE 0.0 END) AS nullrate_event_id,
+  AVG(CASE WHEN ts IS NULL THEN 1.0 ELSE 0.0 END) AS nullrate_ts,
+  AVG(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END) AS nullrate_user_id,
+  AVG(CASE WHEN event_type IS NULL THEN 1.0 ELSE 0.0 END) AS nullrate_event_type,
+  AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END) AS nullrate_value,
+  AVG(CASE WHEN props IS NULL THEN 1.0 ELSE 0.0 END) AS nullrate_props
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# W2/O2: latest row per key + global top-k
+# (10_build_features.py:177; app/streamlit_app.py:81-94)
+# ---------------------------------------------------------------------------
+
+def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+SQL_LATEST_PER_USER = """
+SELECT user_id, event_id, ts, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_topk_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(50)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+SQL_TOPK_LATEST = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# O3: deterministic sample (engine-portable LCG; reference fixed-seed
+# sample app/streamlit_app.py:100-109)
+# ---------------------------------------------------------------------------
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return deterministic_sample(e, "event_id", 5).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+SQL_DETERMINISTIC_SAMPLE = f"""
+SELECT event_id, ts, user_id, event_type, value FROM events
+WHERE {deterministic_sample_sql('event_id', 5)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# F-series scalar layer: binning macros + time features
+# (common.py:221-256; 10_build_features.py:227-232; DDL common.py:189)
+# ---------------------------------------------------------------------------
+
+def q_scalar_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    binned = e.select(
+        rain_bin(F.col("value") / 20.0).alias("rain_b"),
+        wind_bin(F.col("value") / 10.0).alias("wind_b"),
+        temp_bin(F.col("value") / 10.0 - 10.0).alias("temp_b"),
+    )
+    return binned.groupBy("rain_b", "wind_b", "temp_b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_SCALAR_BINS = """
+WITH binned AS (
+  SELECT
+    CASE WHEN value/20.0 IS NULL THEN NULL
+         WHEN value/20.0 <= 0.0 THEN 'no_rain'
+         WHEN value/20.0 < 0.5 THEN 'drizzle'
+         WHEN value/20.0 < 2.0 THEN 'light'
+         WHEN value/20.0 < 5.0 THEN 'moderate'
+         ELSE 'heavy' END AS rain_b,
+    CASE WHEN value/10.0 IS NULL THEN NULL
+         WHEN value/10.0 < 4.0 THEN 'calm'
+         WHEN value/10.0 < 8.0 THEN 'breeze'
+         WHEN value/10.0 < 14.0 THEN 'moderate'
+         WHEN value/10.0 < 21.0 THEN 'fresh'
+         ELSE 'strong' END AS wind_b,
+    CASE WHEN value/10.0 - 10.0 IS NULL THEN NULL
+         WHEN value/10.0 - 10.0 < 0.0 THEN 'below_0'
+         WHEN value/10.0 - 10.0 < 10.0 THEN '0_10'
+         WHEN value/10.0 - 10.0 < 20.0 THEN '10_20'
+         WHEN value/10.0 - 10.0 < 30.0 THEN '20_30'
+         ELSE 'ge_30' END AS temp_b
+  FROM events)
+SELECT rain_b, wind_b, temp_b, COUNT(*) AS n
+FROM binned GROUP BY 1,2,3
+"""
+
+
+def q_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    b = time_bin(F.col("ts"), 10)
+    return e.select(
+        "event_id",
+        F.hour("ts").alias("hour"),
+        dow_monday0(F.col("ts")).alias("dow"),
+        month_key(F.col("ts")).alias("ym"),
+        b.alias("bin10"),
+        minute_diff(b, F.col("ts")).alias("mins_into_bin"),
+        second_diff(b, F.col("ts")).alias("secs_into_bin"),
+        (F.round(cyclic_hour_sin(F.hour("ts")), 6) + F.lit(0.0)).alias("sin_hour"),
+        (F.round(cyclic_hour_cos(F.hour("ts")), 6) + F.lit(0.0)).alias("cos_hour"),
+    )
+
+
+SQL_TIME_FEATURES = """
+SELECT event_id,
+  CAST(hour(ts) AS INTEGER) AS hour,
+  CAST((dayofweek(ts) + 6) % 7 AS INTEGER) AS dow,
+  strftime(ts, '%Y-%m') AS ym,
+  make_timestamp((CAST(floor(epoch(ts)/600) AS BIGINT))*600*1000000) AS bin10,
+  date_diff('minute', make_timestamp((CAST(floor(epoch(ts)/600) AS BIGINT))*600*1000000), ts) AS mins_into_bin,
+  date_diff('second', make_timestamp((CAST(floor(epoch(ts)/600) AS BIGINT))*600*1000000), ts) AS secs_into_bin,
+  round(sin(CAST(hour(ts) AS DOUBLE) * 2 * pi() / 24), 6) + 0.0 AS sin_hour,
+  round(cos(CAST(hour(ts) AS DOUBLE) * 2 * pi() / 24), 6) + 0.0 AS cos_hour
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# W4: lag features over the bin grid (DDL common.py:191)
+# ---------------------------------------------------------------------------
+
+def q_lag_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").withColumn("bin10", time_bin(F.col("ts"), 10))
+    g = e.groupBy("event_type", "bin10").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (_dsum(F.col("value")) / F.count("value")).alias("value_avg"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bin10")
+    return g.select(
+        "event_type", "bin10", "n_events", "value_avg",
+        F.lag("value_avg", 1).over(w).alias("value_avg_lag1"),
+        F.lag("value_avg", 2).over(w).alias("value_avg_lag2"),
+    )
+
+
+SQL_LAG_GRID = """
+WITH g AS (
+  SELECT event_type,
+    make_timestamp((CAST(floor(epoch(ts)/600) AS BIGINT))*600*1000000) AS bin10,
+    COUNT(*) AS n_events,
+    CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE)/COUNT(value) AS value_avg
+  FROM events GROUP BY 1,2)
+SELECT event_type, bin10, n_events, value_avg,
+  lag(value_avg, 1) OVER (PARTITION BY event_type ORDER BY bin10) AS value_avg_lag1,
+  lag(value_avg, 2) OVER (PARTITION BY event_type ORDER BY bin10) AS value_avg_lag2
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3: rolling trailing-window aggregates per key (planned module
+# 12_build_feature_training_row; DDL common.py:185-187)
+# ---------------------------------------------------------------------------
+
+def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.expr("percentile(value, 0.5)").over(w).alias("med_7d"),
+        F.max("value").over(w).alias("max_7d"),
+    )
+
+
+SQL_ROLLING_7D = """
+SELECT event_id, user_id, ts,
+  COUNT(*) OVER w AS n_7d,
+  MEDIAN(value) OVER w AS med_7d,
+  MAX(value) OVER w AS max_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4: as-of join onto a gappy 30-min observation grid
+# (10_build_features.py:168-179 general form; grid candidate equi-join
+# is the 100 TB plan — see operators/asof.py)
+# ---------------------------------------------------------------------------
+
+def _obs_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").withColumn("obin", time_bin(F.col("ts"), 30))
+    g = e.groupBy("event_type", "obin").agg(
+        (_dsum(F.col("value")) / F.count("value")).alias("obs_value")
+    )
+    # deterministically knock out ~30% of grid cells → as-of has real work
+    keep = ((F.unix_timestamp("obin") / 1800).cast("long") * 1103515245 + 12345) % 2147483648 % 100 < 70
+    return g.filter(keep)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").withColumn("ebin", time_bin(F.col("ts"), 30))
+    obs = _obs_grid(spark, sf_dir).withColumnRenamed("obin", "obs_ts")
+    joined = asof_join(
+        e, obs, left_ts="ebin", right_ts="obs_ts", on=["event_type"],
+        tolerance_minutes=60, grid_minutes=30, how="left",
+    )
+    return joined.select(
+        "event_id", "event_type", "ebin", "obs_ts", "obs_value"
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH g AS (
+  SELECT event_type,
+    make_timestamp((CAST(floor(epoch(ts)/1800) AS BIGINT))*1800*1000000) AS obin,
+    CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE)/COUNT(value) AS obs_value
+  FROM events GROUP BY 1,2),
+obs AS (
+  SELECT * FROM g
+  WHERE ((CAST(floor(epoch(obin)/1800) AS BIGINT) * 1103515245 + 12345) % 2147483648) % 100 < 70),
+e AS (
+  SELECT event_id, event_type,
+    make_timestamp((CAST(floor(epoch(ts)/1800) AS BIGINT))*1800*1000000) AS ebin
+  FROM events)
+SELECT e.event_id, e.event_type, e.ebin, o.obin AS obs_ts, o.obs_value
+FROM e LEFT JOIN obs o
+  ON o.event_type = e.event_type
+ AND o.obin <= e.ebin AND o.obin >= e.ebin - INTERVAL 60 MINUTES
+QUALIFY o.obin IS NOT DISTINCT FROM MAX(o.obin) OVER (PARTITION BY e.event_id)
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "region_revenue": q_region_revenue,
+    "semi_join_parts": q_semi_join_parts,
+    "anti_join_customers": q_anti_join_customers,
+    "left_join_enrich": q_left_join_enrich,
+    "dedupe_exact": q_dedupe_exact,
+    "dedupe_priority": q_dedupe_priority,
+    "group_median": q_group_median,
+    "agg_by_bin": q_agg_by_bin,
+    "dominant_event_type": q_dominant_event_type,
+    "distinct_months": q_distinct_months,
+    "minmax_bounds": q_minmax_bounds,
+    "null_profile": q_null_profile,
+    "latest_per_user": q_latest_per_user,
+    "topk_latest": q_topk_latest,
+    "deterministic_sample": q_deterministic_sample,
+    "scalar_bins": q_scalar_bins,
+    "time_features": q_time_features,
+    "lag_grid": q_lag_grid,
+    "rolling_7d": q_rolling_7d,
+    "asof_join": q_asof_join,
+}
+
+ORACLE = {
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_orders": SQL_TOP_ORDERS,
+    "region_revenue": SQL_REGION_REVENUE,
+    "semi_join_parts": SQL_SEMI_JOIN_PARTS,
+    "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
+    "left_join_enrich": SQL_LEFT_JOIN_ENRICH,
+    "dedupe_exact": SQL_DEDUPE_EXACT,
+    "dedupe_priority": SQL_DEDUPE_PRIORITY,
+    "group_median": SQL_GROUP_MEDIAN,
+    "agg_by_bin": SQL_AGG_BY_BIN,
+    "dominant_event_type": SQL_DOMINANT_EVENT_TYPE,
+    "distinct_months": SQL_DISTINCT_MONTHS,
+    "minmax_bounds": SQL_MINMAX_BOUNDS,
+    "null_profile": SQL_NULL_PROFILE,
+    "latest_per_user": SQL_LATEST_PER_USER,
+    "topk_latest": SQL_TOPK_LATEST,
+    "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
+    "scalar_bins": SQL_SCALAR_BINS,
+    "time_features": SQL_TIME_FEATURES,
+    "lag_grid": SQL_LAG_GRID,
+    "rolling_7d": SQL_ROLLING_7D,
+    "asof_join": SQL_ASOF_JOIN,
+}

@@ -1,0 +1,37 @@
+"""Central query/oracle registry assembled from the gate modules."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tpg_weather_etl_spark import queries_relational
+
+_MODULES = [queries_relational]
+
+try:  # text/similarity gate lands after the relational core
+    from tpg_weather_etl_spark import queries_text
+    _MODULES.append(queries_text)
+except ImportError:
+    pass
+
+try:
+    from tpg_weather_etl_spark import queries_embeddings
+    _MODULES.append(queries_embeddings)
+except ImportError:
+    pass
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {}
+    for m in _MODULES:
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLE)
+    return out
