@@ -1,0 +1,71 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized with the noop sink (no driver-side
+collect, no disk write) so the measured time is scan+compute+shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from tpg_weather_etl_spark.registry import all_queries  # noqa: E402
+from tpg_weather_etl_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, heaviest variants.
+HEADLINE = [
+    "pricing_summary",
+    "top_orders",
+    "region_revenue",
+    "agg_by_bin",
+    "dedupe_priority",
+    "latest_per_user",
+    "rolling_7d",
+    "asof_join",
+    "minhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM + parquet footers with the cheapest query once.
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,430 @@
+"""Text-analysis & deduplication gate — the training-data-pipeline
+operators over the ``documents`` table, each with an exact DuckDB
+oracle.
+
+Cross-engine determinism notes:
+- String hashing uses md5 (identical everywhere); 60-bit ints derive
+  from the first 15 hex chars (``stable_hash60``). Spark's xxhash64 and
+  DuckDB's hash() do NOT agree — never use them in gate queries.
+- All ratios are exact integer divisions in double (identical IEEE).
+- DuckDB ``regexp_replace`` needs the 'g' flag to match Spark's
+  replace-all default.
+- MinHash banding and SimHash bit-banding are the *scale* paths (hash
+  join on band keys, no n² pair scan); the oracles compute the same
+  result the quadratic way, proving the banded plans lose nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tpg_weather_etl_spark.functions.text import (
+    doc_fingerprint,
+    norm_text,
+    punct_ratio,
+    stable_hash60,
+    stopword_hits,
+    token_count,
+    word_shingles,
+)
+from tpg_weather_etl_spark.sources.tables import read_table as t
+
+# MinHash parameters (small but real; production would use 128 hashes)
+MH_P = 2147483647          # 2^31 - 1, Mersenne prime
+MH_NUM_HASHES = 16
+MH_BAND_ROWS = 4           # → 4 bands of 4 rows
+SIMHASH_BITS = 60          # full width of stable_hash60
+SIMHASH_BANDS = 5          # 5 × 12 bits → exact for hamming ≤ 4
+SIMHASH_MAX_HAMMING = 4
+
+# Shared SQL prelude: normalized text → tokens → distinct 3-gram shingles
+_SQL_SHINGLES = """
+d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents),
+tk AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM d),
+sh AS (SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+           THEN list_distinct(list_transform(range(1, len(toks)-1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           ELSE [norm] END AS shingles
+       FROM tk),
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shn AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+"""
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct 3-gram shingles per doc."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+
+
+def _shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(word_shingles(F.col("text"), 3)).alias("n_sh")
+    )
+
+
+def _pair_jaccard(shingles: DataFrame, counts: DataFrame,
+                  cand: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-set Jaccard per doc pair via inverted-index join.
+
+    One shuffle on the shingle key; pair counts aggregate map-side.
+    ``cand`` (doc_a, doc_b) restricts to candidate pairs (LSH output).
+    """
+    a = shingles.select(F.col("doc_id").alias("doc_a"),
+                        F.col("shingle").alias("sh_a"))
+    b = shingles.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingle").alias("sh_b"))
+    if cand is None:
+        inter = (
+            a.join(b, (F.col("sh_a") == F.col("sh_b"))
+                   & (F.col("doc_a") < F.col("doc_b")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        # Scale path: intersect shingles only for LSH candidate pairs —
+        # the n² shingle self-join never happens.
+        b2 = shingles.select(F.col("doc_id").alias("doc_b2"),
+                             F.col("shingle").alias("sh_b"))
+        inter = (
+            cand.join(a, "doc_a")
+            .join(b2, (F.col("doc_b") == F.col("doc_b2"))
+                  & (F.col("sh_b") == F.col("sh_a")), "inner")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_inter",
+            (F.col("n_inter").cast("double")
+             / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text statistics: token counting, length stats, fingerprint
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return d.select(
+        "doc_id", "lang", "source",
+        F.length("text").alias("n_chars_actual"),
+        n_tok.alias("n_tokens"),
+        (n_nonspace.cast("double") / n_tok).alias("avg_token_len"),
+        stopword_hits(F.col("text")).alias("stop_hits"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id, lang, source,
+  length(text) AS n_chars_actual,
+  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+    / len(regexp_extract_all(text, '\\S+')) AS avg_token_len,
+  CAST(len(regexp_extract_all(lower(text),
+       '\\b(the|a|of|and|to|in|is|for)\\b')) AS BIGINT) AS stop_hits,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (stopword ratio) + quality scoring
+# ---------------------------------------------------------------------------
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    stop_ratio = stopword_hits(F.col("text")).cast("double") / n_tok
+    pr = punct_ratio(F.col("text"))
+    score = (
+        0.4 * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - pr)
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id", "lang",
+        stop_ratio.alias("stop_ratio"),
+        F.when(stop_ratio >= 0.15, "en")
+         .when(stop_ratio >= 0.05, "maybe_en")
+         .otherwise("other").alias("lang_pred"),
+        pr.alias("punct_ratio"),
+        score.alias("quality_score"),
+        F.when(score >= 0.8, "high").when(score >= 0.5, "medium")
+         .otherwise("low").alias("quality_label"),
+    )
+
+
+SQL_LANG_QUALITY = """
+WITH s AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(lower(text),
+         '\\b(the|a|of|and|to|in|is|for)\\b')) AS DOUBLE)
+      / len(regexp_extract_all(text, '\\S+')) AS stop_ratio,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+              / length(text) ELSE 0.0 END AS punct_ratio,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tok
+  FROM documents)
+SELECT doc_id, lang, stop_ratio,
+  CASE WHEN stop_ratio >= 0.15 THEN 'en'
+       WHEN stop_ratio >= 0.05 THEN 'maybe_en' ELSE 'other' END AS lang_pred,
+  punct_ratio,
+  0.4 * least(n_tok/100.0, 1.0) + 0.3 * (1.0 - punct_ratio)
+    + 0.3 * least(stop_ratio*5.0, 1.0) AS quality_score,
+  CASE WHEN 0.4*least(n_tok/100.0, 1.0) + 0.3*(1.0-punct_ratio)
+            + 0.3*least(stop_ratio*5.0, 1.0) >= 0.8 THEN 'high'
+       WHEN 0.4*least(n_tok/100.0, 1.0) + 0.3*(1.0-punct_ratio)
+            + 0.3*least(stop_ratio*5.0, 1.0) >= 0.5 THEN 'medium'
+       ELSE 'low' END AS quality_label
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact content dedup via fingerprint (generalizes reference A1 to
+# content-addressed dedup)
+# ---------------------------------------------------------------------------
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(doc_fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+SQL_FINGERPRINT_DEDUP = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs (exact inverted-index form)
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _pair_jaccard(
+        _shingle_df(spark, sf_dir), _shingle_counts(spark, sf_dir)
+    )
+    return pairs.filter(F.col("jaccard") >= 0.5)
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {_SQL_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter,
+  CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN shn na ON na.doc_id = doc_a
+JOIN shn nb ON nb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup detection (the scale path: band-bucket hash
+# join produces candidates; exact Jaccard verifies them)
+# ---------------------------------------------------------------------------
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir).withColumn(
+        "h", stable_hash60(F.col("shingle")) % MH_P
+    )
+    hashed = sh.select(
+        "doc_id", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(MH_NUM_HASHES - 1))).alias("i"),
+    ).select(
+        "doc_id", "i",
+        (((2 * F.col("i") + 3) * F.col("h") + (104729 * F.col("i") + 12345))
+         % MH_P).alias("hi"),
+    )
+    sig = hashed.groupBy("doc_id", "i").agg(F.min("hi").alias("s"))
+    return (
+        sig.withColumn("band", F.expr(f"i div {MH_BAND_ROWS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "s"))),
+                    lambda x: x["s"].cast("string"),
+                ),
+                "_",
+            ).alias("bkey")
+        )
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _minhash_bands(spark, sf_dir)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("band").alias("band_b"),
+                     F.col("bkey").alias("bkey_b"))
+    cand = (
+        a.join(b, (F.col("band") == F.col("band_b"))
+               & (F.col("bkey") == F.col("bkey_b"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b").distinct()
+    )
+    pairs = _pair_jaccard(
+        _shingle_df(spark, sf_dir), _shingle_counts(spark, sf_dir), cand=cand
+    )
+    return pairs.filter(F.col("jaccard") >= 0.5)
+
+
+SQL_MINHASH_PAIRS = f"""
+WITH {_SQL_SHINGLES},
+hv AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                      % {MH_P} AS h
+       FROM shx),
+sig AS (SELECT doc_id, i,
+          MIN(((2*i+3)*h + (104729*i+12345)) % {MH_P}) AS s
+        FROM hv CROSS JOIN range(0, {MH_NUM_HASHES}) t(i)
+        GROUP BY doc_id, i),
+bands AS (SELECT doc_id, i // {MH_BAND_ROWS} AS band,
+            string_agg(s::VARCHAR, '_' ORDER BY i) AS bkey
+          FROM sig GROUP BY doc_id, band),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter,
+  CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN shn na ON na.doc_id = doc_a
+JOIN shn nb ON nb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints + banded hamming-distance pairs
+# ---------------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok")
+    ).withColumn("h", stable_hash60(F.col("tok")))
+    bits = toks.select(
+        "doc_id", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    ).select(
+        "doc_id", "b",
+        F.when((F.expr("shiftright(h, b)") % 2) == 1, 1).otherwise(-1).alias("sgn"),
+    )
+    bitsum = bits.groupBy("doc_id", "b").agg(F.sum("sgn").alias("s"))
+    return bitsum.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+SQL_SIMHASH = f"""
+WITH d AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+           FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM d),
+hv AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+bits AS (SELECT doc_id, b,
+           SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+         FROM hv CROSS JOIN range(0, {SIMHASH_BITS}) t(b)
+         GROUP BY doc_id, b)
+SELECT doc_id,
+  SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ 4 via 12-bit band join.
+
+    Pigeonhole: ≤4 differing bits across 5 bands leaves ≥1 band equal,
+    so the band join has zero false negatives for the threshold — the
+    oracle proves it by scanning all pairs quadratically.
+    """
+    sh = q_simhash(spark, sf_dir)
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "bval", F.expr("(simhash >> (band * 12)) & 4095")
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sh_a"), "band", "bval")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sh_b"),
+                      F.col("band").alias("band_b"),
+                      F.col("bval").alias("bval_b"))
+    cand = (
+        a.join(b, (F.col("band") == F.col("band_b"))
+               & (F.col("bval") == F.col("bval_b"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sh AS ({SQL_SIMHASH})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_quality": q_lang_quality,
+    "fingerprint_dedup": q_fingerprint_dedup,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+}
+
+ORACLE = {
+    "text_stats": SQL_TEXT_STATS,
+    "lang_quality": SQL_LANG_QUALITY,
+    "fingerprint_dedup": SQL_FINGERPRINT_DEDUP,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+}
