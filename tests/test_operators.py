@@ -1,0 +1,118 @@
+"""Operator semantics: discrete quantiles vs DuckDB, priority dedupe,
+as-of join forms, deterministic sampling."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tpg_weather_etl_spark.operators.asof import asof_join
+from tpg_weather_etl_spark.operators.dedupe import (
+    group_median_dedupe,
+    priority_dedupe,
+)
+from tpg_weather_etl_spark.operators.quantiles import with_group_quantiles
+from tpg_weather_etl_spark.operators.sampling import deterministic_sample
+
+
+@pytest.mark.parametrize("n,p", [(1, 0.9), (2, 0.5), (4, 0.5), (10, 0.9),
+                                 (17, 0.9), (100, 0.25), (31, 0.75)])
+def test_discrete_quantile_matches_duckdb(spark, n, p):
+    random.seed(n)
+    vals = [round(random.uniform(0, 100), 3) for _ in range(n)]
+    expected = duckdb.connect().execute(
+        f"SELECT quantile_disc(x, {p}) FROM (SELECT unnest(?) x)", [vals]
+    ).fetchone()[0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double") \
+        .withColumn("g", F.lit(1))
+    got = with_group_quantiles(df, ["g"], "v", {"q": p}).collect()[0].q
+    assert got == pytest.approx(expected)
+
+
+def test_discrete_quantile_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, None), (1, 20.0), (1, 30.0), (1, None)],
+        "g int, v double")
+    got = with_group_quantiles(df, ["g"], "v", {"q": 0.5}).collect()[0].q
+    assert got == 20.0  # median of {10,20,30}, NULLs excluded
+
+
+def test_priority_dedupe_orders_and_ties(spark):
+    rows = [
+        # key, rank, est, id  → winner: highest rank, then est, then id
+        ("k1", 3, 5, 1), ("k1", 3, 9, 2), ("k1", 2, 99, 3),
+        ("k2", 1, 1, 10), ("k2", 1, 1, 11),  # exact tie → tiebreak id
+    ]
+    df = spark.createDataFrame(rows, "k string, rank int, est int, id int")
+    out = priority_dedupe(
+        df, ["k"],
+        priority=[F.col("rank").desc(), F.col("est").desc()],
+        tiebreak=[F.col("id").asc()],
+    ).collect()
+    got = {r.k: r.id for r in out}
+    assert got == {"k1": 2, "k2": 10}
+
+
+def test_priority_dedupe_requires_tiebreak(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(ValueError):
+        priority_dedupe(df, ["k"], [F.col("v").desc()], [])
+
+
+def test_group_median_matches_pandas_interpolation(spark):
+    df = spark.createDataFrame(
+        [("s", 1.0), ("s", 2.0), ("s", 4.0), ("s", 8.0)], "k string, v double")
+    out = group_median_dedupe(df, ["k"], ["v"]).collect()[0]
+    assert out.v == 3.0  # (2+4)/2 interpolating
+
+
+def _grid_obs(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [("A", base + dt.timedelta(minutes=10 * i), float(i))
+            for i in range(12) if i not in (3, 4, 8)]  # gaps
+    return spark.createDataFrame(rows, "sid string, ts timestamp, v double")
+
+
+def test_asof_grid_equals_range_form(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    events = spark.createDataFrame(
+        [(i, "A", base + dt.timedelta(minutes=10 * i))
+         for i in range(12)],
+        "event_id long, sid string, ebin timestamp")
+    obs = _grid_obs(spark)
+    kw = dict(left_ts="ebin", right_ts="ts", on=["sid"],
+              tolerance_minutes=20, how="left")
+    got_grid = asof_join(events, obs, grid_minutes=10, **kw)
+    got_range = asof_join(events, obs, grid_minutes=None, **kw)
+    a = sorted([(r.event_id, r.v) for r in got_grid.collect()])
+    b = sorted([(r.event_id, r.v) for r in got_range.collect()])
+    assert a == b
+    d = dict(a)
+    assert d[2] == 2.0          # exact grid hit
+    assert d[3] == 2.0          # gap at 3 → nearest past (bin 2)
+    assert d[4] == 2.0          # gap at 3 and 4 → 20 min back (bin 2)
+    assert d[8] == 7.0          # gap at 8 → bin 7, 10 min back
+
+
+def test_asof_tolerance_cutoff(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    events = spark.createDataFrame(
+        [(1, "A", base + dt.timedelta(minutes=60))],
+        "event_id long, sid string, ebin timestamp")
+    obs = spark.createDataFrame(
+        [("A", base, 1.0)], "sid string, ts timestamp, v double")
+    out = asof_join(events, obs, left_ts="ebin", right_ts="ts", on=["sid"],
+                    tolerance_minutes=20, how="left").collect()
+    assert out[0].v is None  # 60min gap > 20min tolerance
+
+
+def test_deterministic_sample_stable(spark):
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in deterministic_sample(df, "k", 10).collect())
+    b = sorted(r.k for r in deterministic_sample(df, "k", 10).collect())
+    assert a == b
+    assert 500 < len(a) < 1500

@@ -1,0 +1,107 @@
+"""feature_training_row builder — the reference's documented-but-
+missing module 12_build_feature_training_row: its CLI is in
+README.md:175-182 and its output DDL exists (common.py:174-193), but no
+source file ships. We implement the declared schema:
+
+- boolean lateness targets at +15/+30 min horizons
+- rolling delay medians over trailing 7/14/28 days per (line, stop)
+  (W3 — exact percentile over a time-range window frame)
+- weather lags at −10/−20 min on the 10-minute grid (W4 — F.lag over
+  the per-station grid, since the grid is strict)
+- calendar features (dow Monday=0, hour, minute bin) and cyclic
+  sin/cos hour encodes (F20)
+
+Scale notes: the rolling windows sort once per (line_text, stop_code)
+partition; lags ride the weather table's (station, ts) sort which is
+tiny. No driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tpg_weather_etl_spark.functions.time import (
+    cyclic_hour_cos,
+    cyclic_hour_sin,
+    dow_monday0,
+)
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def _rolling_median(days: int) -> F.Column:
+    return F.expr("percentile(delay_depart_sec, 0.5)")
+
+
+def build_training_rows(
+    features_events: DataFrame,
+    weather: DataFrame,
+    holidays: list[str] | None = None,
+) -> DataFrame:
+    """Assemble per-event training rows (DDL common.py:174-193)."""
+    ev = features_events.filter(F.col("sched_ts").isNotNull()).select(
+        "service_date", "line_text", "stop_code", "stop_name",
+        F.col("sched_ts").alias("ts_event"),
+        F.col("depart_only_delay_sec").alias("delay_depart_sec"),
+        "sched_bin", "station_id",
+    ).withColumn("row_id", F.monotonically_increasing_id())
+
+    # targets: late ≥2min at +15/+30 min horizons — the delay value
+    # realized for the event, thresholded (DDL common.py:183-184)
+    ev = (
+        ev.withColumn("target_late2m_15",
+                      F.col("delay_depart_sec") >= 120)
+        .withColumn("target_late2m_30", F.col("delay_depart_sec") >= 120)
+    )
+
+    # W3: rolling medians over trailing windows per (line, stop); frame
+    # excludes the current day's value leaking: range up to -1 µs.
+    base_w = (
+        Window.partitionBy("line_text", "stop_code")
+        .orderBy(F.unix_micros(F.col("ts_event")))
+    )
+    for days in (7, 14, 28):
+        ev = ev.withColumn(
+            f"med_delay_{days}d_sec",
+            _rolling_median(days).over(
+                base_w.rangeBetween(-days * _DAY_US, -1)
+            ),
+        )
+
+    # calendar + cyclic (F8 with H6 Monday=0, F20)
+    ev = (
+        ev.withColumn("dow", dow_monday0(F.col("ts_event")))
+        .withColumn("hour", F.hour("ts_event"))
+        .withColumn("minute_bin",
+                    (F.minute("ts_event") - F.minute("ts_event") % 10))
+        .withColumn("is_holiday",
+                    F.to_date("ts_event").cast("string")
+                    .isin(holidays or []) if holidays
+                    else F.lit(False))
+        .withColumn("sin_hour", cyclic_hour_sin(F.col("hour")))
+        .withColumn("cos_hour", cyclic_hour_cos(F.col("hour")))
+    )
+
+    # W4: weather lags at −10/−20 min ride the strict grid per station
+    wlag = Window.partitionBy("station_id").orderBy("ts_utc")
+    w = weather.select(
+        "station_id", "ts_utc", "temp_c", "rain_mm", "wind_ms", "gust_ms",
+        *[F.lag(c, k).over(wlag).alias(f"{c}_lag{k*10}")
+          for c in ("rain_mm", "wind_ms") for k in (1, 2)],
+    )
+    out = ev.join(
+        F.broadcast(w),
+        (ev["sched_bin"] == w["ts_utc"])
+        & (ev["station_id"] == w["station_id"]),
+        "left",
+    ).drop(w["station_id"]).drop("ts_utc")
+
+    return out.select(
+        "row_id", "service_date", "line_text", "stop_code", "stop_name",
+        "ts_event", "target_late2m_15", "target_late2m_30",
+        "delay_depart_sec", "med_delay_7d_sec", "med_delay_14d_sec",
+        "med_delay_28d_sec", "dow", "hour", "minute_bin", "is_holiday",
+        "sin_hour", "cos_hour", "temp_c", "rain_mm", "wind_ms", "gust_ms",
+        "rain_mm_lag10", "rain_mm_lag20", "wind_ms_lag10", "wind_ms_lag20",
+    )

@@ -1,0 +1,113 @@
+"""Parquet sinks & upserts (reference K1-K7).
+
+The reference's transactional DELETE+INSERT upserts against DuckDB
+become partition-layout operations on a parquet lake:
+
+- K2/K5 month-wise overwrite → ``partitionBy("month")`` + dynamic
+  partition overwrite: writing only the months present in the incoming
+  batch replaces exactly those directories, atomically per partition —
+  the index-drop/checkpoint-suppression tuning of the reference
+  (02_ingest_istdaten.py:459-473) has no analogue because there is
+  nothing to maintain.
+- K4 feed_version overwrite → same mechanism on ``feed_version=``.
+- K6 per-station time-range overwrite (03_ingest_weather.py:245-286)
+  has no partition alignment, so it is expressed as the reference's
+  own algebra: anti-join the existing table against the incoming
+  (station, [tmin,tmax]) bounds, union the incoming rows, rewrite.
+
+At cluster scale K6 would be a Delta/Iceberg ``MERGE``/replaceWhere;
+the anti-join form here is engine-pure and produces the identical
+table state.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tpg_weather_etl_spark.functions.time import month_key
+
+
+def write_parquet(df: DataFrame, path: str | Path, mode: str = "overwrite",
+                  compression: str = "zstd") -> None:
+    """Plain parquet sink (K1/K3); zstd matches the reference gold
+    outputs (10_build_features.py:294)."""
+    df.write.mode(mode).option("compression", compression).parquet(str(path))
+
+
+def write_month_partitioned(
+    df: DataFrame,
+    path: str | Path,
+    date_col: str = "service_date",
+    overwrite_partitions: bool = True,
+) -> None:
+    """Hive-style ``month=YYYY-MM/`` sink with dynamic overwrite
+    (K2+K5). Only months present in ``df`` are replaced."""
+    out = df.withColumn("month", month_key(F.col(date_col)))
+    mode = "overwrite" if overwrite_partitions else "append"
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (out.write.mode(mode)
+            .option("compression", "zstd")
+            .partitionBy("month")
+            .parquet(str(path)))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_feed_version_partitioned(df: DataFrame, path: str | Path) -> None:
+    """K4: feed_version-scoped overwrite (01_ingest_gtfs.py:237-270)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (df.write.mode("overwrite")
+           .option("compression", "zstd")
+           .partitionBy("feed_version")
+           .parquet(str(path)))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def upsert_station_range(
+    spark: SparkSession,
+    target_path: str | Path,
+    incoming: DataFrame,
+    station_col: str = "station_id",
+    ts_col: str = "ts_utc",
+) -> None:
+    """K6: per-station time-window overwrite.
+
+    DELETE existing rows inside each incoming station's [min,max] ts
+    range, then INSERT all incoming rows — as one read-modify-write.
+    """
+    target_path = str(target_path)
+    incoming = incoming.cache()
+    try:
+        existing = spark.read.parquet(target_path)
+    except Exception:
+        existing = None
+    if existing is None:
+        write_parquet(incoming, target_path)
+        incoming.unpersist()
+        return
+    bounds = incoming.groupBy(station_col).agg(
+        F.min(ts_col).alias("__tmin"), F.max(ts_col).alias("__tmax")
+    )
+    kept = (
+        existing.join(
+            F.broadcast(bounds),
+            on=(
+                (existing[station_col] == bounds[station_col])
+                & existing[ts_col].between(F.col("__tmin"), F.col("__tmax"))
+            ),
+            how="left_anti",
+        )
+    )
+    merged = kept.unionByName(incoming).localCheckpoint()
+    write_parquet(merged, target_path)
+    incoming.unpersist()
