@@ -69,6 +69,13 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
     Built with sequence+transform over the token array — stays JVM-side.
     Returns distinct shingles (set semantics, as MinHash/Jaccard need).
+
+    PERFORMANCE HAZARD: the transform lambda closes over the split()
+    expression, which Catalyst inlines and re-evaluates per shingle
+    index — O(tokens²) per document. For bulk pipelines materialize the
+    token array as a projection column first (see
+    queries_text._shingle_table); this convenience form is fine for
+    small/ad-hoc use.
     """
     toks = F.split(norm_text(text), " ")
     n = F.size(toks)

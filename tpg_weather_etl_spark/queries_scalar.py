@@ -1,0 +1,108 @@
+"""Gate queries for the remaining scalar/set operator classes:
+robust boolean cast (F11), status ranking (F12), regexp field
+extraction (F4), case-insensitive contains (P3), shard union (S8/§2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tpg_weather_etl_spark.functions.macros import robust_bool, status_rank
+from tpg_weather_etl_spark.sources.tables import read_table as t
+
+
+# ---------------------------------------------------------------------------
+# F11 + F12 + F4: normalize-style scalar pipeline over events.props
+# (reference 02_ingest_istdaten.py:210-220, 263-268; month regex 02:101-108)
+# ---------------------------------------------------------------------------
+
+def q_scalar_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+    k_int = k.cast("int")
+    return e.select(
+        "event_id",
+        k_int.alias("k_val"),
+        # F11 robust bool applied to a derived token: odd k → "1"/"0"
+        robust_bool(F.when(k_int % 2 == 1, F.lit("1")).otherwise(F.lit("no"))
+                    ).alias("k_odd_bool"),
+        # F12 status-rank mapping applied to event_type strings
+        status_rank(
+            F.when(F.col("event_type") == "purchase", "REAL")
+            .when(F.col("event_type") == "signup", "GESCHAETZT")
+            .when(F.col("event_type") == "click", "PROGNOSE")
+            .otherwise(F.col("event_type"))
+        ).alias("type_rank"),
+    )
+
+
+SQL_SCALAR_NORMALIZE = """
+SELECT event_id,
+  CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k_val,
+  CASE WHEN lower(trim(CASE WHEN CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) % 2 = 1
+                            THEN '1' ELSE 'no' END)) IN ('1','true')
+       THEN TRUE ELSE FALSE END AS k_odd_bool,
+  CAST(CASE upper(coalesce(CASE WHEN event_type = 'purchase' THEN 'REAL'
+                 WHEN event_type = 'signup' THEN 'GESCHAETZT'
+                 WHEN event_type = 'click' THEN 'PROGNOSE'
+                 ELSE event_type END, ''))
+    WHEN 'REAL' THEN 3 WHEN 'IST' THEN 3 WHEN 'GESCHAETZT' THEN 2
+    WHEN 'PROGNOSE' THEN 1 ELSE 0 END AS INTEGER) AS type_rank
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3: case-insensitive substring predicate (01_ingest_gtfs.py:152-155)
+# ---------------------------------------------------------------------------
+
+def q_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.filter(
+        F.lower(F.col("text")).contains("spark merge")
+    ).select("doc_id", "lang", "n_chars")
+
+
+SQL_CONTAINS_FILTER = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE contains(lower(text), 'spark merge')
+"""
+
+
+# ---------------------------------------------------------------------------
+# S8 / §2.7: multi-shard UNION ALL + re-aggregation
+# ---------------------------------------------------------------------------
+
+def q_union_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    errors = e.filter(F.col("event_type") == "error")
+    return (
+        clicks.unionByName(errors)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
+SQL_UNION_SHARDS = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+FROM (SELECT * FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT * FROM events WHERE event_type = 'error')
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "scalar_normalize": q_scalar_normalize,
+    "contains_filter": q_contains_filter,
+    "union_shards": q_union_shards,
+}
+
+ORACLE = {
+    "scalar_normalize": SQL_SCALAR_NORMALIZE,
+    "contains_filter": SQL_CONTAINS_FILTER,
+    "union_shards": SQL_UNION_SHARDS,
+}

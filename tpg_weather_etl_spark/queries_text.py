@@ -54,18 +54,53 @@ shn AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
 """
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded distinct 3-gram shingles per doc."""
-    d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct k-word shingles per document.
+
+    Physical-plan care (this is the hot path of every similarity op):
+    - repartition before the per-row work: a small parquet file is one
+      split, which would serialize all shingle/md5 work onto a single
+      core (at real scale the scan has many splits — repartitioning
+      1 row/doc is cheap insurance, not a cost).
+    - shingles are built by exploding the *index* range through a
+      Generate and assembling each shingle with O(k) element_at on the
+      token array materialized below the Generate. A transform() lambda
+      over the token array looks cleaner but Catalyst inlines the
+      split() expression into the lambda body and re-evaluates the full
+      tokenization per shingle index — O(tokens²) per document (23s →
+      3s at sf0.1 for 5k docs from this change alone).
+    - set semantics via a global distinct (one shuffle on (doc,
+      shingle)) instead of per-doc array_distinct, which would need the
+      quadratic transform form.
+    """
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    base = (
+        d.select("doc_id", norm_text(F.col("text")).alias("norm"))
+        .withColumn("toks", F.split(F.col("norm"), " "))
+        .withColumn("n", F.size(F.col("toks")))
+    )
+    exploded = base.select(
+        "doc_id", "norm", "toks", "n",
+        F.explode(
+            F.when(F.col("n") >= k, F.sequence(F.lit(0), F.col("n") - k))
+            .otherwise(F.sequence(F.lit(0), F.lit(0)))
+        ).alias("i"),
+    )
+    shingle = F.when(
+        F.col("n") >= k,
+        F.concat_ws(" ", *[
+            F.element_at(F.col("toks"), (F.col("i") + j + 1).cast("int"))
+            for j in range(k)
+        ]),
+    ).otherwise(F.col("norm"))
+    return exploded.select("doc_id", shingle.alias("shingle")).distinct()
 
 
 def _shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.size(word_shingles(F.col("text"), 3)).alias("n_sh")
+    return _shingle_df(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
     )
 
 
@@ -250,30 +285,33 @@ WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.5
 # ---------------------------------------------------------------------------
 
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bkey) minhash band keys.
+
+    One shuffle total: the 16 per-hash minima are 16 aggregate
+    expressions over the shingle rows (map-side partial min), NOT a
+    16× row explode — at 100 TB the explode version shuffles 16× the
+    shingle volume for no reason. Band keys are then pure projection.
+    """
     sh = _shingle_df(spark, sf_dir).withColumn(
         "h", stable_hash60(F.col("shingle")) % MH_P
     )
-    hashed = sh.select(
-        "doc_id", "h",
-        F.explode(F.sequence(F.lit(0), F.lit(MH_NUM_HASHES - 1))).alias("i"),
-    ).select(
-        "doc_id", "i",
-        (((2 * F.col("i") + 3) * F.col("h") + (104729 * F.col("i") + 12345))
-         % MH_P).alias("hi"),
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(((2 * i + 3) * F.col("h") + (104729 * i + 12345)) % MH_P)
+            .alias(f"s{i}")
+            for i in range(MH_NUM_HASHES)
+        ]
     )
-    sig = hashed.groupBy("doc_id", "i").agg(F.min("hi").alias("s"))
-    return (
-        sig.withColumn("band", F.expr(f"i div {MH_BAND_ROWS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "s"))),
-                    lambda x: x["s"].cast("string"),
-                ),
-                "_",
-            ).alias("bkey")
-        )
+    n_bands = MH_NUM_HASHES // MH_BAND_ROWS
+    band_keys = F.array(*[
+        F.concat_ws("_", *[
+            F.col(f"s{b * MH_BAND_ROWS + r}").cast("string")
+            for r in range(MH_BAND_ROWS)
+        ])
+        for b in range(n_bands)
+    ])
+    return sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
     )
 
 
@@ -329,24 +367,32 @@ WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.5
 # ---------------------------------------------------------------------------
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    """60-bit SimHash per doc — one shuffle, no bit explode.
+
+    The 60 per-bit ±1 sums are 60 aggregate expressions over the token
+    rows (map-side combine), not a 60× row blowup; the final hash is a
+    60-term projection.
+    """
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = d.select(
         "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok")
     ).withColumn("h", stable_hash60(F.col("tok")))
-    bits = toks.select(
-        "doc_id", "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-    ).select(
-        "doc_id", "b",
-        F.when((F.expr("shiftright(h, b)") % 2) == 1, 1).otherwise(-1).alias("sgn"),
+    bitsums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.shiftright(F.col("h"), b) % 2) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    bitsum = bits.groupBy("doc_id", "b").agg(F.sum("sgn").alias("s"))
-    return bitsum.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return bitsums.select("doc_id", simhash.alias("simhash"))
 
 
 SQL_SIMHASH = f"""

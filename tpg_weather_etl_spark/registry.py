@@ -22,6 +22,12 @@ try:
 except ImportError:
     pass
 
+try:
+    from tpg_weather_etl_spark import queries_scalar
+    _MODULES.append(queries_scalar)
+except ImportError:
+    pass
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
