@@ -73,6 +73,17 @@ def write_feed_version_partitioned(df: DataFrame, path: str | Path) -> None:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def export_csv(df: DataFrame, path: str | Path,
+               single_file: bool = True) -> None:
+    """K7: CSV export (dashboard download, app/streamlit_app.py:219-225).
+
+    ``single_file`` coalesces to one partition — only for small,
+    human-facing extracts; bulk exports keep natural partitioning.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(str(path))
+
+
 def upsert_station_range(
     spark: SparkSession,
     target_path: str | Path,
