@@ -104,6 +104,24 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        # dtype parity: map Spark simpleStrings onto DuckDB type names so
+        # a strict driver-side schema compare cannot trip on e.g.
+        # HUGEINT sums or int32-vs-BIGINT lengths.
+        _MAP = {"bigint": "BIGINT", "int": "INTEGER", "smallint": "SMALLINT",
+                "double": "DOUBLE", "float": "FLOAT", "string": "VARCHAR",
+                "boolean": "BOOLEAN", "timestamp": "TIMESTAMP",
+                "date": "DATE", "array<float>": "FLOAT[]",
+                "array<double>": "DOUBLE[]"}
+        sdt = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        try:
+            odt = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE {oracles[name]}").fetchall()}
+        except Exception:
+            odt = {}
+        for c in set(sdt) & set(odt):
+            want = _MAP.get(sdt[c])
+            if want and odt[c] != want:
+                problems.append(f"dtype[{c}] spark={sdt[c]} oracle={odt[c]}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:

@@ -127,7 +127,8 @@ proj AS (
   GROUP BY vec_id, h),
 bkt AS (
   SELECT vec_id,
-    SUM(CASE WHEN p > 0 THEN (1::BIGINT << h) ELSE 0::BIGINT END) AS bucket
+    CAST(SUM(CASE WHEN p > 0 THEN (1::BIGINT << h) ELSE 0::BIGINT END)
+         AS BIGINT) AS bucket
   FROM proj GROUP BY vec_id)
 """
 

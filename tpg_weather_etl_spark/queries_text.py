@@ -157,7 +157,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
     return d.select(
         "doc_id", "lang", "source",
-        F.length("text").alias("n_chars_actual"),
+        F.length("text").cast("long").alias("n_chars_actual"),
         n_tok.alias("n_tokens"),
         (n_nonspace.cast("double") / n_tok).alias("avg_token_len"),
         stopword_hits(F.col("text")).alias("stop_hits"),
@@ -406,7 +406,8 @@ bits AS (SELECT doc_id, b,
          FROM hv CROSS JOIN range(0, {SIMHASH_BITS}) t(b)
          GROUP BY doc_id, b)
 SELECT doc_id,
-  SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)
+       AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 
