@@ -35,6 +35,8 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "embedding_topk",
     "text_stats",
+    "tfidf_top_terms",
+    "dedup_clusters",
 ]
 
 

@@ -1,0 +1,253 @@
+"""Further training-data-pipeline operators: TF-IDF term scoring,
+global n-gram frequencies, per-label embedding centroids, and
+connected-components dedup clustering over the near-dup pair graph.
+
+The dedup-clusters oracle uses a recursive CTE for transitive closure —
+fine for an oracle at sf0.01; the Spark side is the scale path: an
+iterative label-propagation loop (each step one broadcast-join) that
+converges in O(graph diameter) steps and is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tpg_weather_etl_spark.functions.text import norm_text
+from tpg_weather_etl_spark.sources.tables import read_table as t
+
+TOP_TERMS = 3
+
+
+# ---------------------------------------------------------------------------
+# Token table (shared): one row per (doc_id, token) with counts
+# ---------------------------------------------------------------------------
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return d.select(
+        "doc_id",
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok"),
+    )
+
+
+_SQL_TOKENS = """
+tok AS (SELECT doc_id,
+          unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    n_docs = t(spark, sf_dir, "documents").count()  # scalar; tiny action
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id", "tok", "tf", "df",
+        # ln(n_docs/df) idf; tf*idf rounded 6 for cross-engine parity
+        (F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+         + F.lit(0.0)).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS)
+        .select("doc_id", "tok", "tf", "df", "tfidf",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH {_SQL_TOKENS},
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(*) AS df
+       FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY 1),
+n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tok, tf, df,
+         round(tf * ln(n_docs / df), 6) + 0.0 AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n)
+SELECT doc_id, tok, tf, df, tfidf, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok ASC) AS rank
+      FROM scored)
+WHERE rank <= {TOP_TERMS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global bigram frequency top-k
+# ---------------------------------------------------------------------------
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = (
+        d.select("doc_id", F.split(norm_text(F.col("text")), " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 2)
+    )
+    exploded = base.select(
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 2)).alias("i"),
+    )
+    bigram = F.concat_ws(
+        " ",
+        F.element_at(F.col("toks"), (F.col("i") + 1).cast("int")),
+        F.element_at(F.col("toks"), (F.col("i") + 2).cast("int")),
+    )
+    return (
+        exploded.select(bigram.alias("bigram"))
+        .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+SQL_BIGRAM_TOPK = """
+WITH d AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+b AS (SELECT unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM d WHERE len(toks) >= 2)
+SELECT bigram, COUNT(*) AS n FROM b
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (vector aggregation, long form)
+# ---------------------------------------------------------------------------
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    )
+    return dims.groupBy("label", "dim").agg(
+        (F.round(F.sum(F.col("x").cast("double").cast("decimal(24,8)")), 4)
+         .cast("decimal(18,4)").cast("double")
+         / F.count("x")).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label, CAST(j AS INTEGER) AS dim,
+  CAST(CAST(ROUND(SUM(CAST(CAST(embedding[j+1] AS DOUBLE) AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE) / COUNT(embedding[j+1]) AS centroid,
+  COUNT(*) AS n_vecs
+FROM embeddings CROSS JOIN range(0, 64) s(j)
+GROUP BY label, j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpg_weather_etl_spark.queries_text import q_minhash_pairs
+    return q_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each near-duplicate doc to cluster = min doc_id reachable.
+
+    Iterative min-label propagation: labels(doc) start at doc; each
+    round joins labels across edges (both directions) and keeps the
+    min; stops when no label changed. Exact connected components in
+    O(diameter) rounds; every round is one shuffle-join on doc ids —
+    no driver-side graph state (edges stay distributed).
+    """
+    edges = _edges(spark, sf_dir).cache()
+    both = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        both.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("cluster", F.col("doc"))
+    )
+    for _ in range(20):  # diameter bound; tiny clusters converge in 2-3
+        neighbor_min = (
+            both.join(labels, both.doc_b == labels.doc)
+            .groupBy(both.doc_a.alias("doc"))
+            .agg(F.min("cluster").alias("nb_cluster"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("nb_cluster"), F.col("cluster")),
+                ).alias("cluster"),
+            )
+        ).localCheckpoint()  # truncate the growing lineage each round
+        changed = (
+            updated.join(labels.withColumnRenamed("cluster", "old"), "doc")
+            .filter(F.col("cluster") != F.col("old")).limit(1).count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    out = labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sort_array(F.collect_list("doc")).cast("string").alias("members"),
+    )
+    edges.unpersist()
+    return out.select(
+        F.col("cluster").alias("cluster_id"), "cluster_size", "members"
+    )
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+edges AS (
+  SELECT doc_a, doc_b FROM ({minhash}) ),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT a FROM sym UNION SELECT b FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+labels AS (SELECT a AS doc, MIN(b) AS cluster FROM reach GROUP BY a)
+SELECT cluster AS cluster_id, COUNT(*) AS cluster_size,
+       CAST(list_sort(list(doc)) AS VARCHAR) AS members
+FROM labels GROUP BY cluster
+"""
+
+
+def _dedup_clusters_oracle() -> str:
+    from tpg_weather_etl_spark.queries_text import SQL_MINHASH_PAIRS
+    inner = SQL_MINHASH_PAIRS.strip().rstrip(";")
+    return SQL_DEDUP_CLUSTERS.format(minhash=inner)
+
+
+QUERIES = {
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bigram_topk": q_bigram_topk,
+    "label_centroids": q_label_centroids,
+    "dedup_clusters": q_dedup_clusters,
+}
+
+ORACLE = {
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "bigram_topk": SQL_BIGRAM_TOPK,
+    "label_centroids": SQL_LABEL_CENTROIDS,
+    "dedup_clusters": _dedup_clusters_oracle(),
+}

@@ -28,6 +28,12 @@ try:
 except ImportError:
     pass
 
+try:
+    from tpg_weather_etl_spark import queries_ml
+    _MODULES.append(queries_ml)
+except ImportError:
+    pass
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
