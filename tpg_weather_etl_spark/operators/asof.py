@@ -4,28 +4,33 @@
 timestamp, within a tolerance window" — Spark has no native primitive.
 Two implementations, picked by ``grid_minutes``:
 
-1. **Grid candidate equi-join** (scale path, default when the right
-   side sits on a fixed minute grid, as the reference's weather does —
-   strict 10-min grid, hazard H4): explode each left row into the
-   k = tolerance/grid candidate bin timestamps and equi-join on
-   (keys, candidate_ts). This is a plain hash join — no range join, no
-   giant window — and the fan-out is the small constant k+1. At 100 TB
-   this is the plan you want; with a small right side it broadcasts.
+1. **Grid candidate equi-join** (scale path, when the right side sits
+   on a fixed minute grid, as the reference's weather does — strict
+   10-min grid, hazard H4): explode each left row into the
+   k = tolerance/grid candidate bin timestamps, LEFT equi-join on
+   (keys, candidate_ts), then ONE ``min_by`` aggregation per left row
+   picks the nearest matched step. ``min_by`` ignores NULL ordering
+   keys, so unmatched candidates drop out and fully-unmatched rows
+   keep NULL payload — left semantics with no anti-join, no union, no
+   window, and a single scan of each input (the previous window +
+   anti-join + union form scanned the left side 10×).
 
-2. **General range join + top-1** (fallback for an arbitrary right
-   grid): non-equi time-range predicate on top of the key equi-join,
-   then row_number desc = 1 per left row.
+2. **General range join + max_by** (fallback for an arbitrary right
+   grid): non-equi time-range predicate on the key equi-join, then
+   ``max_by(payload, right_ts)`` per left row — latest obs in range.
 
 Caller contract: ``left`` carries a unique id column (event_id /
-row_id / id / _row_id) so "per left row" is well-defined — mirrors the
-reference's synthetic ``_row_id`` (10_build_features.py:197).
+row_id / id / _row_id) — mirrors the reference's synthetic ``_row_id``
+(10_build_features.py:197) — and the right side is unique per
+(keys, ts) (true for observation grids; duplicate right keys would
+make "the" nearest row ambiguous in any formulation).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -59,6 +64,40 @@ def _payload_cols(right: DataFrame, right_ts: str, on: list[str]) -> list[str]:
     return [c for c in right.columns if c != right_ts and c not in on]
 
 
+def _renamed_right(right: DataFrame, right_ts: str, on: list[str]) -> DataFrame:
+    # Rename every right column before the join: the right side may
+    # share lineage with the left (self-derived grids) and renamed
+    # attributes sidestep ambiguous-column resolution entirely.
+    return right.select(
+        F.col(right_ts).alias("__asof_rts"),
+        *[F.col(c).alias(f"__asof_k_{c}") for c in on],
+        *[F.col(c) for c in _payload_cols(right, right_ts, on)],
+    )
+
+
+def _pick_best(joined: DataFrame, left: DataFrame, lid: str,
+               right_ts: str, payload: list[str], order_key: Column,
+               how: str) -> DataFrame:
+    left_cols = [c for c in left.columns if c != lid]
+    best_struct = F.min_by(
+        F.struct(F.col("__asof_rts").alias(right_ts),
+                 *[F.col(c) for c in payload]),
+        order_key,
+    ).alias("__asof_best")
+    agg = joined.groupBy(lid).agg(
+        *[F.first(c).alias(c) for c in left_cols],  # constant per lid
+        best_struct,
+    )
+    out = agg.select(
+        lid, *left_cols,
+        F.col(f"__asof_best.{right_ts}").alias(right_ts),
+        *[F.col(f"__asof_best.{c}").alias(c) for c in payload],
+    )
+    if how == "inner":
+        out = out.filter(F.col(right_ts).isNotNull())
+    return out
+
+
 def _asof_grid(left, right, left_ts, right_ts, on, tol_min, grid_min, how):
     lid = _left_id_col(left)
     k = tol_min // grid_min
@@ -72,53 +111,38 @@ def _asof_grid(left, right, left_ts, right_ts, on, tol_min, grid_min, how):
             ),
         )
     )
-    # Rename every right column before the join: the right side may share
-    # lineage with the left (self-derived grids), and renamed attributes
-    # sidestep Spark's ambiguous-column resolution entirely.
-    r = right.select(
-        F.col(right_ts).alias("__asof_rts"),
-        *[F.col(c).alias(f"__asof_k_{c}") for c in on],
-        *[F.col(c) for c in _payload_cols(right, right_ts, on)],
-    )
+    r = _renamed_right(right, right_ts, on)
     cond = F.col("__asof_cand_ts") == F.col("__asof_rts")
     for c in on:
         cond = cond & (F.col(c) == F.col(f"__asof_k_{c}"))
-    matched = lx.join(r, cond, "inner").drop(*[f"__asof_k_{c}" for c in on])
-    w = Window.partitionBy(lid).orderBy(F.col("__asof_step").asc())
-    best = (
-        matched.withColumn("__asof_rn", F.row_number().over(w))
-        .filter(F.col("__asof_rn") == 1)
-        .withColumnRenamed("__asof_rts", right_ts)
-        .drop("__asof_rn", "__asof_step", "__asof_cand_ts")
+    joined = lx.join(r, cond, "left").drop(
+        *[f"__asof_k_{c}" for c in on], "__asof_cand_ts"
     )
-    if how == "left":
-        missing = left.join(best.select(lid), [lid], "left_anti")
-        best = best.unionByName(missing, allowMissingColumns=True)
-    return best
+    # nearest past = smallest matched step; NULL steps (no match) are
+    # ignored by min_by
+    order_key = F.when(F.col("__asof_rts").isNotNull(), F.col("__asof_step"))
+    return _pick_best(joined, left, lid, right_ts,
+                      _payload_cols(right, right_ts, on), order_key, how)
 
 
 def _asof_range(left, right, left_ts, right_ts, on, tol_min, how):
     lid = _left_id_col(left)
-    r = right.select(
-        F.col(right_ts).alias("__asof_rts"),
-        *[F.col(c).alias(f"__asof_k_{c}") for c in on],
-        *[F.col(c) for c in _payload_cols(right, right_ts, on)],
-    )
-    cond = (F.col("__asof_rts") <= F.col(left_ts)) & (
+    r = _renamed_right(right, right_ts, on)
+    cond = (F.col("__asof_rts") <= left[left_ts]) & (
         F.col("__asof_rts")
-        >= F.col(left_ts) - F.expr(f"INTERVAL {tol_min} MINUTES")
+        >= left[left_ts] - F.expr(f"INTERVAL {tol_min} MINUTES")
     )
     for c in on:
-        cond = cond & (F.col(c) == F.col(f"__asof_k_{c}"))
-    matched = left.join(r, cond, "inner").drop(*[f"__asof_k_{c}" for c in on])
-    w = Window.partitionBy(lid).orderBy(F.col("__asof_rts").desc())
-    best = (
-        matched.withColumn("__asof_rn", F.row_number().over(w))
-        .filter(F.col("__asof_rn") == 1)
-        .withColumnRenamed("__asof_rts", right_ts)
-        .drop("__asof_rn")
+        cond = cond & (left[c] == F.col(f"__asof_k_{c}"))
+    joined = left.join(r, cond, "left").drop(
+        *[f"__asof_k_{c}" for c in on]
     )
-    if how == "left":
-        missing = left.join(best.select(lid), [lid], "left_anti")
-        best = best.unionByName(missing, allowMissingColumns=True)
-    return best
+    # latest in-range obs = max right_ts; min_by on negated epoch keeps
+    # one code path (min_by ignores NULLs; max_by would too, but the
+    # shared helper takes a single ordering key)
+    order_key = F.when(
+        F.col("__asof_rts").isNotNull(),
+        -F.unix_micros(F.col("__asof_rts")),
+    )
+    return _pick_best(joined, left, lid, right_ts,
+                      _payload_cols(right, right_ts, on), order_key, how)

@@ -98,6 +98,21 @@ def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     return exploded.select("doc_id", shingle.alias("shingle")).distinct()
 
 
+def _shingle_df_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted shingle table for queries that branch over it.
+
+    MinHash-style pipelines consume the shingles 3+ times (signatures,
+    intersection sides, counts); without materialization Spark rescans
+    and re-shingles the documents for every branch (12 scans / 14
+    exchanges observed). MEMORY_AND_DISK persist turns that into one
+    computation; blocks are LRU-evicted so repeated gate queries don't
+    accumulate. At cluster scale the same call is the right move — the
+    shingle table is the natural reuse point of every similarity DAG.
+    """
+    from pyspark import StorageLevel
+    return _shingle_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shingle_df(spark, sf_dir).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh")
@@ -258,10 +273,9 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _pair_jaccard(
-        _shingle_df(spark, sf_dir), _shingle_counts(spark, sf_dir)
-    )
-    return pairs.filter(F.col("jaccard") >= 0.5)
+    sh = _shingle_df_shared(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return _pair_jaccard(sh, counts).filter(F.col("jaccard") >= 0.5)
 
 
 SQL_NGRAM_JACCARD_PAIRS = f"""
@@ -284,7 +298,8 @@ WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.5
 # join produces candidates; exact Jaccard verifies them)
 # ---------------------------------------------------------------------------
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_bands(spark: SparkSession, sf_dir: str,
+                   shingles: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, bkey) minhash band keys.
 
     One shuffle total: the 16 per-hash minima are 16 aggregate
@@ -292,7 +307,8 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     16× row explode — at 100 TB the explode version shuffles 16× the
     shingle volume for no reason. Band keys are then pure projection.
     """
-    sh = _shingle_df(spark, sf_dir).withColumn(
+    sh = (shingles if shingles is not None
+          else _shingle_df(spark, sf_dir)).withColumn(
         "h", stable_hash60(F.col("shingle")) % MH_P
     )
     sig = sh.groupBy("doc_id").agg(
@@ -316,7 +332,8 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _minhash_bands(spark, sf_dir)
+    sh = _shingle_df_shared(spark, sf_dir)
+    bands = _minhash_bands(spark, sf_dir, shingles=sh)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("doc_b"),
                      F.col("band").alias("band_b"),
@@ -327,9 +344,8 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("doc_a") < F.col("doc_b")))
         .select("doc_a", "doc_b").distinct()
     )
-    pairs = _pair_jaccard(
-        _shingle_df(spark, sf_dir), _shingle_counts(spark, sf_dir), cand=cand
-    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = _pair_jaccard(sh, counts, cand=cand)
     return pairs.filter(F.col("jaccard") >= 0.5)
 
 
