@@ -95,14 +95,72 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Dashboard analytics: hour × day-of-week heatmap aggregation
+# (app/streamlit_by_stop_line.py:269-291) and KPI tile sums (A11,
+# app/streamlit_app.py:112-175)
+# ---------------------------------------------------------------------------
+
+def q_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpg_weather_etl_spark.functions.time import dow_monday0
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            dow_monday0(F.col("ts")).alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum(F.col("value").cast("decimal(24,8)")), 4)
+             .cast("decimal(18,4)").cast("double")
+             / F.count("value")).alias("value_avg"),
+        )
+    )
+
+
+SQL_HEATMAP_HOUR_DOW = """
+SELECT CAST((dayofweek(ts) + 6) % 7 AS INTEGER) AS dow,
+       hour(ts) AS hour, COUNT(*) AS n,
+       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 4)
+            AS DECIMAL(18,4)) AS DOUBLE) / COUNT(value) AS value_avg
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_kpi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("value") >= 20.0).cast("int")).alias("n_ge20"),
+        F.sum(F.col("props").isNotNull().cast("int")).alias("n_with_props"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+         .alias("n_errors"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+SQL_KPI_SUMMARY = """
+SELECT COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN value >= 20.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge20,
+  CAST(SUM(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_props,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+"""
+
+
 QUERIES = {
     "scalar_normalize": q_scalar_normalize,
     "contains_filter": q_contains_filter,
     "union_shards": q_union_shards,
+    "heatmap_hour_dow": q_heatmap_hour_dow,
+    "kpi_summary": q_kpi_summary,
 }
 
 ORACLE = {
     "scalar_normalize": SQL_SCALAR_NORMALIZE,
     "contains_filter": SQL_CONTAINS_FILTER,
     "union_shards": SQL_UNION_SHARDS,
+    "heatmap_hour_dow": SQL_HEATMAP_HOUR_DOW,
+    "kpi_summary": SQL_KPI_SUMMARY,
 }
