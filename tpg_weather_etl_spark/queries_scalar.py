@@ -9,6 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tpg_weather_etl_spark.functions.macros import robust_bool, status_rank
+from tpg_weather_etl_spark.functions.time import dow_monday0
+from tpg_weather_etl_spark.queries_relational import _dsum
 from tpg_weather_etl_spark.sources.tables import read_table as t
 
 
@@ -102,7 +104,6 @@ GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 def q_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tpg_weather_etl_spark.functions.time import dow_monday0
     e = t(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -111,9 +112,7 @@ def q_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.round(F.sum(F.col("value").cast("decimal(24,8)")), 4)
-             .cast("decimal(18,4)").cast("double")
-             / F.count("value")).alias("value_avg"),
+            (_dsum(F.col("value")) / F.count("value")).alias("value_avg"),
         )
     )
 
@@ -131,8 +130,8 @@ def q_kpi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return e.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum((F.col("value") >= 20.0).cast("int")).alias("n_ge20"),
-        F.sum(F.col("props").isNotNull().cast("int")).alias("n_with_props"),
+        F.sum(F.when(F.col("value") >= 20.0, 1).otherwise(0)).alias("n_ge20"),
+        F.sum(F.when(F.col("props").isNotNull(), 1).otherwise(0)).alias("n_with_props"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
          .alias("n_errors"),
         F.count_distinct(F.col("user_id")).alias("n_users"),
