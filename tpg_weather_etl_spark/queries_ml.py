@@ -172,7 +172,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(diameter) rounds; every round is one shuffle-join on doc ids —
     no driver-side graph state (edges stay distributed).
     """
-    edges = _edges(spark, sf_dir).cache()
+    edges = _edges(spark, sf_dir)  # persisted inside q_minhash_pairs
     both = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
@@ -188,21 +188,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(both.doc_a.alias("doc"))
             .agg(F.min("cluster").alias("nb_cluster"))
         )
+        # One action per round: carry the old label through the update
+        # so convergence is a cheap scan of the checkpointed frame, not
+        # a second join against the previous labels.
         updated = (
-            labels.join(neighbor_min, "doc", "left")
+            labels.withColumnRenamed("cluster", "old")
+            .join(neighbor_min, "doc", "left")
             .select(
-                "doc",
+                "doc", "old",
                 F.least(
-                    F.col("cluster"),
-                    F.coalesce(F.col("nb_cluster"), F.col("cluster")),
+                    F.col("old"),
+                    F.coalesce(F.col("nb_cluster"), F.col("old")),
                 ).alias("cluster"),
             )
         ).localCheckpoint()  # truncate the growing lineage each round
         changed = (
-            updated.join(labels.withColumnRenamed("cluster", "old"), "doc")
-            .filter(F.col("cluster") != F.col("old")).limit(1).count()
+            updated.filter(F.col("cluster") < F.col("old")).limit(1).count()
         )
-        labels = updated
+        labels = updated.select("doc", "cluster")
         if changed == 0:
             break
     out = labels.groupBy("cluster").agg(

@@ -332,6 +332,15 @@ def _minhash_bands(spark: SparkSession, sf_dir: str,
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: banded-LSH candidates + exact-Jaccard verify.
+
+    The result is persisted: it is tiny (near-dup pairs, not the
+    corpus) and is the input of the dedup-clustering query — the cache
+    manager resolves a later identical plan to the cached rows, so
+    dedup_clusters starts from the materialized edge list instead of
+    re-running signatures + band join + verify.
+    """
+    from pyspark import StorageLevel
     sh = _shingle_df_shared(spark, sf_dir)
     bands = _minhash_bands(spark, sf_dir, shingles=sh)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
@@ -346,7 +355,9 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = _pair_jaccard(sh, counts, cand=cand)
-    return pairs.filter(F.col("jaccard") >= 0.5)
+    return pairs.filter(F.col("jaccard") >= 0.5).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
 
 SQL_MINHASH_PAIRS = f"""
