@@ -185,14 +185,190 @@ WHERE rank <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (LSH-bucketed scale path)
+# ---------------------------------------------------------------------------
+
+NEARDUP_TAU = 0.35
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vector pairs: same LSH bucket AND cosine ≥ τ.
+
+    This is the embedding flavor of near-dup dedup (the text flavors
+    are minhash/simhash/ngram-jaccard in queries_text.py). The bucket
+    equi-join replaces the n² cross join — at 100 TB only same-bucket
+    pairs are scored, ~n²/2^planes work, and more planes (or multiple
+    hash tables for recall) tune the candidate volume. The definition
+    is deterministic (bucket is part of the predicate), so the oracle
+    computes the identical set.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    eb = e.join(_bucketed(spark, sf_dir), "vec_id")
+    a = eb.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").alias("emb_a"), "bucket")
+    b = eb.select(F.col("vec_id").alias("vec_b"),
+                  F.col("embedding").alias("emb_b"),
+                  F.col("bucket").alias("bucket_b"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b",
+                _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos"))
+        .filter(F.col("cos") >= NEARDUP_TAU)
+    )
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH {_SQL_BUCKETS},
+eb AS (SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS e,
+              b.bucket
+       FROM embeddings e JOIN bkt b USING (vec_id))
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+        6) + 0.0 AS cos
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+        6) + 0.0 >= {NEARDUP_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: coarse-quantizer cells + nprobe probing + exact rerank
+# ---------------------------------------------------------------------------
+
+IVF_NPROBE = 2
+IVF_TOPK = 3
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, ce: array<double>) coarse-quantizer centroids.
+
+    Label means stand in for k-means cells (deterministic and
+    SQL-expressible, so the oracle builds bit-identical centroids via
+    the DECIMAL(24,8)→round(4) exact-average form). At scale this is
+    the classic IVF coarse quantizer: k ≪ n centroids, broadcast to
+    every executor; training them with real k-means would bolt on
+    pyspark.ml.clustering.KMeans without changing this query shape.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select("label", F.posexplode(F.col("embedding")).alias("dim", "x"))
+    cd = dims.groupBy("label", "dim").agg(
+        (F.round(F.sum(F.col("x").cast("double").cast("decimal(24,8)")), 4)
+         .cast("decimal(18,4)").cast("double")
+         / F.count("x")).alias("c")
+    )
+    return cd.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("ce")
+    ).select(F.col("label").alias("cell"), "ce")
+
+
+def _cell_scores(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell, rn) ranked centroid affinities."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    return (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cell",
+                _cos_rounded(F.col("embedding"), F.col("ce")).alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: assign vectors to their nearest centroid cell, probe
+    the query's IVF_NPROBE nearest cells, exact-rerank candidates.
+
+    Scale shape: the inverted lists are just the assignment table
+    partitioned by cell (at rest: parquet partitioned/bucketed on
+    cell, so probing prunes to nprobe/k of the corpus); the centroid
+    table is a broadcast; the only shuffle is the per-query top-k.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    cent = _centroids(spark, sf_dir)
+    scores = _cell_scores(e, cent)
+    assign = scores.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "cell"
+    )
+    probe = (
+        scores.filter((F.col("vec_id") < N_QUERY_VECS)
+                      & (F.col("rn") <= IVF_NPROBE))
+        .select(F.col("vec_id").alias("qid"), "cell")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid2"), F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        assign.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(q), F.col("qid") == F.col("qid2"))
+        .select("qid", "vec_id",
+                _cos_rounded(F.col("q_emb"), F.col("embedding")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("qid", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_IVF_TOPK = f"""
+WITH dims AS (
+  SELECT label, CAST(j AS INTEGER) AS dim,
+    CAST(CAST(ROUND(SUM(CAST(CAST(embedding[j+1] AS DOUBLE) AS DECIMAL(24,8))), 4)
+         AS DECIMAL(18,4)) AS DOUBLE) / COUNT(embedding[j+1]) AS c
+  FROM embeddings CROSS JOIN range(0, {EMB_DIM}) s(j)
+  GROUP BY label, j),
+cent AS (SELECT label AS cell, list(c ORDER BY dim) AS ce FROM dims GROUP BY label),
+eb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       FROM embeddings),
+scores AS (
+  SELECT vec_id, e, cell,
+    round(list_dot_product(e, ce)
+          / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))),
+          6) + 0.0 AS cos_c
+  FROM eb CROSS JOIN cent),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_c DESC, cell ASC) AS rn
+  FROM scores),
+asg AS (SELECT vec_id, e, cell FROM ranked WHERE rn = 1),
+probe AS (SELECT vec_id AS qid, cell FROM ranked
+          WHERE vec_id < {N_QUERY_VECS} AND rn <= {IVF_NPROBE}),
+q AS (SELECT vec_id AS qid, e AS qe FROM eb WHERE vec_id < {N_QUERY_VECS}),
+cand AS (
+  SELECT p.qid, a.vec_id,
+    round(list_dot_product(q.qe, a.e)
+          / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(a.e, a.e))),
+          6) + 0.0 AS cos
+  FROM probe p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.qid
+  JOIN q ON q.qid = p.qid)
+SELECT qid, vec_id, cos, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM cand)
+WHERE rank <= {IVF_TOPK}
+"""
+
+
 QUERIES = {
     "embedding_topk": q_embedding_topk,
     "ann_buckets": q_ann_buckets,
     "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "ivf_topk": q_ivf_topk,
 }
 
 ORACLE = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "ann_buckets": SQL_ANN_BUCKETS,
     "ann_topk": SQL_ANN_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "ivf_topk": SQL_IVF_TOPK,
 }
