@@ -289,9 +289,13 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell, so probing prunes to nprobe/k of the corpus); the centroid
     table is a broadcast; the only shuffle is the per-query top-k.
     """
+    from pyspark import StorageLevel
     e = t(spark, sf_dir, "embeddings")
     cent = _centroids(spark, sf_dir)
-    scores = _cell_scores(e, cent)
+    # consumed by both the assignment and the probe branch; persisting
+    # keeps the centroid build + cross join + window single-pass (at
+    # scale the assignment is a materialized cell-partitioned table)
+    scores = _cell_scores(e, cent).persist(StorageLevel.MEMORY_AND_DISK)
     assign = scores.filter(F.col("rn") == 1).select(
         "vec_id", "embedding", "cell"
     )

@@ -34,6 +34,12 @@ try:
 except ImportError:
     pass
 
+try:
+    from tpg_weather_etl_spark import queries_multimodal
+    _MODULES.append(queries_multimodal)
+except ImportError:
+    pass
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
