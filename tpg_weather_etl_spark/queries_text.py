@@ -483,6 +483,124 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: corpus docs sharing n-gram shingles with a
+# held-out eval set (the GPT-3-style n-gram contamination check)
+# ---------------------------------------------------------------------------
+
+CONTAM_MIN_SHINGLES = 3
+
+
+def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus docs contaminated by the pseudo-benchmark set
+    (doc_id % 100 == 0), i.e. sharing ≥ CONTAM_MIN_SHINGLES distinct
+    3-gram shingles with any benchmark doc.
+
+    Scale shape: the benchmark side is small by construction (an eval
+    suite, not a corpus) — its shingle set broadcasts; the corpus-side
+    shingle scan is embarrassingly parallel and aggregates map-side.
+    No shuffle of the corpus by shingle is needed at any size.
+    """
+    sh = _shingle_df_shared(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") % 100 == 0)
+        .select(F.col("doc_id").alias("bench_doc"),
+                F.col("shingle").alias("bsh"))
+    )
+    corpus = sh.filter(F.col("doc_id") % 100 != 0)
+    return (
+        corpus.join(F.broadcast(bench), corpus.shingle == bench.bsh)
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("shingle")).alias("n_hit_shingles"),
+             F.count_distinct(F.col("bench_doc")).alias("n_bench_docs"))
+        .filter(F.col("n_hit_shingles") >= CONTAM_MIN_SHINGLES)
+    )
+
+
+SQL_CONTAMINATION_NGRAMS = f"""
+WITH {_SQL_SHINGLES},
+bench AS (SELECT doc_id AS bench_doc, shingle AS bsh FROM shx
+          WHERE doc_id % 100 = 0),
+corpus AS (SELECT doc_id, shingle FROM shx WHERE doc_id % 100 != 0)
+SELECT doc_id,
+       COUNT(DISTINCT shingle) AS n_hit_shingles,
+       COUNT(DISTINCT bench_doc) AS n_bench_docs
+FROM corpus JOIN bench ON corpus.shingle = bench.bsh
+GROUP BY doc_id
+HAVING COUNT(DISTINCT shingle) >= {CONTAM_MIN_SHINGLES}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (per-language quota)
+# ---------------------------------------------------------------------------
+
+STRAT_N = 5
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-STRAT_N docs per language by md5(doc_id) — an engine-portable
+    deterministic stratified sample (training sets need per-stratum
+    quotas, not uniform fractions). One shuffle on the stratum key; at
+    scale this is `row_number` over a hash order, which also de-skews
+    any ingestion-order bias inside each stratum.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= STRAT_N)
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source, n_chars, CAST(rk AS INTEGER) AS rk
+FROM (SELECT doc_id, lang, source, n_chars,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+WHERE rk <= {STRAT_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-length bucketing (power-of-2 buckets for training batch packing)
+# ---------------------------------------------------------------------------
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket docs by floor(log2(token count)) — the standard
+    length-bucketing pass before sequence batching. Map-side: one
+    aggregation, no joins; at 100 TB it is a single shuffle of
+    (bucket → partial sums). log2 boundaries are exact doubles at
+    powers of two, so both engines bucket identically.
+    """
+    d = t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    bucket = F.floor(F.log2(n_tok.cast("double"))).cast("int")
+    return (
+        d.select(bucket.alias("len_bucket"), n_tok.alias("n_tokens"))
+        .groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("total_tokens"),
+             (F.sum("n_tokens").cast("double")
+              / F.count(F.lit(1))).alias("avg_tokens"))
+    )
+
+
+SQL_LENGTH_BUCKETS = """
+WITH s AS (SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+           FROM documents)
+SELECT CAST(FLOOR(log2(CAST(n_tokens AS DOUBLE))) AS INTEGER) AS len_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM s GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_quality": q_lang_quality,
@@ -491,6 +609,9 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
+    "contamination_ngrams": q_contamination_ngrams,
+    "stratified_sample": q_stratified_sample,
+    "length_buckets": q_length_buckets,
 }
 
 ORACLE = {
@@ -501,4 +622,7 @@ ORACLE = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "contamination_ngrams": SQL_CONTAMINATION_NGRAMS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "length_buckets": SQL_LENGTH_BUCKETS,
 }
