@@ -484,6 +484,110 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style quality rules (word count, word length, symbol ratio,
+# bigram repetition) with a composite keep flag
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 10000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MAX_PUNCT = 0.10
+GOPHER_MAX_TOP_BIGRAM = 0.20
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher-rule quality filter: token-count bounds, mean word
+    length bounds, symbol ratio, and top-bigram repetition fraction.
+
+    All ratios are integer-over-integer doubles (exact IEEE in both
+    engines), so the boundary comparisons in ``keep`` agree bit-exactly.
+    Scale shape: two per-doc aggregations (token stats, bigram stats)
+    that combine map-side, then a co-partitioned join on doc_id — no
+    broadcast needed, no full-corpus shuffle beyond the doc_id keys.
+    """
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = (
+        d.select("doc_id", F.split(norm_text(F.col("text")), " ").alias("toks"))
+        .withColumn("n", F.size(F.col("toks")))
+    )
+    tok = base.select("doc_id", F.explode(F.col("toks")).alias("tok"))
+    tstats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum(F.length(F.col("tok"))).cast("double")
+         / F.count(F.lit(1))).alias("mean_word_len"),
+    )
+    ex = base.filter(F.col("n") >= 2).select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 2)).alias("i"),
+    )
+    bg = ex.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), (F.col("i") + 1).cast("int")),
+            F.element_at(F.col("toks"), (F.col("i") + 2).cast("int")),
+        ).alias("bg"),
+    )
+    bstats = (
+        bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    pr = d.select("doc_id", punct_ratio(F.col("text")).alias("punct_ratio"))
+    out = (
+        tstats.join(bstats, "doc_id", "left")
+        .join(pr, "doc_id")
+        .select(
+            "doc_id", "n_tokens", "mean_word_len", "punct_ratio",
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+             .alias("top_bigram_frac"),
+        )
+    )
+    keep = (
+        F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & F.col("mean_word_len").between(GOPHER_MIN_WORD_LEN,
+                                         GOPHER_MAX_WORD_LEN)
+        & (F.col("punct_ratio") < GOPHER_MAX_PUNCT)
+        & (F.col("top_bigram_frac") < GOPHER_MAX_TOP_BIGRAM)
+    )
+    return out.withColumn("keep", keep)
+
+
+SQL_GOPHER_QUALITY = f"""
+WITH d AS (SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+tstats AS (SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*) AS mean_word_len
+           FROM tok GROUP BY 1),
+bgr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM d WHERE len(toks) >= 2),
+bcount AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgr GROUP BY 1, 2),
+bstats AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+           FROM bcount GROUP BY 1),
+pr AS (SELECT doc_id,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                   / length(text) ELSE 0.0 END AS punct_ratio
+       FROM documents)
+SELECT t.doc_id, t.n_tokens, t.mean_word_len, pr.punct_ratio,
+       COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+       (t.n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+        AND t.mean_word_len BETWEEN {GOPHER_MIN_WORD_LEN} AND {GOPHER_MAX_WORD_LEN}
+        AND pr.punct_ratio < {GOPHER_MAX_PUNCT}
+        AND COALESCE(b.top_bigram_frac, 0.0) < {GOPHER_MAX_TOP_BIGRAM}) AS keep
+FROM tstats t
+LEFT JOIN bstats b ON b.doc_id = t.doc_id
+JOIN pr ON pr.doc_id = t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination: corpus docs sharing n-gram shingles with a
 # held-out eval set (the GPT-3-style n-gram contamination check)
 # ---------------------------------------------------------------------------
@@ -612,6 +716,7 @@ QUERIES = {
     "contamination_ngrams": q_contamination_ngrams,
     "stratified_sample": q_stratified_sample,
     "length_buckets": q_length_buckets,
+    "gopher_quality": q_gopher_quality,
 }
 
 ORACLE = {
@@ -625,4 +730,5 @@ ORACLE = {
     "contamination_ngrams": SQL_CONTAMINATION_NGRAMS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "length_buckets": SQL_LENGTH_BUCKETS,
+    "gopher_quality": SQL_GOPHER_QUALITY,
 }
