@@ -1,0 +1,78 @@
+"""Oracle-parity pytest for the newest gate queries at sf0.001.
+
+The full gate (`tools/check_oracle.py`) runs every query at sf0.01;
+this test wires a representative subset — the training-data-pipeline
+additions — into the pytest suite so `pytest tests/` alone catches a
+parity regression in them (value compare, order-insensitive, same
+canonicalization as the gate tool).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from pathlib import Path
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+NAMES = [
+    "embedding_neardup",
+    "ivf_topk",
+    "contamination_ngrams",
+    "stratified_sample",
+    "length_buckets",
+    "gopher_quality",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return repr(v)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {tname} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{tname}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_gate_query_matches_oracle(spark, oracle_con, name):
+    if not Path(SF_DIR).exists():
+        pytest.skip("driver testdata not present")
+    from tpg_weather_etl_spark.registry import all_oracles, all_queries
+
+    sdf = all_queries()[name](spark, SF_DIR)
+    scols, srows = _canon_rows(sdf.columns,
+                               [tuple(r) for r in sdf.collect()])
+    res = oracle_con.execute(all_oracles()[name])
+    ocols, orows = _canon_rows([d[0] for d in res.description],
+                               res.fetchall())
+    assert scols == ocols
+    assert len(srows) == len(orows)
+    assert srows == orows
