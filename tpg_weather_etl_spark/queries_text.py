@@ -26,7 +26,6 @@ from tpg_weather_etl_spark.functions.text import (
     stable_hash60,
     stopword_hits,
     token_count,
-    word_shingles,
 )
 from tpg_weather_etl_spark.sources.tables import read_table as t
 
