@@ -1,0 +1,61 @@
+"""pyspark.ml LSH wrappers recover the same near-dups as the
+engine-portable gate implementations (recall check, not bit-parity —
+the ml estimators use their own hash families)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def _need_testdata():
+    if not Path(SF_DIR).exists():
+        pytest.skip("driver testdata not present")
+
+
+def test_ml_minhash_recovers_gate_neardups(spark, _need_testdata):
+    from tpg_weather_etl_spark.operators.lsh_ml import minhash_neardup_pairs
+    from tpg_weather_etl_spark.queries_text import q_minhash_pairs
+    from tpg_weather_etl_spark.sources.tables import read_table
+
+    gate = {
+        (r.doc_a, r.doc_b)
+        for r in q_minhash_pairs(spark, SF_DIR).collect()
+    }
+    docs = read_table(spark, SF_DIR, "documents")
+    ml_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup_pairs(docs, max_jaccard_distance=0.5)
+        .collect()
+    }
+    # jaccard >= 0.5 gate pairs must appear among ml candidates
+    # (distance <= 0.5 <=> similarity >= 0.5; ml is approximate but
+    # with 8 tables recall on true >=0.5 pairs is effectively 1 here)
+    missing = gate - ml_pairs
+    assert not missing, f"ml MinHashLSH missed gate pairs: {missing}"
+
+
+def test_ml_random_projection_finds_close_vectors(spark, _need_testdata):
+    from tpg_weather_etl_spark.operators.lsh_ml import (
+        random_projection_ann_pairs,
+    )
+    from tpg_weather_etl_spark.sources.tables import read_table
+
+    vecs = read_table(spark, SF_DIR, "embeddings")
+    pairs = random_projection_ann_pairs(vecs, max_l2_distance=1.2)
+    rows = pairs.collect()
+    # sanity: symmetric-dedup respected and distances within threshold
+    assert all(r.vec_a < r.vec_b for r in rows)
+    assert all(r.l2_distance <= 1.2 for r in rows)
+    # brute-force check: every returned pair really is within 1.2
+    emb = {r.vec_id: r.embedding for r in vecs.select(
+        "vec_id", "embedding").collect()}
+    for r in rows[:50]:
+        d = sum((float(x) - float(y)) ** 2
+                for x, y in zip(emb[r.vec_a], emb[r.vec_b])) ** 0.5
+        assert abs(d - r.l2_distance) < 1e-4
