@@ -37,24 +37,29 @@ SIMHASH_BITS = 60          # full width of stable_hash60
 SIMHASH_BANDS = 5          # 5 × 12 bits → exact for hamming ≤ 4
 SIMHASH_MAX_HAMMING = 4
 
-# Shared SQL prelude: normalized text → tokens → distinct 3-gram shingles
+# Shared SQL prelude: normalized text → tokens → distinct 3-gram
+# shingles, hashed to 60-bit ints. Set semantics apply to the *hash*
+# (DISTINCT over sh_hash) in both engines, so results agree exactly
+# even in the (≈2⁻⁶¹ per pair) event of a hash collision.
 _SQL_SHINGLES = """
 d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
       FROM documents),
 tk AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM d),
 sh AS (SELECT doc_id,
          CASE WHEN len(toks) >= 3
-           THEN list_distinct(list_transform(range(1, len(toks)-1),
-                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           THEN list_transform(range(1, len(toks)-1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
            ELSE [norm] END AS shingles
        FROM tk),
-shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-shn AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+shx AS (SELECT DISTINCT doc_id,
+          ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_hash
+        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)),
+shn AS (SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id)
 """
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct k-word shingles per document.
+    """(doc_id, sh_hash) distinct 60-bit-hashed k-word shingles per doc.
 
     Physical-plan care (this is the hot path of every similarity op):
     - repartition before the per-row work: a small parquet file is one
@@ -68,9 +73,13 @@ def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
       split() expression into the lambda body and re-evaluates the full
       tokenization per shingle index — O(tokens²) per document (23s →
       3s at sf0.1 for 5k docs from this change alone).
-    - set semantics via a global distinct (one shuffle on (doc,
-      shingle)) instead of per-doc array_distinct, which would need the
-      quadratic transform form.
+    - the shingle string is hashed to a 60-bit int map-side, BEFORE the
+      distinct: every downstream shuffle/join (set-dedupe, inverted
+      index, signature agg) then moves 8-byte longs instead of ~30-byte
+      strings — at 100 TB that is the difference between shuffling the
+      corpus text ~1.5× and shuffling compact keys. Set semantics apply
+      to the hash in both engines (oracle does DISTINCT over the same
+      md5-derived hash), so parity is exact even under collisions.
     """
     d = t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -94,7 +103,9 @@ def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
             for j in range(k)
         ]),
     ).otherwise(F.col("norm"))
-    return exploded.select("doc_id", shingle.alias("shingle")).distinct()
+    return exploded.select(
+        "doc_id", stable_hash60(shingle).alias("sh_hash")
+    ).distinct()
 
 
 def _shingle_df_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,9 +137,9 @@ def _pair_jaccard(shingles: DataFrame, counts: DataFrame,
     ``cand`` (doc_a, doc_b) restricts to candidate pairs (LSH output).
     """
     a = shingles.select(F.col("doc_id").alias("doc_a"),
-                        F.col("shingle").alias("sh_a"))
+                        F.col("sh_hash").alias("sh_a"))
     b = shingles.select(F.col("doc_id").alias("doc_b"),
-                        F.col("shingle").alias("sh_b"))
+                        F.col("sh_hash").alias("sh_b"))
     if cand is None:
         inter = (
             a.join(b, (F.col("sh_a") == F.col("sh_b"))
@@ -140,7 +151,7 @@ def _pair_jaccard(shingles: DataFrame, counts: DataFrame,
         # Scale path: intersect shingles only for LSH candidate pairs —
         # the n² shingle self-join never happens.
         b2 = shingles.select(F.col("doc_id").alias("doc_b2"),
-                             F.col("shingle").alias("sh_b"))
+                             F.col("sh_hash").alias("sh_b"))
         inter = (
             cand.join(a, "doc_a")
             .join(b2, (F.col("doc_b") == F.col("doc_b2"))
@@ -281,7 +292,7 @@ SQL_NGRAM_JACCARD_PAIRS = f"""
 WITH {_SQL_SHINGLES},
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shx a JOIN shx b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, n_inter,
   CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
@@ -308,7 +319,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str,
     """
     sh = (shingles if shingles is not None
           else _shingle_df(spark, sf_dir)).withColumn(
-        "h", stable_hash60(F.col("shingle")) % MH_P
+        "h", F.col("sh_hash") % MH_P
     )
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -361,9 +372,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MINHASH_PAIRS = f"""
 WITH {_SQL_SHINGLES},
-hv AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT
-                      % {MH_P} AS h
-       FROM shx),
+hv AS (SELECT doc_id, sh_hash % {MH_P} AS h FROM shx),
 sig AS (SELECT doc_id, i,
           MIN(((2*i+3)*h + (104729*i+12345)) % {MH_P}) AS s
         FROM hv CROSS JOIN range(0, {MH_NUM_HASHES}) t(i)
@@ -376,7 +385,7 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shx a JOIN shx b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
   JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, n_inter,
@@ -608,13 +617,13 @@ def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (
         sh.filter(F.col("doc_id") % 100 == 0)
         .select(F.col("doc_id").alias("bench_doc"),
-                F.col("shingle").alias("bsh"))
+                F.col("sh_hash").alias("bsh"))
     )
     corpus = sh.filter(F.col("doc_id") % 100 != 0)
     return (
-        corpus.join(F.broadcast(bench), corpus.shingle == bench.bsh)
+        corpus.join(F.broadcast(bench), corpus.sh_hash == bench.bsh)
         .groupBy("doc_id")
-        .agg(F.count_distinct(F.col("shingle")).alias("n_hit_shingles"),
+        .agg(F.count_distinct(F.col("sh_hash")).alias("n_hit_shingles"),
              F.count_distinct(F.col("bench_doc")).alias("n_bench_docs"))
         .filter(F.col("n_hit_shingles") >= CONTAM_MIN_SHINGLES)
     )
@@ -622,15 +631,15 @@ def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONTAMINATION_NGRAMS = f"""
 WITH {_SQL_SHINGLES},
-bench AS (SELECT doc_id AS bench_doc, shingle AS bsh FROM shx
+bench AS (SELECT doc_id AS bench_doc, sh_hash AS bsh FROM shx
           WHERE doc_id % 100 = 0),
-corpus AS (SELECT doc_id, shingle FROM shx WHERE doc_id % 100 != 0)
+corpus AS (SELECT doc_id, sh_hash FROM shx WHERE doc_id % 100 != 0)
 SELECT doc_id,
-       COUNT(DISTINCT shingle) AS n_hit_shingles,
+       COUNT(DISTINCT sh_hash) AS n_hit_shingles,
        COUNT(DISTINCT bench_doc) AS n_bench_docs
-FROM corpus JOIN bench ON corpus.shingle = bench.bsh
+FROM corpus JOIN bench ON corpus.sh_hash = bench.bsh
 GROUP BY doc_id
-HAVING COUNT(DISTINCT shingle) >= {CONTAM_MIN_SHINGLES}
+HAVING COUNT(DISTINCT sh_hash) >= {CONTAM_MIN_SHINGLES}
 """
 
 
