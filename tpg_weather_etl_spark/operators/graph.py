@@ -1,0 +1,83 @@
+"""Distributed connected components via iterative min-label
+propagation — the clustering step of near-duplicate deduplication
+(cluster = transitive closure of the near-dup pair graph, keep the
+min-id member per cluster).
+
+Exact, converges in O(graph diameter) rounds; every round is one
+shuffle-join on node ids. No driver-side graph state: edges and labels
+stay distributed, so the operator scales to edge sets that never fit
+one machine. Near-dup graphs have tiny diameter in practice (dup
+clusters are cliques or short chains), so 2-4 rounds is typical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components_min_label(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc, cluster) for every node in ``edges``; cluster = min
+    reachable node id.
+
+    Each round joins labels across the symmetrized edge list, keeps
+    the elementwise min, and folds the convergence check into the
+    localCheckpoint-ed update (one action per round, no second join
+    against the previous labels). ``localCheckpoint`` truncates the
+    growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    """
+    both = edges.select(F.col(src).alias("doc_a"),
+                        F.col(dst).alias("doc_b"))
+    both = both.union(
+        both.select(F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        both.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("cluster", F.col("doc"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.doc_b == labels.doc)
+            .groupBy(both.doc_a.alias("doc"))
+            .agg(F.min("cluster").alias("nb_cluster"))
+        )
+        updated = (
+            labels.withColumnRenamed("cluster", "old")
+            .join(neighbor_min, "doc", "left")
+            .select(
+                "doc", "old",
+                F.least(
+                    F.col("old"),
+                    F.coalesce(F.col("nb_cluster"), F.col("old")),
+                ).alias("cluster"),
+            )
+        ).localCheckpoint()
+        changed = (
+            updated.filter(F.col("cluster") < F.col("old")).limit(1).count()
+        )
+        labels = updated.select("doc", "cluster")
+        if changed == 0:
+            break
+    both.unpersist()
+    return labels
+
+
+def cluster_summary(labels: DataFrame) -> DataFrame:
+    """(cluster_id, cluster_size, members) per connected component."""
+    return (
+        labels.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sort_array(F.collect_list("doc")).cast("string")
+             .alias("members"),
+        )
+        .select(F.col("cluster").alias("cluster_id"),
+                "cluster_size", "members")
+    )

@@ -164,64 +164,36 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign each near-duplicate doc to cluster = min doc_id reachable.
-
-    Iterative min-label propagation: labels(doc) start at doc; each
-    round joins labels across edges (both directions) and keeps the
-    min; stops when no label changed. Exact connected components in
-    O(diameter) rounds; every round is one shuffle-join on doc ids —
-    no driver-side graph state (edges stay distributed).
-    """
+    """Near-dup clusters over the MinHash pair graph: cluster = min
+    doc_id reachable (operators/graph.py min-label propagation)."""
+    from tpg_weather_etl_spark.operators.graph import (
+        cluster_summary,
+        connected_components_min_label,
+    )
     edges = _edges(spark, sf_dir)  # persisted inside q_minhash_pairs
-    both = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))
-    ).cache()
-    labels = (
-        both.select(F.col("doc_a").alias("doc"))
-        .distinct()
-        .withColumn("cluster", F.col("doc"))
+    return cluster_summary(connected_components_min_label(edges))
+
+
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering operator over the embedding-cosine near-dup
+    graph — near-dup semantics change (cosine vs Jaccard), the
+    dedup-clustering operator doesn't."""
+    from tpg_weather_etl_spark.operators.graph import (
+        cluster_summary,
+        connected_components_min_label,
     )
-    for _ in range(20):  # diameter bound; tiny clusters converge in 2-3
-        neighbor_min = (
-            both.join(labels, both.doc_b == labels.doc)
-            .groupBy(both.doc_a.alias("doc"))
-            .agg(F.min("cluster").alias("nb_cluster"))
-        )
-        # One action per round: carry the old label through the update
-        # so convergence is a cheap scan of the checkpointed frame, not
-        # a second join against the previous labels.
-        updated = (
-            labels.withColumnRenamed("cluster", "old")
-            .join(neighbor_min, "doc", "left")
-            .select(
-                "doc", "old",
-                F.least(
-                    F.col("old"),
-                    F.coalesce(F.col("nb_cluster"), F.col("old")),
-                ).alias("cluster"),
-            )
-        ).localCheckpoint()  # truncate the growing lineage each round
-        changed = (
-            updated.filter(F.col("cluster") < F.col("old")).limit(1).count()
-        )
-        labels = updated.select("doc", "cluster")
-        if changed == 0:
-            break
-    out = labels.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("cluster_size"),
-        F.sort_array(F.collect_list("doc")).cast("string").alias("members"),
-    )
-    edges.unpersist()
-    return out.select(
-        F.col("cluster").alias("cluster_id"), "cluster_size", "members"
+    from tpg_weather_etl_spark.queries_embeddings import q_embedding_neardup
+    edges = q_embedding_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    return cluster_summary(
+        connected_components_min_label(edges, src="vec_a", dst="vec_b")
     )
 
 
-SQL_DEDUP_CLUSTERS = """
+# Transitive closure via recursive CTE — the oracle-side equivalent of
+# operators/graph.py's label propagation, parameterized by edge list.
+_SQL_CC_TEMPLATE = """
 WITH RECURSIVE
-edges AS (
-  SELECT doc_a, doc_b FROM ({minhash}) ),
+edges AS ({edges}),
 sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
         UNION SELECT doc_b, doc_a FROM edges),
 reach(a, b) AS (
@@ -238,7 +210,17 @@ FROM labels GROUP BY cluster
 def _dedup_clusters_oracle() -> str:
     from tpg_weather_etl_spark.queries_text import SQL_MINHASH_PAIRS
     inner = SQL_MINHASH_PAIRS.strip().rstrip(";")
-    return SQL_DEDUP_CLUSTERS.format(minhash=inner)
+    return _SQL_CC_TEMPLATE.format(
+        edges=f"SELECT doc_a, doc_b FROM ({inner})"
+    )
+
+
+def _embedding_dedup_clusters_oracle() -> str:
+    from tpg_weather_etl_spark.queries_embeddings import SQL_EMBEDDING_NEARDUP
+    inner = SQL_EMBEDDING_NEARDUP.strip().rstrip(";")
+    return _SQL_CC_TEMPLATE.format(
+        edges=f"SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({inner})"
+    )
 
 
 QUERIES = {
@@ -246,6 +228,7 @@ QUERIES = {
     "bigram_topk": q_bigram_topk,
     "label_centroids": q_label_centroids,
     "dedup_clusters": q_dedup_clusters,
+    "embedding_dedup_clusters": q_embedding_dedup_clusters,
 }
 
 ORACLE = {
@@ -253,4 +236,5 @@ ORACLE = {
     "bigram_topk": SQL_BIGRAM_TOPK,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "dedup_clusters": _dedup_clusters_oracle(),
+    "embedding_dedup_clusters": _embedding_dedup_clusters_oracle(),
 }
