@@ -148,12 +148,78 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# Gap-based sessionization: 30-min-inactivity sessions per user via a
+# cumulative window over the new-session indicator
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_SEC = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions split at >30-min gaps, with session stats.
+
+    The classic event-pipeline operator Spark lacks as a built-in:
+    lag() marks session starts, a running sum over the same window
+    assigns session ids, then one aggregation produces the session
+    table. Two window passes share a single shuffle on user_id (same
+    partitioning + ordering); gap arithmetic is integer microseconds
+    (``unix_micros``/``epoch_us``) so both engines compare exactly.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "tus", F.unix_micros(F.col("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("tus").over(w).isNull()
+        | ((F.col("tus") - F.lag("tus").over(w)) > SESSION_GAP_SEC * 1_000_000),
+        1,
+    ).otherwise(0)
+    sess = e.withColumn("new_s", new_s).withColumn(
+        "session_seq",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        ((F.max("tus") - F.min("tus")) / F.lit(1_000_000))
+        .cast("long").alias("duration_sec"),
+        _dsum(F.col("value")).alias("value_sum"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS tus
+           FROM events),
+m AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > {SESSION_GAP_SEC * 1_000_000}
+                     THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM m)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+  COUNT(*) AS n_events,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  CAST((MAX(tus) - MIN(tus)) // 1000000 AS BIGINT) AS duration_sec,
+  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE) AS value_sum
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 QUERIES = {
     "scalar_normalize": q_scalar_normalize,
     "contains_filter": q_contains_filter,
     "union_shards": q_union_shards,
     "heatmap_hour_dow": q_heatmap_hour_dow,
     "kpi_summary": q_kpi_summary,
+    "sessionize": q_sessionize,
 }
 
 ORACLE = {
@@ -162,4 +228,5 @@ ORACLE = {
     "union_shards": SQL_UNION_SHARDS,
     "heatmap_hour_dow": SQL_HEATMAP_HOUR_DOW,
     "kpi_summary": SQL_KPI_SUMMARY,
+    "sessionize": SQL_SESSIONIZE,
 }
