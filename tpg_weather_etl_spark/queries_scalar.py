@@ -213,6 +213,48 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+# ---------------------------------------------------------------------------
+# Cohort retention: weekly signup cohorts × activity-week offset
+# ---------------------------------------------------------------------------
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users active per (first-seen week cohort, week offset).
+
+    Both engines truncate to ISO Monday weeks, so offsets are exact
+    multiples of 7 days. Scale shape: one groupBy(user) for cohorts
+    (re-broadcast if users ≪ events, else a co-partitioned join on
+    user_id), one distinct on (user, week), one final small agg.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = e.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+           FROM events),
+first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1),
+act AS (SELECT DISTINCT user_id, wk FROM e)
+SELECT cohort_wk,
+       CAST((act.wk - first.cohort_wk) // 7 AS INTEGER) AS week_offset,
+       COUNT(DISTINCT act.user_id) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "scalar_normalize": q_scalar_normalize,
     "contains_filter": q_contains_filter,
@@ -220,6 +262,7 @@ QUERIES = {
     "heatmap_hour_dow": q_heatmap_hour_dow,
     "kpi_summary": q_kpi_summary,
     "sessionize": q_sessionize,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLE = {
@@ -229,4 +272,5 @@ ORACLE = {
     "heatmap_hour_dow": SQL_HEATMAP_HOUR_DOW,
     "kpi_summary": SQL_KPI_SUMMARY,
     "sessionize": SQL_SESSIONIZE,
+    "cohort_retention": SQL_COHORT_RETENTION,
 }
