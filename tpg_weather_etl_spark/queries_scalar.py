@@ -255,6 +255,61 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Ordered funnel: signup → view → click → purchase by first-occurrence
+# timestamps per user
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users reaching each ordered funnel step (min-timestamp funnel:
+    step k counts users whose first step-k event is strictly after
+    their first step-(k-1) event).
+
+    One groupBy(user_id) computes all four conditional mins in a
+    single pass (map-side combine); the funnel flags and final count
+    are a second tiny aggregation. At 100 TB: one shuffle of per-user
+    partial mins, nothing else.
+    """
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(*[
+        F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
+        for i, s in enumerate(FUNNEL_STEPS, start=1)
+    ])
+    r1 = F.col("t1").isNotNull()
+    r2 = r1 & (F.col("t2") > F.col("t1"))
+    r3 = r2 & (F.col("t3") > F.col("t2"))
+    r4 = r3 & (F.col("t4") > F.col("t3"))
+    return per_user.agg(
+        F.sum(r1.cast("int")).alias("n_signup"),
+        F.sum(r2.cast("int")).alias("n_view"),
+        F.sum(r3.cast("int")).alias("n_click"),
+        F.sum(r4.cast("int")).alias("n_purchase"),
+    )
+
+
+SQL_FUNNEL_STEPS = """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+  FROM events GROUP BY 1)
+SELECT
+  CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view,
+  CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 AND t4 > t3
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+FROM per_user
+"""
+
+
 QUERIES = {
     "scalar_normalize": q_scalar_normalize,
     "contains_filter": q_contains_filter,
@@ -263,6 +318,7 @@ QUERIES = {
     "kpi_summary": q_kpi_summary,
     "sessionize": q_sessionize,
     "cohort_retention": q_cohort_retention,
+    "funnel_steps": q_funnel_steps,
 }
 
 ORACLE = {
@@ -273,4 +329,5 @@ ORACLE = {
     "kpi_summary": SQL_KPI_SUMMARY,
     "sessionize": SQL_SESSIONIZE,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "funnel_steps": SQL_FUNNEL_STEPS,
 }
