@@ -25,6 +25,10 @@ NAMES = [
     "stratified_sample",
     "length_buckets",
     "gopher_quality",
+    "sessionize",
+    "cohort_retention",
+    "funnel_steps",
+    "embedding_dedup_clusters",
 ]
 
 TABLES = [
