@@ -713,6 +713,53 @@ FROM s GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Source mixing weights: per-source token share → sampling weight to
+# hit a uniform target mixture (pretraining data mixing)
+# ---------------------------------------------------------------------------
+
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token counts, corpus share, and the sampling weight
+    that re-balances the mixture to uniform across sources
+    (weight = target_share / actual_share; >1 = upsample).
+
+    All shares are exact integer-over-integer doubles. Scale shape:
+    one map-side token count + tiny two-level aggregate — the final
+    per-source table is k rows, broadcastable to the sampler.
+    """
+    d = t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source", "n_docs", "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("tot"))
+            .alias("token_share"),
+            ((F.col("tot").cast("double") / F.col("k"))
+             / F.col("n_tokens")).alias("mix_weight"),
+        )
+    )
+
+
+SQL_SOURCE_MIX_WEIGHTS = """
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+    SUM(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)) AS n_tokens
+  FROM documents GROUP BY 1),
+totals AS (SELECT SUM(n_tokens) AS tot, COUNT(*) AS k FROM per_source)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_tokens AS DOUBLE) / tot AS token_share,
+  (CAST(tot AS DOUBLE) / k) / n_tokens AS mix_weight
+FROM per_source CROSS JOIN totals
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_quality": q_lang_quality,
@@ -725,6 +772,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "length_buckets": q_length_buckets,
     "gopher_quality": q_gopher_quality,
+    "source_mix_weights": q_source_mix_weights,
 }
 
 ORACLE = {
@@ -739,4 +787,5 @@ ORACLE = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "length_buckets": SQL_LENGTH_BUCKETS,
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
 }
