@@ -34,7 +34,10 @@ HEADLINE = [
     "minhash_pairs",
     "ngram_jaccard_pairs",
     "embedding_topk",
+    "ivf_topk",
     "text_stats",
+    "gopher_quality",
+    "sessionize",
     "tfidf_top_terms",
     "dedup_clusters",
 ]
