@@ -760,6 +760,55 @@ FROM per_source CROSS JOIN totals
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling: apply the mixing weights via a
+# hash-uniform keep rule (the sampler half of data mixing)
+# ---------------------------------------------------------------------------
+
+MIX_BASE_RATE = 0.25
+
+
+def q_mixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs kept by the rebalanced mixture: u(doc) < weight(source) ×
+    base_rate, where u = md5-derived 60-bit uniform in [0,1).
+
+    Deterministic (same doc always decides the same way — re-runs and
+    engines agree), and distributed: the k-row weight table broadcasts,
+    the keep rule is a map-side predicate, no shuffle of the corpus at
+    all. 2⁶⁰ is a power of two, so the int→double division is exact in
+    both engines.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = q_source_mix_weights(spark, sf_dir).select("source", "mix_weight")
+    u = stable_hash60(F.col("doc_id").cast("string")) / F.lit(float(1 << 60))
+    return (
+        d.join(F.broadcast(w), "source")
+        .select("doc_id", "source", u.alias("u"), "mix_weight")
+        .filter(F.col("u")
+                < F.least(F.col("mix_weight") * MIX_BASE_RATE, F.lit(1.0)))
+    )
+
+
+SQL_MIXED_SAMPLE = f"""
+WITH w AS (
+  SELECT source, (CAST(tot AS DOUBLE) / k) / n_tokens AS mix_weight
+  FROM (SELECT source,
+          SUM(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)) AS n_tokens
+        FROM documents GROUP BY 1) per_source
+  CROSS JOIN (SELECT SUM(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)) AS tot,
+                     COUNT(DISTINCT source) AS k
+              FROM documents) totals)
+SELECT doc_id, source,
+  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+    / CAST({1 << 60} AS DOUBLE) AS u,
+  mix_weight
+FROM documents JOIN w USING (source)
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        / CAST({1 << 60} AS DOUBLE)
+      < least(mix_weight * {MIX_BASE_RATE}, 1.0)
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_quality": q_lang_quality,
@@ -773,6 +822,7 @@ QUERIES = {
     "length_buckets": q_length_buckets,
     "gopher_quality": q_gopher_quality,
     "source_mix_weights": q_source_mix_weights,
+    "mixed_sample": q_mixed_sample,
 }
 
 ORACLE = {
@@ -788,4 +838,5 @@ ORACLE = {
     "length_buckets": SQL_LENGTH_BUCKETS,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
+    "mixed_sample": SQL_MIXED_SAMPLE,
 }
