@@ -2,10 +2,11 @@
 global n-gram frequencies, per-label embedding centroids, and
 connected-components dedup clustering over the near-dup pair graph.
 
-The dedup-clusters oracle uses a recursive CTE for transitive closure —
-fine for an oracle at sf0.01; the Spark side is the scale path: an
-iterative label-propagation loop (each step one broadcast-join) that
-converges in O(graph diameter) steps and is exact, not approximate.
+The dedup-clusters oracle unrolls a fixed number of min-label
+propagation rounds (no recursive CTE — portable to engines that choke
+on recursion); the Spark side is the scale path: an iterative
+label-propagation loop (each step one shuffle-join) that converges in
+O(graph diameter) steps and is exact, not approximate.
 """
 
 from __future__ import annotations
@@ -189,38 +190,67 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Transitive closure via recursive CTE — the oracle-side equivalent of
-# operators/graph.py's label propagation, parameterized by edge list.
-_SQL_CC_TEMPLATE = """
-WITH RECURSIVE
-edges AS ({edges}),
-sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
-        UNION SELECT doc_b, doc_a FROM edges),
-reach(a, b) AS (
-  SELECT a, a FROM (SELECT a FROM sym UNION SELECT b FROM sym)
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-labels AS (SELECT a AS doc, MIN(b) AS cluster FROM reach GROUP BY a)
-SELECT cluster AS cluster_id, COUNT(*) AS cluster_size,
-       CAST(list_sort(list(doc)) AS VARCHAR) AS members
-FROM labels GROUP BY cluster
+# Oracle-side connected components WITHOUT recursion: a fixed unroll
+# of min-label propagation rounds (neighbor-min then pointer-jump
+# through the label itself), the SQL mirror of operators/graph.py.
+# Each round at least doubles the distance the component minimum has
+# travelled, so K rounds cover components of diameter ~2^K; K=6 is far
+# beyond any near-dup graph at oracle scale (verified converged at
+# sf0.001/sf0.01/sf0.1).  Non-recursive on purpose: recursive CTEs are
+# the one SQL feature engines time out or diverge on, and the oracle
+# must run anywhere.
+_CC_ROUNDS = 6
+
+
+def _cc_sql(edges: str) -> str:
+    # MATERIALIZED: every CTE here is referenced 2+ times (sym each
+    # round, m{k} self-joined); without it DuckDB inlines the whole
+    # chain per reference and re-opens the source parquet once per
+    # inlined copy ("Too many open files").
+    ctes = [
+        f"edges AS MATERIALIZED ({edges})",
+        "sym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM edges"
+        " UNION SELECT doc_b, doc_a FROM edges)",
+        "l0 AS MATERIALIZED (SELECT a AS node, a AS lbl FROM sym"
+        " UNION SELECT b, b FROM sym)",
+    ]
+    prev = "l0"
+    for k in range(_CC_ROUNDS):
+        n, m, cur = f"n{k}", f"m{k}", f"l{k + 1}"
+        ctes.append(
+            f"{n} AS MATERIALIZED (SELECT s.a AS node, MIN(l.lbl) AS nb"
+            f" FROM sym s JOIN {prev} l ON l.node = s.b GROUP BY s.a)"
+        )
+        ctes.append(
+            f"{m} AS MATERIALIZED (SELECT l.node,"
+            f" LEAST(l.lbl, COALESCE(n.nb, l.lbl)) AS lbl"
+            f" FROM {prev} l LEFT JOIN {n} n ON n.node = l.node)"
+        )
+        ctes.append(
+            f"{cur} AS MATERIALIZED (SELECT m.node,"
+            f" LEAST(m.lbl, p.lbl) AS lbl"
+            f" FROM {m} m JOIN {m} p ON p.node = m.lbl)"
+        )
+        prev = cur
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT lbl AS cluster_id, COUNT(*) AS cluster_size,
+       CAST(list_sort(list(node)) AS VARCHAR) AS members
+FROM {prev} GROUP BY lbl
 """
+    )
 
 
 def _dedup_clusters_oracle() -> str:
     from tpg_weather_etl_spark.queries_text import SQL_MINHASH_PAIRS
     inner = SQL_MINHASH_PAIRS.strip().rstrip(";")
-    return _SQL_CC_TEMPLATE.format(
-        edges=f"SELECT doc_a, doc_b FROM ({inner})"
-    )
+    return _cc_sql(f"SELECT doc_a, doc_b FROM ({inner})")
 
 
 def _embedding_dedup_clusters_oracle() -> str:
     from tpg_weather_etl_spark.queries_embeddings import SQL_EMBEDDING_NEARDUP
     inner = SQL_EMBEDDING_NEARDUP.strip().rstrip(";")
-    return _SQL_CC_TEMPLATE.format(
-        edges=f"SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({inner})"
-    )
+    return _cc_sql(f"SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({inner})")
 
 
 QUERIES = {
