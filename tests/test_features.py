@@ -171,3 +171,48 @@ def test_training_rows_lags_and_rolling(spark):
     assert some.rain_mm == pytest.approx(some.rain_mm_lag10 + 0.1)
     assert some.dow == 3  # 2024-02-01 is a Thursday → Monday0 → 3
     assert some.sin_hour == pytest.approx(__import__("math").sin(2 * 3.141592653589793 * 8 / 24))
+
+
+def test_asof_mode_is_inner_drops_unmatched(spark):
+    # ref 10:253-264 DELETEs rows whose nearest obs is missing or
+    # outside the window — as-of mode must not keep NULL-weather rows
+    wx_rows = [("GVE", T0 - dt.timedelta(minutes=60), 7.0) + (0.0,) * 9]
+    wx = spark.createDataFrame(
+        wx_rows,
+        "station_id string, ts_utc timestamp, temp_c double, rain_mm double,"
+        "wind_ms double, gust_ms double, wind_dir_deg double, humidity double,"
+        "pressure_hpa double, global_rad_wm2 double, sunshine_min double,"
+        "dewpoint_c double")
+    ev = _mk_events(spark, [_ev(minute=5)])
+    strict = build_features_events(ev, wx, station_id="GVE").collect()
+    assert len(strict) == 1 and strict[0].temp_c is None  # left: kept
+    asof = build_features_events(ev, wx, station_id="GVE", asof=True).collect()
+    assert asof == []  # inner: deleted
+
+
+def test_training_targets_differ_by_horizon(spark):
+    # e0 on time at 08:00; e1 at 08:20 is 3 min late. The +15 horizon
+    # from e0 sees no departure (NULL target); the +30 horizon sees e1
+    # late → True. The last event has nothing ahead → both NULL.
+    ev = _mk_events(spark, [_ev(minute=0, delay_s=0),
+                            _ev(minute=20, delay_s=180)])
+    feats = build_features_events(ev, _mk_weather(spark), station_id="GVE")
+    tr = sorted(build_training_rows(feats, _mk_weather(spark)).collect(),
+                key=lambda r: r.ts_event)
+    assert [r.stop_id for r in tr] == ["8501", "8501"]  # DDL name
+    assert tr[0].route_id is None
+    assert tr[0].target_late2m_15 is None
+    assert tr[0].target_late2m_30 is True
+    assert tr[1].target_late2m_15 is None
+    assert tr[1].target_late2m_30 is None
+
+
+def test_by_stop_line_null_stop_name_falls_back_to_code(spark):
+    # ref 11:93: COALESCE(stop_name, stop_code) happens per-row before
+    # MAX, so an all-NULL-name group emits the code, not NULL
+    r = _ev()
+    ev = _mk_events(spark, [r[:5] + (None,) + r[6:]])
+    feats = build_features_events(ev, _mk_weather(spark), station_id="GVE")
+    out = build_features_by_stop_line(feats).collect()
+    assert len(out) == 1
+    assert out[0].stop_name == "8501"

@@ -229,3 +229,23 @@ def test_staging_zip_and_encoding(tmp_path):
     assert "Genève" in staged[0].read_text(encoding="utf-8")
     assert month_from_filename(staged[0].name) == "2024-02"
     assert month_from_filename("nodate.csv") is None
+
+
+def test_istdaten_dedupe_est_priority_is_arrival_coalesce(spark, tmp_path):
+    # ref 02:290: the est-ts priority key is
+    # arrival_est.combine_first(depart_est) — arrival-preferred
+    # coalesce, NOT the max of the two. X has the later depart_est but
+    # the earlier arrival_est; under coalesce semantics Y must win.
+    rows = [
+        _ist_row(stop_name="X", a_est="01.02.2024 08:02:00",
+                 d_est="01.02.2024 08:10:00"),
+        _ist_row(stop_name="Y", a_est="01.02.2024 08:05:00",
+                 d_est="01.02.2024 08:06:00"),
+    ]
+    p = _ist_csv(tmp_path, "x.csv", rows)
+    out = dedupe_istdaten(
+        normalize_istdaten(read_semicolon_csv(spark, [p],
+                                              usecols=list(IST_COLMAP)))
+    ).collect()
+    assert len(out) == 1
+    assert out[0].stop_name == "Y"

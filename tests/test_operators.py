@@ -116,3 +116,15 @@ def test_deterministic_sample_stable(spark):
     b = sorted(r.k for r in deterministic_sample(df, "k", 10).collect())
     assert a == b
     assert 500 < len(a) < 1500
+
+
+def test_asof_payload_name_collision_raises(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    events = spark.createDataFrame(
+        [(1, "A", base, 9.0)],
+        "event_id long, sid string, ebin timestamp, v double")
+    obs = spark.createDataFrame(
+        [("A", base, 1.0)], "sid string, ts timestamp, v double")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(events, obs, left_ts="ebin", right_ts="ts", on=["sid"],
+                  tolerance_minutes=20, how="left").collect()

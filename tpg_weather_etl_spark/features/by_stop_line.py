@@ -20,6 +20,11 @@ LATE_THRESHOLD_MIN = 2.0  # share_late_ge2 (ref 11:117)
 def build_features_by_stop_line(features_events: DataFrame) -> DataFrame:
     """ref 11:84-139: base projection + P7 filter, then A8 aggregate."""
     base = features_events.filter(F.col("sched_bin").isNotNull()).withColumn(
+        # ref 11:93 coalesces per-row BEFORE the MAX aggregate, so an
+        # all-NULL-name group yields the stop code, not NULL
+        "stop_name",
+        F.coalesce(F.col("stop_name"), F.col("stop_code").cast("string")),
+    ).withColumn(
         "stop_key",
         # reference uses `line || '·' || stop` (NULL-propagating ||);
         # rows are non-null post-filter but F.concat matches semantics

@@ -127,7 +127,9 @@ def join_weather(
         on=["station_id"],
         tolerance_minutes=ASOF_WINDOW_MIN,
         grid_minutes=None,  # general range form: obs may be off-grid
-        how="left",
+        # ref 10_build_features.py:253-264 DELETEs rows whose nearest
+        # obs is missing or outside the window — asof mode is inner
+        how="inner",
     )
     return joined.withColumnRenamed("row_id", "_row_id").drop("ts_utc")
 

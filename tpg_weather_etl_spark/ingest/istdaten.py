@@ -96,7 +96,9 @@ def dedupe_istdaten(df: DataFrame) -> DataFrame:
                       status_rank(F.col("depart_status")))
     has_est = (F.col("arrival_est_ts").isNotNull()
                | F.col("depart_est_ts").isNotNull()).cast("int")
-    best_est = F.greatest("arrival_est_ts", "depart_est_ts")
+    # ref 02:290 est_ts = arrival.combine_first(depart): coalesce with
+    # arrival preferred, NOT the max of the two
+    best_est = F.coalesce("arrival_est_ts", "depart_est_ts")
     out = priority_dedupe(
         df,
         key_cols=["service_date", "fahrt_bezeichner", "stop_code", "sched_key"],

@@ -65,13 +65,16 @@ def _payload_cols(right: DataFrame, right_ts: str, on: list[str]) -> list[str]:
 
 
 def _renamed_right(right: DataFrame, right_ts: str, on: list[str]) -> DataFrame:
-    # Rename every right column before the join: the right side may
-    # share lineage with the left (self-derived grids) and renamed
-    # attributes sidestep ambiguous-column resolution entirely.
+    # Rename every right column before the join — keys, ts, AND
+    # payload: the right side may share lineage with the left
+    # (self-derived grids) or share payload column names with it, and
+    # renamed attributes sidestep ambiguous resolution / wrong-side
+    # picks entirely. Payload names are restored in the final select.
     return right.select(
         F.col(right_ts).alias("__asof_rts"),
         *[F.col(c).alias(f"__asof_k_{c}") for c in on],
-        *[F.col(c) for c in _payload_cols(right, right_ts, on)],
+        *[F.col(c).alias(f"__asof_p_{c}")
+          for c in _payload_cols(right, right_ts, on)],
     )
 
 
@@ -79,9 +82,15 @@ def _pick_best(joined: DataFrame, left: DataFrame, lid: str,
                right_ts: str, payload: list[str], order_key: Column,
                how: str) -> DataFrame:
     left_cols = [c for c in left.columns if c != lid]
+    clash = [c for c in payload + [right_ts] if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join output name collision with left columns: {clash}; "
+            "rename them on one side before joining"
+        )
     best_struct = F.min_by(
         F.struct(F.col("__asof_rts").alias(right_ts),
-                 *[F.col(c) for c in payload]),
+                 *[F.col(f"__asof_p_{c}").alias(c) for c in payload]),
         order_key,
     ).alias("__asof_best")
     agg = joined.groupBy(lid).agg(
