@@ -128,3 +128,25 @@ def test_asof_payload_name_collision_raises(spark):
     with pytest.raises(ValueError, match="collision"):
         asof_join(events, obs, left_ts="ebin", right_ts="ts", on=["sid"],
                   tolerance_minutes=20, how="left").collect()
+
+
+def test_filter_hot_shingles_guards_skew(spark):
+    from tpg_weather_etl_spark.queries_text import (
+        _pair_jaccard,
+        filter_hot_shingles,
+    )
+    # shingle 99 is corpus-wide boilerplate (all 10 docs): uncapped,
+    # it alone manufactures all C(10,2)=45 candidate pairs — the
+    # quadratic hot-key blowup. Capped, only informative shingles
+    # remain and the one true near-dup pair survives.
+    rows = [(d, 99) for d in range(10)] + [
+        (1, 7), (2, 7), (1, 8), (2, 8), (3, 5)]
+    sh = spark.createDataFrame(rows, "doc_id long, sh_hash long")
+
+    def pairs(s):
+        counts = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        return _pair_jaccard(s, counts)
+
+    assert pairs(sh).count() == 45
+    got = pairs(filter_hot_shingles(sh, cap=3)).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(1, 2, 1.0)]

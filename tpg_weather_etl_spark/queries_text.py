@@ -159,11 +159,16 @@ def _pair_jaccard(shingles: DataFrame, counts: DataFrame,
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
+    # Per-doc counts scale with the corpus (one row per document) —
+    # NEVER broadcast them: at 100 TB the broadcast build would OOM
+    # the driver. inter is keyed by doc ids, so these are plain
+    # shuffle hash joins co-partitioned on the join key; inter (the
+    # near-dup pair set) is the small side anyway.
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a", "doc_b", "n_inter",
             (F.col("n_inter").cast("double")
@@ -282,23 +287,51 @@ FROM documents GROUP BY 1
 # N-gram Jaccard near-dup pairs (exact inverted-index form)
 # ---------------------------------------------------------------------------
 
+NGRAM_DF_CAP = 50  # drop shingles appearing in > this many documents
+
+
+def filter_hot_shingles(sh: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``cap``.
+
+    The guard that makes the exact inverted-index self-join survive
+    skew: a stop-shingle present in 1M documents would put ~5·10¹¹
+    pairs on a single join key. Hot shingles carry no near-dup signal
+    (they are corpus-wide boilerplate), so the standard practice is to
+    cap document frequency before building the index; Jaccard is then
+    computed over the capped shingle vocabulary on both numerator and
+    denominator (a well-defined filtered-Jaccard, mirrored exactly in
+    the oracle).
+    """
+    keep = (
+        sh.groupBy("sh_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= cap)
+        .select("sh_hash")
+    )
+    return sh.join(keep, "sh_hash")
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_df_shared(spark, sf_dir)
+    sh = filter_hot_shingles(_shingle_df_shared(spark, sf_dir))
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     return _pair_jaccard(sh, counts).filter(F.col("jaccard") >= 0.5)
 
 
 SQL_NGRAM_JACCARD_PAIRS = f"""
 WITH {_SQL_SHINGLES},
+hot AS (SELECT sh_hash FROM shx GROUP BY sh_hash
+        HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+shc AS (SELECT shx.* FROM shx JOIN hot USING (sh_hash)),
+shcn AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM shx a JOIN shx b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, n_inter,
   CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
 FROM inter
-JOIN shn na ON na.doc_id = doc_a
-JOIN shn nb ON nb.doc_id = doc_b
+JOIN shcn na ON na.doc_id = doc_a
+JOIN shcn nb ON nb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.5
 """
 
