@@ -59,3 +59,26 @@ def test_ml_random_projection_finds_close_vectors(spark, _need_testdata):
         d = sum((float(x) - float(y)) ** 2
                 for x, y in zip(emb[r.vec_a], emb[r.vec_b])) ** 0.5
         assert abs(d - r.l2_distance) < 1e-4
+
+
+def test_kmeans_ivf_recall_vs_brute_force(spark, _need_testdata):
+    from tpg_weather_etl_spark.queries_embeddings import (
+        IVF_TOPK,
+        q_embedding_topk,
+        q_kmeans_ivf_topk,
+    )
+
+    exact = {}
+    for r in q_embedding_topk(spark, SF_DIR).collect():
+        if r.rank <= IVF_TOPK:
+            exact.setdefault(r.qid, set()).add(r.vec_id)
+    approx = {}
+    for r in q_kmeans_ivf_topk(spark, SF_DIR).collect():
+        approx.setdefault(r.qid, set()).add(r.vec_id)
+
+    # recall@3 over the query set: the trained quantizer must place
+    # the true neighbors in probed cells for >=80% of (query, hit)s
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert total > 0
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
