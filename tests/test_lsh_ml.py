@@ -82,3 +82,37 @@ def test_kmeans_ivf_recall_vs_brute_force(spark, _need_testdata):
     total = sum(len(v) for v in exact.values())
     assert total > 0
     assert hits / total >= 0.8, f"recall {hits}/{total}"
+
+
+def test_multi_table_neardup_superset_and_candidates(spark, _need_testdata):
+    from pyspark.sql import functions as F
+    from tpg_weather_etl_spark.queries_embeddings import (
+        _bucketed,
+        _bucketed_multi,
+        q_embedding_neardup,
+        q_embedding_neardup_multi,
+    )
+
+    single = {(r.vec_a, r.vec_b)
+              for r in q_embedding_neardup(spark, SF_DIR).collect()}
+    multi = {(r.vec_a, r.vec_b)
+             for r in q_embedding_neardup_multi(spark, SF_DIR).collect()}
+    # more tables can only ADD candidate pairs; the cosine verify is
+    # identical, so multi-table recall dominates single-table
+    assert single <= multi
+
+    def n_cand(bkt, keys):
+        a = bkt.select(F.col("vec_id").alias("a"), *keys)
+        b = bkt.select(F.col("vec_id").alias("b"),
+                       *[F.col(k).alias(f"{k}_b") for k in keys])
+        cond = F.col("a") < F.col("b")
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"{k}_b"))
+        return a.join(b, cond).select("a", "b").distinct().count()
+
+    c1 = n_cand(_bucketed(spark, SF_DIR), ["bucket"])
+    cm = n_cand(_bucketed_multi(spark, SF_DIR), ["tbl", "bucket"])
+    # L tables inspect more candidates (union over tables) but stay
+    # far below the n^2 cross join
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert c1 <= cm < n * (n - 1) / 2

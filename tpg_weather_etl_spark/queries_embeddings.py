@@ -236,6 +236,115 @@ WHERE round(list_dot_product(a.e, b.e)
 
 
 # ---------------------------------------------------------------------------
+# Multi-table LSH near-dup: L independent hyperplane tables
+# ---------------------------------------------------------------------------
+
+NEARDUP_TABLES = 3
+
+
+def _bucketed_multi(spark: SparkSession, sf_dir: str,
+                    n_tables: int = NEARDUP_TABLES) -> DataFrame:
+    """(vec_id, tbl, bucket): one bucket per vector per hash table.
+
+    Table ℓ is simply planes h ∈ [ℓ·N_PLANES, (ℓ+1)·N_PLANES) of the
+    same integer weight formula w(h,j) = ((h·73 + j·37) % 7) − 3 — a
+    fresh deterministic hyperplane family per table with no new
+    formula, so the oracle rebuilds every table bit-identically. All
+    tables are computed in ONE pass over the embeddings (the h explode
+    covers L·P planes; tbl = h div P, bit = h mod P) — L× recall for
+    one extra shuffle, not L pipeline runs.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    planes = e.select(
+        "vec_id", "embedding",
+        F.explode(F.sequence(
+            F.lit(0), F.lit(n_tables * N_PLANES - 1))).alias("h"),
+    )
+    proj = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
+            lambda x, j: x * (((F.col("h") * 73 + j * 37) % 7) - 3)
+            .cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bits = planes.select(
+        "vec_id",
+        F.floor(F.col("h") / N_PLANES).cast("int").alias("tbl"),
+        F.when(proj > 0,
+               F.expr(f"shiftleft(CAST(1 AS BIGINT), h % {N_PLANES})"))
+         .otherwise(F.lit(0).cast("long")).alias("bit"),
+    )
+    return bits.groupBy("vec_id", "tbl").agg(F.sum("bit").alias("bucket"))
+
+
+def q_embedding_neardup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with L=3 LSH tables: candidates = union of
+    same-(table, bucket) pairs, dedupe, exact cosine ≥ τ verify.
+
+    The recall fix for the single-table query: a near-dup pair missed
+    by one table's 8 sign bits (P[split] grows with angle) gets L−1
+    more chances; candidate volume grows ~L× while each table's join
+    stays bucket-bounded. The distinct collapses pairs found by
+    several tables before the (costlier) cosine verify.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    bkt = _bucketed_multi(spark, sf_dir)
+    a = bkt.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = bkt.select(F.col("vec_id").alias("vec_b"),
+                   F.col("tbl").alias("tbl_b"),
+                   F.col("bucket").alias("bucket_b"))
+    cand = (
+        a.join(b, (F.col("tbl") == F.col("tbl_b"))
+               & (F.col("bucket") == F.col("bucket_b"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b").distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").alias("emb_a"))
+    eb2 = e.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a").join(eb2, "vec_b")
+        .select("vec_a", "vec_b",
+                _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos"))
+        .filter(F.col("cos") >= NEARDUP_TAU)
+    )
+
+
+SQL_EMBEDDING_NEARDUP_MULTI = f"""
+WITH projm AS (
+  SELECT vec_id, h,
+    SUM(CAST(embedding[j+1] AS DOUBLE) * (((h*73 + j*37) % 7) - 3)) AS p
+  FROM embeddings
+  CROSS JOIN range(0, {NEARDUP_TABLES * N_PLANES}) t(h)
+  CROSS JOIN range(0, {EMB_DIM}) s(j)
+  GROUP BY vec_id, h),
+bktm AS (
+  SELECT vec_id, h // {N_PLANES} AS tbl,
+    CAST(SUM(CASE WHEN p > 0 THEN (1::BIGINT << (h % {N_PLANES}))
+             ELSE 0::BIGINT END) AS BIGINT) AS bucket
+  FROM projm GROUP BY vec_id, h // {N_PLANES}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bktm a JOIN bktm b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+eb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       FROM embeddings)
+SELECT vec_a, vec_b,
+  round(list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+        6) + 0.0 AS cos
+FROM cand JOIN eb a ON a.vec_id = vec_a JOIN eb b ON b.vec_id = vec_b
+WHERE round(list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+        6) + 0.0 >= {NEARDUP_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN: coarse-quantizer cells + nprobe probing + exact rerank
 # ---------------------------------------------------------------------------
 
@@ -441,6 +550,7 @@ QUERIES = {
     "ann_buckets": q_ann_buckets,
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_multi": q_embedding_neardup_multi,
     "ivf_topk": q_ivf_topk,
     "kmeans_ivf_topk": q_kmeans_ivf_topk,
 }
@@ -450,5 +560,6 @@ ORACLE = {
     "ann_buckets": SQL_ANN_BUCKETS,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "embedding_neardup_multi": SQL_EMBEDDING_NEARDUP_MULTI,
     "ivf_topk": SQL_IVF_TOPK,
 }
