@@ -34,7 +34,9 @@ HEADLINE = [
     "minhash_pairs",
     "ngram_jaccard_pairs",
     "embedding_topk",
+    "embedding_neardup_multi",
     "ivf_topk",
+    "kmeans_ivf_topk",
     "text_stats",
     "gopher_quality",
     "sessionize",

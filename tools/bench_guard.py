@@ -1,0 +1,85 @@
+"""Round-over-round bench regression guard.
+
+Runs ``bench.py`` fresh, then compares it against the newest
+``BENCH_r*.json`` the driver recorded:
+
+- every query present in both runs must be ≤ REGRESSION_X × its old
+  time;
+- the total over the SHARED query set must be ≤ REGRESSION_X × the
+  old shared total (new headline queries are reported but can't fail
+  a round they weren't part of).
+
+Exit code 1 on any violation — run this before ending a round.
+
+Usage: python tools/bench_guard.py [--baseline BENCH_r01.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REGRESSION_X = 2.0
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def latest_recorded() -> Path | None:
+    recs = sorted(ROOT.glob("BENCH_r*.json"),
+                  key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
+    return recs[-1] if recs else None
+
+
+def load_recorded(path: Path) -> dict:
+    data = json.loads(path.read_text())
+    return data.get("parsed") or data
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--baseline", type=Path, default=None)
+    args = ap.parse_args()
+
+    base_path = args.baseline or latest_recorded()
+    if base_path is None:
+        print("no recorded BENCH_r*.json to compare against")
+        return 0
+    base = load_recorded(base_path)
+
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py")],
+        capture_output=True, text=True, check=True)
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    now = json.loads(line)
+    print(line)
+
+    old_q, new_q = base["queries"], now["queries"]
+    shared = [n for n in old_q if n in new_q]
+    failures = []
+    for n in shared:
+        if new_q[n] > REGRESSION_X * old_q[n]:
+            failures.append(
+                f"{n}: {new_q[n]:.2f}s vs {old_q[n]:.2f}s "
+                f"(> {REGRESSION_X}x)")
+    old_total = sum(old_q[n] for n in shared)
+    new_total = sum(new_q[n] for n in shared)
+    print(f"shared-set total: {new_total:.1f}s vs {old_total:.1f}s "
+          f"({base_path.name}); new-only queries: "
+          f"{sorted(set(new_q) - set(old_q))}")
+    if new_total > REGRESSION_X * old_total:
+        failures.append(
+            f"shared total {new_total:.1f}s > "
+            f"{REGRESSION_X}x {old_total:.1f}s")
+
+    for f in failures:
+        print("REGRESSION:", f)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
