@@ -3,6 +3,8 @@ mapInPandas, poison-payload isolation, metadata-only pruning."""
 
 from __future__ import annotations
 
+import pytest
+
 from tpg_weather_etl_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     extract_features,
@@ -53,3 +55,74 @@ def test_metadata_stats_and_resize_flag(spark):
 def test_fake_decoder_is_deterministic():
     assert fake_decode_features(b"abc") == fake_decode_features(b"abc")
     assert fake_decode_features(b"abc") != fake_decode_features(b"abd")
+
+
+def _golden_wav(freq_frames=100, rate=8000, amp=12000):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", int(amp * math.sin(2 * math.pi * i / 20)))
+            for i in range(freq_frames))
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _golden_ppm(w=4, h=2):
+    # 4x2 image: left half pure red, right half pure blue
+    px = bytearray()
+    for _ in range(h):
+        for x in range(w):
+            px += bytes([255, 0, 0] if x < w // 2 else [0, 0, 255])
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(px)
+
+
+def test_stdlib_decoder_golden_bytes(spark):
+    from tpg_weather_etl_spark.operators.multimodal import (
+        stdlib_decode_features,
+    )
+
+    wav = stdlib_decode_features(_golden_wav())
+    assert wav[0] == 1.0          # format tag: WAV
+    assert wav[1] == 1.0          # mono
+    assert wav[2] == pytest.approx(0.08)       # 8 kHz
+    assert wav[3] == pytest.approx(100 / 8000)  # duration
+    assert 0.0 < wav[4] < wav[5] <= 1.0         # rms < peak, normalized
+
+    ppm = stdlib_decode_features(_golden_ppm())
+    assert ppm[0] == 2.0          # format tag: PPM
+    assert ppm[1] == pytest.approx(4 / 1e4)
+    assert ppm[2] == pytest.approx(2 / 1e4)
+    assert ppm[3] == pytest.approx(0.5)  # half the pixels fully red
+    assert ppm[4] == 0.0
+    assert ppm[5] == pytest.approx(0.5)
+
+    with pytest.raises(ValueError):
+        stdlib_decode_features(b"\xff\xd8\xff JPEG-ish garbage")
+
+
+def test_stdlib_decoder_through_spark_seam(spark):
+    # the REAL decoder rides the same mapInPandas seam as the stub:
+    # WAV + PPM rows decode, an undecodable payload yields NULL
+    rows = [(1, "audio", _golden_wav(), "audio/wav", None, None, 13),
+            (2, "image", _golden_ppm(), "image/x-portable-pixmap",
+             4, 2, None),
+            (3, "video", b"\x00\x01undecodable", "video/mp4",
+             None, None, 99)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    from tpg_weather_etl_spark.operators.multimodal import (
+        stdlib_decode_features,
+    )
+    out = {r.media_id: r for r in
+           extract_features(media,
+                            decode_fn=stdlib_decode_features).collect()}
+    assert out[1].feature[0] == 1.0
+    assert out[2].feature[0] == 2.0
+    assert out[3].feature is None and out[3].n_bytes == 13

@@ -3,12 +3,13 @@ columns with typed metadata, processed via Arrow-batched
 ``mapInPandas`` pipelines.
 
 The Spark-side machinery — schemas, batch iteration, partition sizing,
-UDF signatures — is real and tested. The actual media decoding is
-STUBBED: this container ships no image/audio codecs, so ``decode_fn``
-defaults to a deterministic fake that derives "features" from the
-byte content; pass a real decoder (PIL/torchaudio/ffmpeg) in
-production. Every stub is marked and isolated behind the ``decode_fn``
-seam so swapping it in changes no Spark code.
+UDF signatures — is real and tested. Decoding comes in two flavors
+behind the same ``decode_fn`` seam: ``stdlib_decode_features`` REALLY
+decodes WAV (RIFF/PCM via ``wave``) and PPM (P6) payloads with the
+Python stdlib — golden-bytes tested — while ``fake_decode_features``
+remains the deterministic stand-in for codec-backed formats
+(JPEG/MP3/H.264) this container cannot parse; plug PIL/torchaudio/
+ffmpeg into the seam in production, no Spark code changes.
 
 Scale notes: mapInPandas streams Arrow record batches — peak memory is
 one batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
@@ -58,6 +59,54 @@ def fake_decode_features(content: bytes | None, dim: int = 8) -> list[float]:
     for i, b in enumerate(content):
         acc[i % dim] = (acc[i % dim] * 31 + b) % 997
     return [float(x) / 997.0 for x in acc]
+
+
+def stdlib_decode_features(content: bytes | None) -> list[float]:
+    """REAL decoder for the two container-free media formats the
+    Python stdlib can parse — proof the ``decode_fn`` seam carries an
+    actual decoder, not only the deterministic stub:
+
+    - WAV (RIFF) via the ``wave`` module → [1.0, channels, rate/1e5,
+      duration_s, rms, peak] over the PCM samples
+    - PPM (P6) parsed directly → [2.0, w/1e4, h/1e4, mean_r, mean_g,
+      mean_b] over the raw pixel bytes
+
+    Anything else raises, exercising the poison-payload → NULL path.
+    Codec-backed formats (JPEG/MP3/H.264) still need PIL/ffmpeg
+    plugged into the same seam.
+    """
+    if content is None:
+        raise ValueError("no content")
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        import io
+        import struct
+        import wave
+
+        with wave.open(io.BytesIO(content)) as w:
+            nch, width, rate = w.getnchannels(), w.getsampwidth(), \
+                w.getframerate()
+            n = w.getnframes()
+            raw = w.readframes(n)
+        fmt = {1: "b", 2: "h", 4: "i"}[width]
+        samples = struct.unpack(f"<{len(raw) // width}{fmt}", raw)
+        scale = float(2 ** (8 * width - 1))
+        rms = ((sum(s * s for s in samples) / len(samples)) ** 0.5 / scale
+               if samples else 0.0)
+        peak = max((abs(s) for s in samples), default=0) / scale
+        return [1.0, float(nch), rate / 1e5, n / rate, rms, peak]
+    if content[:2] == b"P6":
+        header, rest = content.split(b"\n", 1)
+        fields: list[int] = []
+        while len(fields) < 3:
+            line, rest = rest.split(b"\n", 1)
+            if not line.startswith(b"#"):
+                fields.extend(int(x) for x in line.split())
+        w_px, h_px, maxval = fields[:3]
+        px = rest[: w_px * h_px * 3]
+        chans = [px[c::3] for c in range(3)]
+        means = [sum(c) / len(c) / maxval if c else 0.0 for c in chans]
+        return [2.0, w_px / 1e4, h_px / 1e4, *means]
+    raise ValueError("undecodable format")
 
 
 def extract_features(

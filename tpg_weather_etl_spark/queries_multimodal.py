@@ -59,8 +59,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media profile — pure Catalyst (the payload column
+    is pruned at the scan), so unlike the mapInPandas feature path
+    this one IS SQL-expressible and gets a full value-hash oracle."""
+    from tpg_weather_etl_spark.operators.multimodal import metadata_stats
+    return metadata_stats(synth_media(spark, sf_dir)).orderBy("kind")
+
+
+SQL_MULTIMODAL_METADATA = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+    (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+    encode(text) AS content,
+    CASE WHEN doc_id % 3 = 0
+         THEN CAST(doc_id % 512 + 16 AS INTEGER) END AS width,
+    CASE WHEN doc_id % 3 = 0
+         THEN CAST(doc_id % 384 + 16 AS INTEGER) END AS height,
+    CASE WHEN doc_id % 3 != 0
+         THEN doc_id * 40 + 1000 END AS duration_ms
+  FROM documents)
+SELECT kind, COUNT(*) AS n,
+  AVG(CAST(octet_length(content) AS DOUBLE)) AS avg_bytes,
+  AVG(width) AS avg_width,
+  AVG(duration_ms) AS avg_duration_ms
+FROM m GROUP BY kind
+"""
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
+    "multimodal_metadata": q_multimodal_metadata,
 }
 
-ORACLE: dict[str, str] = {}
+ORACLE: dict[str, str] = {
+    "multimodal_metadata": SQL_MULTIMODAL_METADATA,
+}

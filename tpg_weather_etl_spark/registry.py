@@ -49,6 +49,7 @@ _RUN_FIRST = [
     "dedup_clusters",
     "embedding_dedup_clusters",
     "multimodal_features",
+    "multimodal_metadata",
 ]
 
 
