@@ -20,6 +20,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 NAMES = [
     "embedding_neardup",
+    "embedding_neardup_multi",
+    "multimodal_metadata",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
     "ivf_topk",
     "contamination_ngrams",
     "stratified_sample",
