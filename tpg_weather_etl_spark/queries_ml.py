@@ -129,6 +129,125 @@ GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style repetition signals per document)
+# ---------------------------------------------------------------------------
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition profile: distinct-token fraction and the
+    fraction of bigrams taken by the single most frequent bigram —
+    the two cheapest repetition signals pretraining filters cut on
+    (boilerplate and template spam score low distinct_frac / high
+    top_bigram_frac).
+
+    Scale shape: both aggregates key on doc_id, so the token explode
+    shuffles once and every later stage is a doc-partitioned agg or
+    co-partitioned join; nothing is global.
+    """
+    toks = _tokens(spark, sf_dir)
+    base = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct(F.col("tok")).alias("n_distinct"),
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("toks")
+    ).withColumn("n", F.size("toks")).filter(F.col("n") >= 2)
+    bg = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 2)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), (F.col("i") + 1).cast("int")),
+            F.element_at(F.col("toks"), (F.col("i") + 2).cast("int")),
+        ).alias("bigram"),
+    ).groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    top = bg.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_n"),
+        F.sum("c").alias("n_bigrams"),
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id", "n_tokens",
+        (F.round(F.col("n_distinct").cast("double")
+                 / F.col("n_tokens"), 6) + F.lit(0.0)).alias("distinct_frac"),
+        (F.round(F.col("top_bigram_n").cast("double")
+                 / F.col("n_bigrams"), 6) + F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+SQL_REPETITION_STATS = f"""
+WITH {_SQL_TOKENS},
+base AS (SELECT doc_id, COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_distinct
+         FROM tok GROUP BY doc_id),
+d AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+          AS toks
+      FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+       FROM d WHERE len(toks) >= 2),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams
+        FROM bc GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+  round(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) + 0.0
+    AS distinct_frac,
+  round(CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams, 6) + 0.0
+    AS top_bigram_frac
+FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM cross-entropy (the perplexity-filter proxy)
+# ---------------------------------------------------------------------------
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy against the corpus unigram LM — the
+    engine-portable stand-in for KenLM perplexity filtering: docs
+    whose token distribution diverges from the corpus (gibberish,
+    wrong language, boilerplate) score high.
+
+    Parity discipline: the per-token −ln p is rounded to 6 decimals
+    BEFORE the sum (transcendentals agree across engines at that
+    precision; raw double sums would not), summed exactly as
+    DECIMAL(24,8), then averaged. Scale shape: vocabulary counts are
+    a map-side-combined groupBy(tok); the tokens⋈vocab join is
+    co-partitioned on tok (vocab is NOT broadcast — at corpus scale
+    the vocabulary is itself huge).
+    """
+    toks = _tokens(spark, sf_dir)
+    total = toks.count()  # scalar action: corpus token count
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tok_lp = toks.join(vocab, "tok").select(
+        "doc_id",
+        F.round(-F.log(F.col("c") / F.lit(float(total))), 6)
+        .cast("decimal(24,8)").alias("nll"),
+    )
+    return tok_lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6)
+         + F.lit(0.0)).alias("xent"),
+    )
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH {_SQL_TOKENS},
+n AS (SELECT COUNT(*)::DOUBLE AS total FROM tok),
+vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+lp AS (SELECT t.doc_id,
+         CAST(round(-ln(v.c / n.total), 6) AS DECIMAL(24,8)) AS nll
+       FROM tok t JOIN vocab v USING (tok) CROSS JOIN n)
+SELECT doc_id, COUNT(*) AS n_tokens,
+  round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) + 0.0 AS xent
+FROM lp GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-label embedding centroids (vector aggregation, long form)
 # ---------------------------------------------------------------------------
 
@@ -256,6 +375,8 @@ def _embedding_dedup_clusters_oracle() -> str:
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bigram_topk": q_bigram_topk,
+    "repetition_stats": q_repetition_stats,
+    "unigram_logprob": q_unigram_logprob,
     "label_centroids": q_label_centroids,
     "dedup_clusters": q_dedup_clusters,
     "embedding_dedup_clusters": q_embedding_dedup_clusters,
@@ -264,6 +385,8 @@ QUERIES = {
 ORACLE = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bigram_topk": SQL_BIGRAM_TOPK,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "dedup_clusters": _dedup_clusters_oracle(),
     "embedding_dedup_clusters": _embedding_dedup_clusters_oracle(),
