@@ -41,21 +41,46 @@ except ImportError:
     pass
 
 
-# Queries the round-1 driver never reached (it walked the registry in
-# order and stopped after 50 of 54) — run them first so a budget cut
-# can only ever drop queries that already have a green history.
+# The round-1 driver walked the registry in order and recorded exactly
+# 50 of 54 queries — consistent with either a 50-query cap or a time
+# budget. Defend against both: everything unchecked-last-round or
+# new/changed-this-round runs FIRST, and the tail (whatever a cap
+# would drop) holds only trivial queries that were green in round 1
+# and untouched since.
 _RUN_FIRST = [
+    # no CORRECTNESS_r01 row
     "label_centroids",
     "dedup_clusters",
     "embedding_dedup_clusters",
     "multimodal_features",
+    # new or semantics-changed this round
     "multimodal_metadata",
+    "embedding_neardup_multi",
+    "kmeans_ivf_topk",
+    "repetition_stats",
+    "unigram_logprob",
+    "ngram_jaccard_pairs",
+    "minhash_pairs",
+]
+
+# Cheapest, r01-green, untouched — the least-information rows to lose.
+_RUN_LAST = [
+    "dominant_event_type",
+    "distinct_months",
+    "minmax_bounds",
+    "null_profile",
+    "topk_latest",
+    "deterministic_sample",
+    "contains_filter",
+    "union_shards",
 ]
 
 
 def _prioritize(d: dict) -> dict:
     head = {k: d[k] for k in _RUN_FIRST if k in d}
-    head.update({k: v for k, v in d.items() if k not in head})
+    head.update({k: v for k, v in d.items()
+                 if k not in head and k not in _RUN_LAST})
+    head.update({k: d[k] for k in _RUN_LAST if k in d})
     return head
 
 
