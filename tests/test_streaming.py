@@ -45,3 +45,48 @@ def test_stream_istdaten_end_to_end(spark, tmp_path):
     rows = {(r.sched_bin.minute, r.n_trips, r.n_late_ge2)
             for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert rows == {(0, 2, 1), (10, 1, 0)}
+
+
+def test_stream_stream_weather_join(spark, tmp_path):
+    from tpg_weather_etl_spark.schemas import WEATHER_COLMAP
+    from tpg_weather_etl_spark.streaming.istdaten_stream import (
+        stream_join_weather,
+        stream_weather,
+    )
+
+    ev_inbox = tmp_path / "events"
+    wx_inbox = tmp_path / "weather"
+    ev_inbox.mkdir()
+    wx_inbox.mkdir()
+    (ev_inbox / "b1.csv").write_text(
+        "\n".join([IST_HEADER,
+                   _row("t1", 0, 3),      # bin 08:00 → has obs
+                   _row("t2", 12, 1),     # bin 08:10 → has obs
+                   _row("t3", 25, 0)]))   # bin 08:20 → NO obs, dropped
+    wx_header = ";".join(WEATHER_COLMAP.keys())
+
+    def wx_row(hhmm, temp):
+        return ";".join(["GVE", f"01.02.2024 {hhmm}", temp, "0.5",
+                         "18", "36", "180", "80", "1013", "100",
+                         "5", "2"])
+
+    (wx_inbox / "b1.csv").write_text(
+        "\n".join([wx_header,
+                   wx_row("08:00", "10.0"),
+                   wx_row("08:10", "11.5"),
+                   wx_row("09:00", "-")]))   # '-' sentinel → NULL temp
+
+    ev = stream_istdaten(spark, str(ev_inbox))
+    wx = stream_weather(spark, str(wx_inbox))
+    joined = stream_join_weather(ev, wx, station_id="GVE")
+    q = write_stream_to_parquet(
+        joined.select("fahrt_bezeichner", "sched_bin", "temp_c",
+                      "wind_ms"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+    rows = {r.fahrt_bezeichner: r
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(rows) == {"t1", "t2"}        # inner: t3 has no obs
+    assert rows["t1"].temp_c == 10.0
+    assert rows["t2"].temp_c == 11.5
+    assert rows["t1"].wind_ms == 5.0        # 18 km/h → 5 m/s

@@ -81,6 +81,70 @@ def stream_delay_features(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_weather(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """readStream over a MeteoSwiss CSV drop directory → normalized
+    watermarked observation stream (same normalize layer as batch,
+    incl. '-' sentinel nulls and km/h→m/s)."""
+    from tpg_weather_etl_spark.ingest.weather import normalize_weather
+    from tpg_weather_etl_spark.schemas import WEATHER_COLMAP
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in WEATHER_COLMAP]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("sep", ";")
+        .option("header", "true")
+        .option("nullValue", "-")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(input_dir)
+    )
+    return normalize_weather(raw).withWatermark("ts_utc", watermark)
+
+
+def stream_join_weather(
+    events: DataFrame,
+    weather: DataFrame,
+    station_id: str,
+    bin_minutes: int = 10,
+) -> DataFrame:
+    """Watermarked stream-stream INNER join — the streaming form of
+    the batch strict weather join (J3): each event's 10-minute bin
+    equi-joins the observation at (station, bin).
+
+    State-boundedness: a bare equi-join on the derived bin would force
+    Spark to keep both sides' state forever; the explicit event-time
+    range (ts_utc ∈ (sched_ts − bin, sched_ts]) is implied by the bin
+    equality but stated so the planner derives watermark-based state
+    eviction for BOTH sides. Inner-join rows emit as soon as both
+    sides arrive; the watermarks only gate state cleanup.
+    """
+    from tpg_weather_etl_spark.functions.time import time_bin
+
+    ev = (
+        events.withColumn("sched_bin",
+                          time_bin(F.col("sched_ts"), bin_minutes))
+        .withColumn("station_id", F.lit(station_id))
+    )
+    wx = weather.filter(F.col("station_id") == station_id).select(
+        F.col("station_id").alias("w_station"),
+        F.col("ts_utc"), "temp_c", "rain_mm", "wind_ms", "gust_ms",
+    )
+    cond = (
+        (ev["station_id"] == wx["w_station"])
+        & (wx["ts_utc"] == ev["sched_bin"])
+        & (wx["ts_utc"] > ev["sched_ts"]
+           - F.expr(f"INTERVAL {bin_minutes} MINUTES"))
+        & (wx["ts_utc"] <= ev["sched_ts"])
+    )
+    return ev.join(wx, cond, "inner").drop("w_station", "ts_utc")
+
+
 def write_stream_to_parquet(df: DataFrame, out_dir: str,
                             checkpoint_dir: str):
     """Append sink with checkpointing (exactly-once per file batch)."""
