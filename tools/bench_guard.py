@@ -24,6 +24,10 @@ import sys
 from pathlib import Path
 
 REGRESSION_X = 2.0
+# A per-query regression must ALSO exceed this absolute delta: local
+# wall-clock on a shared box jitters sub-second queries by far more
+# than 2x run to run; only a ratio+magnitude breach is signal.
+MIN_DELTA_SEC = 2.0
 
 ROOT = Path(__file__).resolve().parent.parent
 
@@ -62,10 +66,11 @@ def main() -> int:
     shared = [n for n in old_q if n in new_q]
     failures = []
     for n in shared:
-        if new_q[n] > REGRESSION_X * old_q[n]:
+        if (new_q[n] > REGRESSION_X * old_q[n]
+                and new_q[n] - old_q[n] > MIN_DELTA_SEC):
             failures.append(
                 f"{n}: {new_q[n]:.2f}s vs {old_q[n]:.2f}s "
-                f"(> {REGRESSION_X}x)")
+                f"(> {REGRESSION_X}x and > +{MIN_DELTA_SEC}s)")
     old_total = sum(old_q[n] for n in shared)
     new_total = sum(new_q[n] for n in shared)
     print(f"shared-set total: {new_total:.1f}s vs {old_total:.1f}s "

@@ -105,8 +105,10 @@ def join_weather(
         ev = enriched.withColumn("station_id", F.lit(sid))
 
     if not asof:
+        # weather grid scales with stations × time: unhinted, AQE
+        # broadcasts only when the grid is genuinely small
         joined = ev.join(
-            F.broadcast(w),
+            w,
             (ev["sched_bin"] == w["w_ts"])
             & (ev["station_id"] == w["station_id"]),
             "left",

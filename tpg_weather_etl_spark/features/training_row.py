@@ -111,8 +111,12 @@ def build_training_rows(
         *[F.lag(c, k).over(wlag).alias(f"{c}_lag{k*10}")
           for c in ("rain_mm", "wind_ms") for k in (1, 2)],
     )
+    # the weather grid grows with stations × time — no broadcast
+    # hint; the equi-join keys co-partition and AQE broadcasts
+    # only when the grid is actually small (as in the reference's
+    # single-station deployments)
     out = ev.join(
-        F.broadcast(w),
+        w,
         (ev["sched_bin"] == w["ts_utc"])
         & (ev["station_id"] == w["station_id"]),
         "left",

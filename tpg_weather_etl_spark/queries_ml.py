@@ -52,7 +52,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
         F.count(F.lit(1)).alias("df")
     )
-    scored = tf.join(F.broadcast(df_), "tok").select(
+    # df_ is vocabulary-sized (grows with the corpus) — joined
+    # co-partitioned on tok, never hint-broadcast
+    scored = tf.join(df_, "tok").select(
         "doc_id", "tok", "tf", "df",
         # ln(n_docs/df) idf; tf*idf rounded 6 for cross-engine parity
         (F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)

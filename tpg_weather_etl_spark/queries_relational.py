@@ -123,8 +123,11 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = t(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # orders/customer grow with SF — no broadcast hint; AQE
+        # broadcasts at runtime iff the filtered side is actually
+        # small, which is the only safe call at 100 TB
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -160,9 +163,11 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = t(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        # supplier/customer scale with SF (unhinted, AQE decides);
+        # nation/region are constant-size (25/5 rows) — hint those
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -236,7 +241,7 @@ def q_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        o.join(c, o.o_custkey == c.c_custkey, "left")  # SF-scaling dim: AQE decides
         .filter(
             F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
             | F.col("o_orderpriority").isNull()
