@@ -842,7 +842,70 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
 """
 
 
+# ---------------------------------------------------------------------------
+# Pipeline funnel: staged survival counts through the cleaning stack
+# ---------------------------------------------------------------------------
+
+def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many documents survive each stage of the cleaning pipeline:
+    total → language filter → Gopher quality filter → exact-dedup
+    keeper. The composition report every pretraining data run ends
+    with — built by JOINING the existing per-stage operators on
+    doc_id, not by re-deriving their logic, so funnel numbers can
+    never drift from the individual filters.
+
+    Scale shape: three doc_id-keyed joins (co-partitioned) and one
+    global conditional-sum aggregate; the corpus text is scanned by
+    the underlying stage queries only.
+    """
+    lq = q_lang_quality(spark, sf_dir).select("doc_id", "lang_pred")
+    gq = q_gopher_quality(spark, sf_dir).select("doc_id", "keep")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    keeper = q_fingerprint_dedup(spark, sf_dir).select(
+        "fp", "keeper_doc_id")
+    flags = (
+        d.join(lq, "doc_id")
+        .join(gq, "doc_id")
+        .join(keeper, "fp")
+        .select(
+            (F.col("lang_pred") != "other").alias("lang_ok"),
+            F.col("keep").alias("quality_ok"),
+            (F.col("doc_id") == F.col("keeper_doc_id")).alias("is_keeper"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("lang_ok").cast("long")).alias("n_lang_ok"),
+        F.sum((F.col("lang_ok") & F.col("quality_ok")).cast("long"))
+        .alias("n_quality_ok"),
+        F.sum((F.col("lang_ok") & F.col("quality_ok")
+               & F.col("is_keeper")).cast("long")).alias("n_kept"),
+    )
+
+
+SQL_PIPELINE_FUNNEL = f"""
+SELECT COUNT(*) AS n_total,
+  CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+  CAST(SUM(CASE WHEN lang_ok AND quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quality_ok,
+  CAST(SUM(CASE WHEN lang_ok AND quality_ok AND is_keeper THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_kept
+FROM (
+  SELECT lq.lang_pred != 'other' AS lang_ok,
+         gq.keep AS quality_ok,
+         d.doc_id = fp.keeper_doc_id AS is_keeper
+  FROM (SELECT doc_id,
+          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents) d
+  JOIN ({SQL_LANG_QUALITY}) lq ON lq.doc_id = d.doc_id
+  JOIN ({SQL_GOPHER_QUALITY}) gq ON gq.doc_id = d.doc_id
+  JOIN ({SQL_FINGERPRINT_DEDUP}) fp ON fp.fp = d.fp)
+"""
+
+
 QUERIES = {
+    "pipeline_funnel": q_pipeline_funnel,
     "text_stats": q_text_stats,
     "lang_quality": q_lang_quality,
     "fingerprint_dedup": q_fingerprint_dedup,
@@ -859,6 +922,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pipeline_funnel": SQL_PIPELINE_FUNNEL,
     "text_stats": SQL_TEXT_STATS,
     "lang_quality": SQL_LANG_QUALITY,
     "fingerprint_dedup": SQL_FINGERPRINT_DEDUP,

@@ -59,6 +59,7 @@ _RUN_FIRST = [
     "kmeans_ivf_topk",
     "repetition_stats",
     "unigram_logprob",
+    "pipeline_funnel",
     "ngram_jaccard_pairs",
     "minhash_pairs",
 ]
