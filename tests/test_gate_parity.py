@@ -33,6 +33,10 @@ NAMES = [
     "cohort_retention",
     "funnel_steps",
     "embedding_dedup_clusters",
+    "json_extract",
+    "pii_redact",
+    "chunk_dedup",
+    "sequence_pack",
 ]
 
 TABLES = [

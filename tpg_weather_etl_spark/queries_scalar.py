@@ -310,8 +310,57 @@ FROM per_user
 """
 
 
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: schema-full JSON parsing of events.props
+# (the ingestion surface for event payloads; reference keeps props as
+# opaque strings — this is the structured path a warehouse needs)
+# ---------------------------------------------------------------------------
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON ``props`` payload and aggregate on the extracted
+    field — exercises both JSON APIs: ``from_json`` with an explicit
+    schema (the vectorized schema-full path; at scale this is a single
+    pass with no shuffle before the groupBy) and ``get_json_object``
+    (the ad-hoc JSONPath probe).
+
+    Scale shape: JSON parsing is per-row JVM work (Jackson inside
+    codegen), the aggregation is a ~10-key hash agg with map-side
+    combine — nothing here grows with the corpus except the scan.
+    """
+    e = t(spark, sf_dir, "events")
+    parsed = e.withColumn("j", F.from_json(F.col("props"), "k INT"))
+    # the JSONPath form, used for a conditional count
+    k_path = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        parsed.groupBy(
+            F.floor(F.col("j.k") / 10).cast("int").alias("k_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("j.k")).alias("k_min"),
+            F.max(F.col("j.k")).alias("k_max"),
+            F.sum((k_path >= 50).cast("int")).alias("n_ge50"),
+            _dsum(F.col("value")).alias("value_sum"),
+        )
+    )
+
+
+SQL_JSON_EXTRACT = """
+WITH p AS (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                  value
+           FROM events)
+SELECT CAST(k // 10 AS INTEGER) AS k_bucket, COUNT(*) AS n,
+  MIN(k) AS k_min, MAX(k) AS k_max,
+  CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge50,
+  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE) AS value_sum
+FROM p GROUP BY 1
+"""
+
+
 QUERIES = {
     "scalar_normalize": q_scalar_normalize,
+    "json_extract": q_json_extract,
     "contains_filter": q_contains_filter,
     "union_shards": q_union_shards,
     "heatmap_hour_dow": q_heatmap_hour_dow,
@@ -323,6 +372,7 @@ QUERIES = {
 
 ORACLE = {
     "scalar_normalize": SQL_SCALAR_NORMALIZE,
+    "json_extract": SQL_JSON_EXTRACT,
     "contains_filter": SQL_CONTAINS_FILTER,
     "union_shards": SQL_UNION_SHARDS,
     "heatmap_hour_dow": SQL_HEATMAP_HOUR_DOW,

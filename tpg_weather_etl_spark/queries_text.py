@@ -904,8 +904,289 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Chunk-level (paragraph) dedup — C4-style: split each doc into
+# fixed-size token chunks, count each chunk's cross-corpus document
+# frequency, report per-doc duplicated-chunk ratios.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 8
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-chunk profile (the C4/RefinedWeb
+    paragraph-dedup primitive, with fixed 8-token chunks standing in
+    for newline paragraphs the synthetic corpus lacks).
+
+    Plan: one Generate (explode chunk index) over the materialized
+    token array — same O(tokens) barrier pattern as ``_shingle_df``
+    (a transform() lambda would re-tokenize per chunk, O(tokens²)) —
+    then chunks are hashed to 60-bit ints map-side, so the document
+    frequency groupBy and the doc_id re-join shuffle 8-byte longs,
+    never chunk text. At 100 TB: two shuffles (chunk_hash agg, doc_id
+    agg), both over compact keys; removing the duplicated chunks
+    (rather than reporting them) would be the same plan plus an
+    array_join re-assembly.
+    """
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = (
+        d.select("doc_id", norm_text(F.col("text")).alias("norm"))
+        .withColumn("toks", F.split(F.col("norm"), " "))
+        .withColumn("n", F.size(F.col("toks")))
+    )
+    exploded = base.select(
+        "doc_id", "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n") - 1) / CHUNK_TOKENS)
+                       .cast("int"))
+        ).alias("g"),
+    )
+    chunk = F.array_join(
+        F.slice(F.col("toks"),
+                (F.col("g") * CHUNK_TOKENS + 1).cast("int"), CHUNK_TOKENS),
+        " ",
+    )
+    chunks = exploded.select(
+        "doc_id", stable_hash60(chunk).alias("ch_hash")
+    ).distinct()
+    freq = chunks.groupBy("ch_hash").agg(
+        F.count(F.lit(1)).alias("df")  # chunks are distinct per doc
+    )
+    return (
+        chunks.join(freq, "ch_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("df") >= 2).cast("int")).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id", "n_chunks", "n_dup_chunks",
+            (F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6) + 0.0)
+            .alias("dup_ratio"),
+        )
+    )
+
+
+SQL_CHUNK_DEDUP = f"""
+WITH d AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+           FROM documents),
+tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d),
+ch AS (SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS ch_hash
+       FROM (SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(floor((len(toks)-1)/{CHUNK_TOKENS}) AS INTEGER) + 1),
+                 g -> array_to_string(
+                   toks[g*{CHUNK_TOKENS}+1 : g*{CHUNK_TOKENS}+{CHUNK_TOKENS}],
+                   ' '))) AS chunk
+             FROM tk)),
+fr AS (SELECT ch_hash, COUNT(*) AS df FROM ch GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_chunks,
+  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+  ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0.0
+    AS dup_ratio
+FROM ch JOIN fr USING (ch_hash)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sequence packing — concatenate the (deterministically
+# shuffled) corpus and cut every PACK_CAP tokens, GPT-style. The
+# interesting part is the *distributed global prefix sum*: a naive
+# `SUM() OVER (ORDER BY …)` collapses to one partition at scale, so
+# the implementation uses the two-level form (range partition → local
+# running sums → tiny cross-partition offset table).
+# ---------------------------------------------------------------------------
+
+PACK_CAP = 256          # tokens per packed training sequence
+PACK_PARTITIONS = 32    # range partitions for the prefix-sum pass
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-capacity token sequences and report
+    per-sequence (n_docs, n_tokens, n_starts).
+
+    Order is the md5-derived ``hkey`` (a deterministic shuffle of the
+    corpus — hash order is the standard unbiased pack order). Each
+    doc occupies the half-open token interval [start, start+n_tok);
+    sequence s covers [s*CAP, (s+1)*CAP); docs straddle boundaries
+    exactly as GPT-style packing cuts them.
+
+    Scale design — the global running sum is built WITHOUT a
+    single-partition window: ``repartitionByRange`` on the order key,
+    per-partition running sums (window partitioned by
+    ``spark_partition_id``), then a ~P-row partition-total table whose
+    prefix sums are broadcast back as offsets. Every full sequence
+    totals exactly CAP tokens, which the oracle verifies row by row.
+    The oracle computes the same packing with the one-partition window
+    — proving the distributed form loses nothing.
+    """
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tok"),
+            stable_hash60(F.col("doc_id").cast("string")).alias("hkey"),
+        )
+        .filter(F.col("n_tok") >= 1)
+    )
+    parts = docs.repartitionByRange(
+        PACK_PARTITIONS, "hkey", "doc_id"
+    ).withColumn("pid", F.spark_partition_id())
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("cum_in", F.sum("n_tok").over(w_in)).persist()
+    totals = local.groupBy("pid").agg(F.sum("n_tok").alias("ptot"))
+    w_p = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "poff", F.coalesce(F.sum("ptot").over(w_p), F.lit(0))
+    ).select("pid", "poff")
+    packed = local.join(F.broadcast(offsets), "pid").withColumn(
+        "start", (F.col("poff") + F.col("cum_in") - F.col("n_tok"))
+        .cast("long")
+    )
+    spans = packed.select(
+        "start", "n_tok",
+        F.explode(F.sequence(
+            F.floor(F.col("start") / PACK_CAP),
+            F.floor((F.col("start") + F.col("n_tok") - 1) / PACK_CAP),
+        )).alias("seq_id"),
+    )
+    return spans.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.least(F.col("start") + F.col("n_tok"),
+                    (F.col("seq_id") + 1) * PACK_CAP)
+            - F.greatest(F.col("start"), F.col("seq_id") * PACK_CAP)
+        ).alias("n_tokens"),
+        F.sum((F.floor(F.col("start") / PACK_CAP) == F.col("seq_id"))
+              .cast("int")).alias("n_starts"),
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH dt AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                AS hkey
+            FROM documents),
+c AS (SELECT doc_id, n_tok,
+        CAST(SUM(n_tok) OVER (ORDER BY hkey, doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tok AS BIGINT) AS start
+      FROM dt WHERE n_tok >= 1),
+s AS (SELECT unnest(range(start // {PACK_CAP},
+                          (start + n_tok - 1) // {PACK_CAP} + 1)) AS seq_id,
+             start, n_tok
+      FROM c)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+  CAST(SUM(least(start + n_tok, (seq_id + 1) * {PACK_CAP})
+           - greatest(start, seq_id * {PACK_CAP})) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN start // {PACK_CAP} = seq_id THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_starts
+FROM s GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (email / phone / IPv4) — the compliance
+# pass every pretraining corpus goes through before training.
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to primitives Java regex and RE2 interpret
+# identically: char classes, bounded repetition, \d, ASCII \b.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{1,3}[ -]?\d{6,10}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact emails / phone numbers / IPv4 addresses.
+
+    The synthetic corpus contains no PII, so the query first derives a
+    deterministic augmented text from doc_id (identical expression in
+    the oracle) — docs get an email always, a phone when doc_id%3!=0,
+    an IP when doc_id%2=0 — giving the regexes real, varied matches to
+    find. Detection is ``regexp_count``; redaction is a chain of three
+    ``regexp_replace`` (email → phone → IP, order significant and
+    mirrored in the oracle). The output carries md5(redacted) rather
+    than the redacted text, verifying the exact replacement output
+    without hauling the corpus through the gate.
+
+    Scale shape: pure map-side row work inside codegen — no shuffle at
+    all except the implicit scan; this is the cheapest possible plan
+    for a corpus-wide rewrite.
+    """
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail"), F.col("doc_id") % 3, F.lit(".example.com"),
+        F.when(F.col("doc_id") % 3 != 0,
+               F.concat(F.lit(" tel +41 "),
+                        F.lpad(((F.col("doc_id") * 7919) % 10000000)
+                               .cast("string"), 7, "0"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit(" from 10."), F.col("doc_id") % 256,
+                        F.lit("."), (F.col("doc_id") * 31) % 256,
+                        F.lit(".7"))
+               ).otherwise(F.lit("")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>"),
+        PII_IPV4_RE, "<IP>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(PII_EMAIL_RE)).cast("long")
+        .alias("n_emails"),
+        F.regexp_count(aug, F.lit(PII_PHONE_RE)).cast("long")
+        .alias("n_phones"),
+        F.regexp_count(aug, F.lit(PII_IPV4_RE)).cast("long")
+        .alias("n_ips"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+SQL_PII_REDACT = f"""
+WITH a AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id
+         || '@mail' || (doc_id % 3) || '.example.com'
+         || CASE WHEN doc_id % 3 != 0
+                 THEN ' tel +41 ' ||
+                      lpad(CAST((doc_id * 7919) % 10000000 AS VARCHAR), 7, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' from 10.' || (doc_id % 256) || '.'
+                      || ((doc_id * 31) % 256) || '.7'
+                 ELSE '' END AS aug
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(aug, '{PII_EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(aug, '{PII_PHONE_RE}')) AS n_phones,
+  len(regexp_extract_all(aug, '{PII_IPV4_RE}')) AS n_ips,
+  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+      '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{PII_PHONE_RE}', '<PHONE>', 'g'),
+      '{PII_IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+FROM a
+"""
+
+
 QUERIES = {
     "pipeline_funnel": q_pipeline_funnel,
+    "pii_redact": q_pii_redact,
+    "chunk_dedup": q_chunk_dedup,
+    "sequence_pack": q_sequence_pack,
     "text_stats": q_text_stats,
     "lang_quality": q_lang_quality,
     "fingerprint_dedup": q_fingerprint_dedup,
@@ -923,6 +1204,9 @@ QUERIES = {
 
 ORACLE = {
     "pipeline_funnel": SQL_PIPELINE_FUNNEL,
+    "pii_redact": SQL_PII_REDACT,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
+    "sequence_pack": SQL_SEQUENCE_PACK,
     "text_stats": SQL_TEXT_STATS,
     "lang_quality": SQL_LANG_QUALITY,
     "fingerprint_dedup": SQL_FINGERPRINT_DEDUP,

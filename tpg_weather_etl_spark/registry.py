@@ -54,6 +54,10 @@ _RUN_FIRST = [
     "embedding_dedup_clusters",
     "multimodal_features",
     # new or semantics-changed this round
+    "json_extract",
+    "pii_redact",
+    "chunk_dedup",
+    "sequence_pack",
     "multimodal_metadata",
     "embedding_neardup_multi",
     "kmeans_ivf_topk",
