@@ -34,6 +34,9 @@ NAMES = [
     "funnel_steps",
     "embedding_dedup_clusters",
     "json_extract",
+    "rollup_revenue",
+    "pivot_event_values",
+    "intersect_except",
     "pii_redact",
     "chunk_dedup",
     "sequence_pack",

@@ -694,8 +694,120 @@ QUALIFY o.obin IS NOT DISTINCT FROM MAX(o.obin) OVER (PARTITION BY e.event_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouping sets: ROLLUP with grouping_id — subtotal/grand-total levels
+# in one pass (Spark expands to a single Expand + hash agg; no extra
+# scans at any scale)
+# ---------------------------------------------------------------------------
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue at detail / per-status / grand-total levels via
+    ROLLUP. ``grouping_id`` disambiguates NULL-as-subtotal from a NULL
+    group value; DuckDB's ``GROUPING(a,b)`` uses the identical bitmask
+    (verified: detail=0, per-a subtotal=1, grand total=3).
+
+    Scale shape: one Expand (×3 rows) feeding one hash aggregate with
+    map-side combine — ROLLUP never re-scans per level.
+    """
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: long→wide reshaping with a pinned value list
+# ---------------------------------------------------------------------------
+
+PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user-bucket event-type value sums, one column per type, via
+    ``groupBy().pivot()`` with an explicit value list (pinning values
+    skips Spark's extra distinct-discovery job AND makes the schema
+    static — both required at scale and for parity; the oracle is the
+    equivalent conditional-sum form).
+    """
+    e = t(spark, sf_dir, "events")
+    wide = (
+        e.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(_dsum(F.col("value")))
+    )
+    return wide.select(
+        "user_bucket",
+        *[F.coalesce(F.col(p), F.lit(0.0)).alias(f"v_{p}")
+          for p in PIVOT_TYPES],
+    )
+
+
+SQL_PIVOT_EVENT_VALUES = """
+SELECT user_id % 10 AS user_bucket,
+  {cols}
+FROM events GROUP BY 1
+""".format(cols=",\n  ".join(
+    "coalesce(CAST(CAST(ROUND(SUM(CASE WHEN event_type = '{p}' "
+    "THEN CAST(value AS DECIMAL(24,8)) END), 4) "
+    "AS DECIMAL(18,4)) AS DOUBLE), 0.0) AS v_{p}".format(p=p)
+    for p in PIVOT_TYPES
+))
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (§2.7 beyond UNION ALL)
+# ---------------------------------------------------------------------------
+
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with a high-value click AND a high-value purchase but no
+    high-value error — ``intersect`` then ``except`` (both distinct
+    set semantics, matching SQL INTERSECT/EXCEPT; the value filter
+    keeps all three branches and the result non-trivially populated).
+
+    Scale shape: Spark plans set ops as aggregates/joins on the
+    projected key only — three single-column shuffles, no corpus
+    payload movement.
+    """
+    e = t(spark, sf_dir, "events")
+    users = lambda et: (
+        e.filter((F.col("event_type") == et) & (F.col("value") > 95.0))
+        .select("user_id")
+    )
+    return (
+        users("click").intersect(users("purchase"))
+        .exceptAll(users("error").distinct())
+    )
+
+
+SQL_INTERSECT_EXCEPT = """
+(SELECT user_id FROM events WHERE event_type = 'click' AND value > 95.0
+ INTERSECT
+ SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95.0)
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 95.0
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "rollup_revenue": q_rollup_revenue,
+    "pivot_event_values": q_pivot_event_values,
+    "intersect_except": q_intersect_except,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
     "semi_join_parts": q_semi_join_parts,
@@ -721,6 +833,9 @@ QUERIES = {
 
 ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "pivot_event_values": SQL_PIVOT_EVENT_VALUES,
+    "intersect_except": SQL_INTERSECT_EXCEPT,
     "top_orders": SQL_TOP_ORDERS,
     "region_revenue": SQL_REGION_REVENUE,
     "semi_join_parts": SQL_SEMI_JOIN_PARTS,

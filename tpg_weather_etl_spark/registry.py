@@ -54,6 +54,9 @@ _RUN_FIRST = [
     "embedding_dedup_clusters",
     "multimodal_features",
     # new or semantics-changed this round
+    "rollup_revenue",
+    "pivot_event_values",
+    "intersect_except",
     "json_extract",
     "pii_redact",
     "chunk_dedup",
