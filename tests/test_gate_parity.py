@@ -37,6 +37,8 @@ NAMES = [
     "rollup_revenue",
     "pivot_event_values",
     "intersect_except",
+    "interval_join",
+    "gap_fill_forward",
     "pii_redact",
     "chunk_dedup",
     "sequence_pack",

@@ -150,3 +150,40 @@ def test_filter_hot_shingles_guards_skew(spark):
     assert pairs(sh).count() == 45
     got = pairs(filter_hot_shingles(sh, cap=3)).collect()
     assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
+
+
+def test_interval_join_matches_naive_theta_join(spark):
+    from tpg_weather_etl_spark.operators.ranges import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=7 * i)) for i in range(200)],
+        "pid long, p_ts timestamp")
+    iv = spark.createDataFrame(
+        [(j, t0 + dt.timedelta(minutes=50 * j),
+          t0 + dt.timedelta(minutes=50 * j + 45)) for j in range(20)],
+        "wid long, w_start timestamp, w_end timestamp")
+    got = interval_join(pts, iv, "p_ts", "w_start", "w_end",
+                        bin_seconds=1800)
+    naive = pts.crossJoin(iv).filter(
+        (F.col("p_ts") >= F.col("w_start")) & (F.col("p_ts") < F.col("w_end")))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, naive.collect()))
+    assert got.count() > 0  # non-trivial overlap
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    from tpg_weather_etl_spark.operators.ranges import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(hours=10))],
+        "pid long, p_ts timestamp")
+    iv = spark.createDataFrame(
+        [(7, t0 - dt.timedelta(minutes=5), t0 + dt.timedelta(minutes=5))],
+        "wid long, w_start timestamp, w_end timestamp")
+    rows = interval_join(pts, iv, "p_ts", "w_start", "w_end",
+                         bin_seconds=600, how="left").collect()
+    by_pid = {r.pid: r for r in rows}
+    assert by_pid[1].wid == 7
+    assert by_pid[2].wid is None

@@ -770,6 +770,64 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Interval (range) join via bin bucketing — the general form of the
+# reference's grid-equi weather join (J3/J4): point-in-window joins as
+# a hash equi-join on time bins + residual predicate, never a
+# nested-loop join
+# ---------------------------------------------------------------------------
+
+IVJOIN_WINDOW_H = 2
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic inside every high-value-purchase 2-hour promo window:
+    each qualifying purchase opens ``[ts, ts+2h)``; count and sum all
+    events landing in each window.
+
+    Runs through ``operators.ranges.interval_join`` — intervals
+    explode to the (≤2) two-hour bins they cover, points map to
+    exactly one bin, and the match is a shuffle hash join on the bin
+    key with the range predicate as a residual filter. The oracle is
+    the plain theta join, proving the binned plan loses nothing.
+    """
+    from tpg_weather_etl_spark.operators.ranges import interval_join
+
+    e = t(spark, sf_dir, "events")
+    iv = (
+        e.filter((F.col("event_type") == "purchase")
+                 & (F.col("value") > 99.0))
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr(f"interval {IVJOIN_WINDOW_H} hours"))
+            .alias("w_end"),
+        )
+    )
+    pts = e.select(F.col("ts").alias("p_ts"), F.col("value").alias("p_val"))
+    joined = interval_join(
+        pts, iv, "p_ts", "w_start", "w_end",
+        bin_seconds=IVJOIN_WINDOW_H * 3600,
+    )
+    return joined.groupBy("window_id", "w_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("p_val")).alias("value_sum"),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH iv AS (
+  SELECT event_id AS window_id, ts AS w_start,
+         ts + INTERVAL 2 HOUR AS w_end
+  FROM events WHERE event_type = 'purchase' AND value > 99.0)
+SELECT iv.window_id, iv.w_start, COUNT(*) AS n_events,
+  CAST(CAST(ROUND(SUM(CAST(e.value AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE) AS value_sum
+FROM iv JOIN events e ON e.ts >= iv.w_start AND e.ts < iv.w_end
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Set operations: INTERSECT / EXCEPT (§2.7 beyond UNION ALL)
 # ---------------------------------------------------------------------------
 
@@ -808,6 +866,7 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "pivot_event_values": q_pivot_event_values,
     "intersect_except": q_intersect_except,
+    "interval_join": q_interval_join,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
     "semi_join_parts": q_semi_join_parts,
@@ -836,6 +895,7 @@ ORACLE = {
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "pivot_event_values": SQL_PIVOT_EVENT_VALUES,
     "intersect_except": SQL_INTERSECT_EXCEPT,
+    "interval_join": SQL_INTERVAL_JOIN,
     "top_orders": SQL_TOP_ORDERS,
     "region_revenue": SQL_REGION_REVENUE,
     "semi_join_parts": SQL_SEMI_JOIN_PARTS,

@@ -358,8 +358,93 @@ FROM p GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Gap-fill / resample: regular per-user hourly grid with forward fill
+# — the time-series normalization step (reference builds a 10-min
+# weather grid the same way; this generalizes it to per-key grids)
+# ---------------------------------------------------------------------------
+
+def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event values onto an hourly grid spanning
+    the user's observed range, forward-filling gaps from the latest
+    observation in-or-before each grid hour.
+
+    Plan: per-user MIN/MAX (one agg) → ``sequence`` + ``explode``
+    generates grid rows JVM-side (no driver loop, no cross join);
+    per-(user, hour) latest observation via one row_number window;
+    forward fill via ``last(ignorenulls=True)`` over the user window.
+    The two windows and the grid join all share the user_id hash
+    partitioning — at scale this is one shuffle of the observations
+    plus the generated grid, which is bounded by keys × ticks, not by
+    the event count.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("interval 1 hour"))
+        ).alias("grid_ts"),
+    )
+    w_bin = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    obs = (
+        e.withColumn("rn", F.row_number().over(w_bin))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("grid_ts"),
+            F.col("value").alias("v_obs"),
+        )
+    )
+    w_ff = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "grid_ts"], "left")
+        .select(
+            "user_id", "grid_ts",
+            F.last("v_obs", ignorenulls=True).over(w_ff).alias("v_filled"),
+            F.col("v_obs").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+SQL_GAP_FILL_FORWARD = """
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+  FROM events GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+  FROM bounds),
+obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS grid_ts, value AS v_obs
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY user_id, date_trunc('hour', ts)
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+  WHERE rn = 1)
+SELECT g.user_id, g.grid_ts,
+  last_value(o.v_obs IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.grid_ts
+    ROWS UNBOUNDED PRECEDING) AS v_filled,
+  o.v_obs IS NOT NULL AS is_observed
+FROM grid g
+LEFT JOIN obs o ON o.user_id = g.user_id AND o.grid_ts = g.grid_ts
+"""
+
+
 QUERIES = {
     "scalar_normalize": q_scalar_normalize,
+    "gap_fill_forward": q_gap_fill_forward,
     "json_extract": q_json_extract,
     "contains_filter": q_contains_filter,
     "union_shards": q_union_shards,
@@ -373,6 +458,7 @@ QUERIES = {
 ORACLE = {
     "scalar_normalize": SQL_SCALAR_NORMALIZE,
     "json_extract": SQL_JSON_EXTRACT,
+    "gap_fill_forward": SQL_GAP_FILL_FORWARD,
     "contains_filter": SQL_CONTAINS_FILTER,
     "union_shards": SQL_UNION_SHARDS,
     "heatmap_hour_dow": SQL_HEATMAP_HOUR_DOW,

@@ -57,7 +57,9 @@ _RUN_FIRST = [
     "rollup_revenue",
     "pivot_event_values",
     "intersect_except",
+    "interval_join",
     "json_extract",
+    "gap_fill_forward",
     "pii_redact",
     "chunk_dedup",
     "sequence_pack",
