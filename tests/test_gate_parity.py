@@ -39,6 +39,7 @@ NAMES = [
     "intersect_except",
     "interval_join",
     "gap_fill_forward",
+    "array_agg_types",
     "pii_redact",
     "chunk_dedup",
     "sequence_pack",

@@ -187,3 +187,32 @@ def test_interval_join_left_keeps_unmatched_points(spark):
     by_pid = {r.pid: r for r in rows}
     assert by_pid[1].wid == 7
     assert by_pid[2].wid is None
+
+
+def test_approx_stats_bounds_vs_exact(spark):
+    from tpg_weather_etl_spark.queries_scalar import q_approx_stats
+    from tpg_weather_etl_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r.event_type: r for r in q_approx_stats(spark, sf).collect()}
+    e = read_table(spark, sf, "events")
+    exact = {
+        r.event_type: r
+        for r in e.groupBy("event_type").agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.45)").alias("p45"),
+            F.expr("percentile(value, 0.55)").alias("p55"),
+            F.expr("percentile(value, 0.85)").alias("p85"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        x = exact[et]
+        # HLL++ rsd=0.02 → generous 10% bound at tiny cardinalities
+        assert abs(a.approx_users - x.users) <= max(2, 0.10 * x.users)
+        p50a, p90a = a.approx_p50_p90
+        # percentile_approx returns an actual data value near the
+        # target rank; bound it by a ±5-percentile band, not by value
+        assert x.p45 <= p50a <= x.p55
+        assert x.p85 <= p90a <= x.p95

@@ -442,8 +442,81 @@ LEFT JOIN obs o ON o.user_id = g.user_id AND o.grid_ts = g.grid_ts
 """
 
 
+# ---------------------------------------------------------------------------
+# Array aggregation surface: collect_set / collect_list with
+# deterministic ordering (the engine-portable forms)
+# ---------------------------------------------------------------------------
+
+def q_array_agg_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user bucket: the sorted distinct event-type vocabulary and
+    the first three event types by time.
+
+    ``collect_set``/``collect_list`` are unordered at scale (partition
+    arrival order); the deterministic forms are ``sort_array`` over the
+    set and ``array_sort(collect_list(struct(orderkeys…, payload)))``
+    with a transform projection — both engine-portable (DuckDB
+    ``string_agg(DISTINCT … ORDER BY …)`` / ``list(… ORDER BY …)``).
+    Joined to strings so the gate hash covers element order exactly.
+    """
+    e = t(spark, sf_dir, "events")
+    first3 = F.array_join(
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            1, 3,
+        ),
+        ",",
+    )
+    return e.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",")
+        .alias("type_vocab"),
+        F.count_distinct(F.col("event_type")).alias("n_types"),
+        first3.alias("first3_types"),
+    )
+
+
+SQL_ARRAY_AGG_TYPES = """
+SELECT user_id % 10 AS user_bucket,
+  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_vocab,
+  COUNT(DISTINCT event_type) AS n_types,
+  array_to_string((list(event_type ORDER BY ts, event_id))[1:3], ',')
+    AS first3_types
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates: HLL distinct + approx percentile — the
+# sketch-based forms used at 100 TB where exact distinct/percentile
+# shuffles would dominate. Sketches are engine-specific, so there is
+# no hash oracle; the registry entry is rows-only and
+# tests/test_operators.py bounds the estimates against exact values.
+# ---------------------------------------------------------------------------
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: HyperLogLog++ distinct users (rsd=0.02) and
+    approximate value percentiles (accuracy 10000).
+
+    Both aggregate map-side into fixed-size sketches — constant
+    shuffle bytes per partition regardless of row count, the whole
+    point at scale.
+    """
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9], 10000)
+        .alias("approx_p50_p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "scalar_normalize": q_scalar_normalize,
+    "array_agg_types": q_array_agg_types,
+    "approx_stats": q_approx_stats,
     "gap_fill_forward": q_gap_fill_forward,
     "json_extract": q_json_extract,
     "contains_filter": q_contains_filter,
@@ -459,6 +532,9 @@ ORACLE = {
     "scalar_normalize": SQL_SCALAR_NORMALIZE,
     "json_extract": SQL_JSON_EXTRACT,
     "gap_fill_forward": SQL_GAP_FILL_FORWARD,
+    "array_agg_types": SQL_ARRAY_AGG_TYPES,
+    # approx_stats is deliberately absent: sketch results are
+    # engine-specific (rows-only gate; bounds-tested in pytest)
     "contains_filter": SQL_CONTAINS_FILTER,
     "union_shards": SQL_UNION_SHARDS,
     "heatmap_hour_dow": SQL_HEATMAP_HOUR_DOW,

@@ -58,6 +58,8 @@ _RUN_FIRST = [
     "pivot_event_values",
     "intersect_except",
     "interval_join",
+    "array_agg_types",
+    "approx_stats",
     "json_extract",
     "gap_fill_forward",
     "pii_redact",
