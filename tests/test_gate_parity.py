@@ -40,6 +40,8 @@ NAMES = [
     "interval_join",
     "gap_fill_forward",
     "array_agg_types",
+    "session_window_agg",
+    "bpe_token_stats",
     "pii_redact",
     "chunk_dedup",
     "sequence_pack",

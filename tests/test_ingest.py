@@ -249,3 +249,28 @@ def test_istdaten_dedupe_est_priority_is_arrival_coalesce(spark, tmp_path):
     ).collect()
     assert len(out) == 1
     assert out[0].stop_name == "Y"
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    from tpg_weather_etl_spark.sources.writers import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).withColumnRenamed("id", "k") \
+            .withColumn("va", F.col("k") * 2)
+        b = spark.range(0, 1000).withColumnRenamed("id", "k") \
+            .withColumn("vb", F.col("k") % 7)
+        write_bucketed(a, "t_bucket_a", ["k"], num_buckets=8, sort_cols=["k"])
+        write_bucketed(b, "t_bucket_b", ["k"], num_buckets=8, sort_cols=["k"])
+        joined = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+        # aggregation on the bucket key also skips the shuffle
+        agg = spark.table("t_bucket_a").groupBy("k").sum("va")
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")

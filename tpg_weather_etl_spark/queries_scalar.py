@@ -214,6 +214,60 @@ FROM s GROUP BY user_id, session_seq
 
 
 # ---------------------------------------------------------------------------
+# Native session windows: F.session_window (the built-in gap-based
+# session operator, also the streaming form) cross-validated against
+# the classic lag+cumsum SQL sessionization
+# ---------------------------------------------------------------------------
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions via Spark's native ``session_window`` (30-min
+    gap), returning the same stats as ``q_sessionize``.
+
+    The oracle derives sessions the classic way (lag → new-session
+    flag → running sum), proving the built-in operator implements
+    exactly gap-based semantics. Note the boundary convention:
+    ``session_window`` extends a session while the NEXT event starts
+    strictly before current_ts + gap, i.e. an event landing exactly at
+    the 30-minute mark opens a NEW session — hence the oracle uses
+    ``>=`` where ``q_sessionize`` uses ``>``. At scale this is one
+    shuffle on (user_id, merged windows); the streaming variant is the
+    same call under ``groupBy`` on a stream.
+    """
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id",
+                  F.session_window("ts", f"{SESSION_GAP_SEC} seconds"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_event"),
+            F.max("ts").alias("last_event"),
+        )
+        .select("user_id",
+                F.col("session_window.start").alias("w_start"),
+                F.col("session_window.end").alias("w_end"),
+                "n_events", "first_event", "last_event")
+    )
+
+
+SQL_SESSION_WINDOW_AGG = f"""
+WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS tus FROM events),
+m AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w >= {SESSION_GAP_SEC * 1_000_000}
+                     THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM m)
+SELECT user_id,
+  MIN(ts) AS w_start,
+  MAX(ts) + INTERVAL {SESSION_GAP_SEC} SECOND AS w_end,
+  COUNT(*) AS n_events,
+  MIN(ts) AS first_event, MAX(ts) AS last_event
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cohort retention: weekly signup cohorts × activity-week offset
 # ---------------------------------------------------------------------------
 
@@ -517,6 +571,7 @@ QUERIES = {
     "scalar_normalize": q_scalar_normalize,
     "array_agg_types": q_array_agg_types,
     "approx_stats": q_approx_stats,
+    "session_window_agg": q_session_window_agg,
     "gap_fill_forward": q_gap_fill_forward,
     "json_extract": q_json_extract,
     "contains_filter": q_contains_filter,
@@ -533,6 +588,7 @@ ORACLE = {
     "json_extract": SQL_JSON_EXTRACT,
     "gap_fill_forward": SQL_GAP_FILL_FORWARD,
     "array_agg_types": SQL_ARRAY_AGG_TYPES,
+    "session_window_agg": SQL_SESSION_WINDOW_AGG,
     # approx_stats is deliberately absent: sketch results are
     # engine-specific (rows-only gate; bounds-tested in pytest)
     "contains_filter": SQL_CONTAINS_FILTER,

@@ -1095,6 +1095,65 @@ FROM s GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# BPE-style pre-tokenization stats — the GPT-2 pre-tokenizer regex
+# class structure (word / number / punctuation runs, each optionally
+# space-prefixed), restricted to lookahead-free primitives RE2 and
+# Java regex interpret identically (the real GPT-2 pattern's
+# `\s+(?!\S)` lookahead does not exist in RE2).
+# ---------------------------------------------------------------------------
+
+BPE_WORD_RE = " ?[a-z]+"
+BPE_NUM_RE = " ?[0-9]+"
+BPE_OTHER_RE = " ?[^a-z0-9 ]+"
+BPE_ANY_RE = f"({BPE_WORD_RE}|{BPE_NUM_RE}|{BPE_OTHER_RE})"
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE-pre-tokenizer token counts by class, plus the
+    BPE-to-whitespace token ratio (the "fertility" every tokenizer
+    budget estimate needs).
+
+    Runs over normalized text (single spaces), so the classes are
+    disjoint at every position and alternation order is immaterial —
+    Java (leftmost-first) and RE2 agree. Pure map-side regexp_count
+    in codegen; zero shuffle.
+    """
+    d = t(spark, sf_dir, "documents")
+    norm = norm_text(F.col("text"))
+    ws = token_count(F.col("text"))
+    n_bpe = F.regexp_count(norm, F.lit(BPE_ANY_RE)).cast("long")
+    return d.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        F.regexp_count(norm, F.lit(BPE_WORD_RE)).cast("long")
+        .alias("n_word_toks"),
+        F.regexp_count(norm, F.lit(BPE_NUM_RE)).cast("long")
+        .alias("n_num_toks"),
+        F.regexp_count(norm, F.lit(BPE_OTHER_RE)).cast("long")
+        .alias("n_other_toks"),
+        ws.alias("n_ws_tokens"),
+        (F.round(n_bpe / ws, 6) + 0.0).alias("fertility"),
+    )
+
+
+SQL_BPE_TOKEN_STATS = f"""
+WITH d AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws
+           FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(norm, '{BPE_ANY_RE}')) AS n_bpe_tokens,
+  len(regexp_extract_all(norm, '{BPE_WORD_RE}')) AS n_word_toks,
+  len(regexp_extract_all(norm, '{BPE_NUM_RE}')) AS n_num_toks,
+  len(regexp_extract_all(norm, '{BPE_OTHER_RE}')) AS n_other_toks,
+  ws AS n_ws_tokens,
+  ROUND(len(regexp_extract_all(norm, '{BPE_ANY_RE}')) * 1.0 / ws, 6) + 0.0
+    AS fertility
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII detection + redaction (email / phone / IPv4) — the compliance
 # pass every pretraining corpus goes through before training.
 # ---------------------------------------------------------------------------
@@ -1187,6 +1246,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "chunk_dedup": q_chunk_dedup,
     "sequence_pack": q_sequence_pack,
+    "bpe_token_stats": q_bpe_token_stats,
     "text_stats": q_text_stats,
     "lang_quality": q_lang_quality,
     "fingerprint_dedup": q_fingerprint_dedup,
@@ -1207,6 +1267,7 @@ ORACLE = {
     "pii_redact": SQL_PII_REDACT,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "text_stats": SQL_TEXT_STATS,
     "lang_quality": SQL_LANG_QUALITY,
     "fingerprint_dedup": SQL_FINGERPRINT_DEDUP,

@@ -60,6 +60,8 @@ _RUN_FIRST = [
     "interval_join",
     "array_agg_types",
     "approx_stats",
+    "session_window_agg",
+    "bpe_token_stats",
     "json_extract",
     "gap_fill_forward",
     "pii_redact",

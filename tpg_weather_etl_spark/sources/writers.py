@@ -122,3 +122,32 @@ def upsert_station_range(
     merged = kept.unionByName(incoming).localCheckpoint()
     write_parquet(merged, target_path)
     incoming.unpersist()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (and optionally sort-ordered) managed table.
+
+    The co-located-join scale path: two tables bucketed on the same
+    keys with the same bucket count join/aggregate with ZERO Exchange
+    — each task reads matching bucket files from both sides. At 100 TB
+    this converts every recurring fact⋈fact join on the bucket key
+    from a full corpus shuffle into a local merge, which is the single
+    biggest cost lever a warehouse layout owns (the write pays the
+    shuffle once; every downstream query skips it).
+
+    Bucketing requires the table-catalog path (``saveAsTable``) —
+    plain ``.parquet(path)`` writes cannot carry bucket metadata.
+    """
+    w = (df.write.mode(mode)
+         .option("compression", "zstd")
+         .bucketBy(num_buckets, *bucket_cols))
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
