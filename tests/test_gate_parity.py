@@ -42,6 +42,8 @@ NAMES = [
     "array_agg_types",
     "session_window_agg",
     "bpe_token_stats",
+    "pattern_within",
+    "numeric_profile",
     "pii_redact",
     "chunk_dedup",
     "sequence_pack",

@@ -274,3 +274,21 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_month_partitioned_scan_prunes_partitions(spark, tmp_path):
+    import datetime as _dt
+    from tpg_weather_etl_spark.sources.writers import write_month_partitioned
+
+    rows = [(i, _dt.date(2024, 1 + (i % 3), 1 + i % 27), float(i))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, service_date date, v double")
+    out = str(tmp_path / "mp")
+    write_month_partitioned(df, out)
+    scan = spark.read.parquet(out).filter(F.col("month") == "2024-02")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the month predicate must become a PartitionFilter on the scan —
+    # at 100 TB this is the difference between reading one month's
+    # directory and reading the lake
+    assert "PartitionFilters: [isnotnull(month" in plan, plan
+    assert scan.count() == sum(1 for _, d, _v in rows if d.month == 2)

@@ -268,6 +268,116 @@ FROM s GROUP BY user_id, session_seq
 
 
 # ---------------------------------------------------------------------------
+# Sequential pattern matching: A followed by B within a time window
+# (the MATCH_RECOGNIZE-lite every event pipeline needs) — expressed as
+# one lag window over the type-filtered stream, NOT a self-join
+# ---------------------------------------------------------------------------
+
+PATTERN_WINDOW_SEC = 1800
+
+
+def q_pattern_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: how many purchases directly follow a click (no other
+    click/purchase between) within 30 minutes, plus the fastest such
+    conversion.
+
+    Scale shape: filter to the two event classes map-side, ONE window
+    pass on (user_id, ts) — a self-join formulation would shuffle the
+    event table twice and explode on hot users; the lag form shuffles
+    the filtered stream once.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "ts", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts")))
+         .over(w)).alias("gap_us"),
+    )
+    hits = seq.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("prev_type") == "click")
+        & (F.col("gap_us") <= PATTERN_WINDOW_SEC * 1_000_000)
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        (F.min("gap_us") / 1_000_000).cast("long")
+        .alias("fastest_sec"),
+    )
+
+
+SQL_PATTERN_WITHIN = f"""
+WITH e AS (SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS tus
+           FROM events WHERE event_type IN ('click', 'purchase')),
+seq AS (SELECT user_id, event_type,
+          lag(event_type) OVER w AS prev_type,
+          tus - lag(tus) OVER w AS gap_us
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, COUNT(*) AS n_conversions,
+  CAST(MIN(gap_us) // 1000000 AS BIGINT) AS fastest_sec
+FROM seq
+WHERE event_type = 'purchase' AND prev_type = 'click'
+  AND gap_us <= {PATTERN_WINDOW_SEC * 1_000_000}
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Numeric profiling: per-column min/max/mean/stddev with
+# order-independent decimal-exact moments (double stddev aggregates
+# are order-dependent under AQE and never hash-match across engines)
+# ---------------------------------------------------------------------------
+
+def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass over numeric columns: count / nulls / min /
+    max / mean / sample-stddev per event type.
+
+    Moments come from exact decimal Σx and Σx² (order-independent),
+    variance = (n·Σx² − (Σx)²) / (n·(n−1)) computed in decimal, then
+    rounded to 6 — bit-identical in both engines, unlike built-in
+    ``stddev`` which folds doubles in partition arrival order.
+    """
+    e = t(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(24,8)")
+    n = F.count("value")
+    s1 = F.sum(x)
+    s2 = F.sum(x * x)  # decimal(38,16) product, exact
+    var = (n.cast("decimal(38,8)") * s2 - s1 * s1) / (
+        n.cast("decimal(38,8)") * (n - 1).cast("decimal(38,8)")
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("int")).alias("n_nulls"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        (F.round(s1 / n.cast("decimal(38,8)"), 6).cast("double") + 0.0)
+        .alias("v_mean"),
+        (F.round(var, 6).cast("double") + 0.0).alias("v_var"),
+    )
+
+
+SQL_NUMERIC_PROFILE = """
+SELECT event_type, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  MIN(value) AS v_min, MAX(value) AS v_max,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8)))
+             / CAST(COUNT(value) AS DECIMAL(38,8)), 6) AS DOUBLE) + 0.0
+    AS v_mean,
+  CAST(ROUND((CAST(COUNT(value) AS DECIMAL(38,8))
+                * SUM(CAST(value AS DECIMAL(24,8)) * CAST(value AS DECIMAL(24,8)))
+              - SUM(CAST(value AS DECIMAL(24,8))) * SUM(CAST(value AS DECIMAL(24,8))))
+             / (CAST(COUNT(value) AS DECIMAL(38,8))
+                * CAST(COUNT(value) - 1 AS DECIMAL(38,8))), 6) AS DOUBLE) + 0.0
+    AS v_var
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cohort retention: weekly signup cohorts × activity-week offset
 # ---------------------------------------------------------------------------
 
@@ -572,6 +682,8 @@ QUERIES = {
     "array_agg_types": q_array_agg_types,
     "approx_stats": q_approx_stats,
     "session_window_agg": q_session_window_agg,
+    "pattern_within": q_pattern_within,
+    "numeric_profile": q_numeric_profile,
     "gap_fill_forward": q_gap_fill_forward,
     "json_extract": q_json_extract,
     "contains_filter": q_contains_filter,
@@ -589,6 +701,8 @@ ORACLE = {
     "gap_fill_forward": SQL_GAP_FILL_FORWARD,
     "array_agg_types": SQL_ARRAY_AGG_TYPES,
     "session_window_agg": SQL_SESSION_WINDOW_AGG,
+    "pattern_within": SQL_PATTERN_WITHIN,
+    "numeric_profile": SQL_NUMERIC_PROFILE,
     # approx_stats is deliberately absent: sketch results are
     # engine-specific (rows-only gate; bounds-tested in pytest)
     "contains_filter": SQL_CONTAINS_FILTER,

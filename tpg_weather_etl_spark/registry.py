@@ -62,6 +62,8 @@ _RUN_FIRST = [
     "approx_stats",
     "session_window_agg",
     "bpe_token_stats",
+    "pattern_within",
+    "numeric_profile",
     "json_extract",
     "gap_fill_forward",
     "pii_redact",
