@@ -42,6 +42,13 @@ HEADLINE = [
     "sessionize",
     "tfidf_top_terms",
     "dedup_clusters",
+    # round-2 additions: heaviest of the new operator families
+    "chunk_dedup",
+    "sequence_pack",
+    "interval_join",
+    "gap_fill_forward",
+    "session_window_agg",
+    "pii_redact",
 ]
 
 

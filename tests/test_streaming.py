@@ -90,3 +90,51 @@ def test_stream_stream_weather_join(spark, tmp_path):
     assert rows["t1"].temp_c == 10.0
     assert rows["t2"].temp_c == 11.5
     assert rows["t1"].wind_ms == 5.0        # 18 km/h → 5 m/s
+
+
+def test_stream_upsert_replaces_overlapping_window(spark, tmp_path):
+    from tpg_weather_etl_spark.schemas import WEATHER_COLMAP
+    from tpg_weather_etl_spark.streaming.istdaten_stream import (
+        stream_weather,
+        write_stream_upsert,
+    )
+
+    wx_header = ";".join(WEATHER_COLMAP.keys())
+
+    def wx_row(hhmm, temp):
+        return ";".join(["GVE", f"01.02.2024 {hhmm}", temp, "0.5",
+                         "18", "36", "180", "80", "1013", "100",
+                         "5", "2"])
+
+    inbox = tmp_path / "wx"
+    inbox.mkdir()
+    target = str(tmp_path / "gold")
+
+    # batch 1: two observations
+    (inbox / "b1.csv").write_text(
+        "\n".join([wx_header, wx_row("08:00", "10.0"),
+                   wx_row("08:10", "11.0")]))
+    q = write_stream_upsert(
+        stream_weather(spark, str(inbox)), target,
+        str(tmp_path / "ck1")).start()
+    q.awaitTermination(120)
+    first = spark.read.parquet(target).select("ts_utc", "temp_c").collect()
+    assert len(first) == 2
+
+    # batch 2: REVISED 08:10 obs plus a new 08:20 one — the upsert
+    # must replace the overlapping [08:10, 08:20] window, not append.
+    # Same checkpoint → the resumed stream processes only the new file.
+    (inbox / "b2.csv").write_text(
+        "\n".join([wx_header, wx_row("08:10", "99.0"),
+                   wx_row("08:20", "12.0")]))
+    q2 = write_stream_upsert(
+        stream_weather(spark, str(inbox)), target,
+        str(tmp_path / "ck1")).start()
+    q2.awaitTermination(120)
+
+    rows = {r.ts_utc.strftime("%H:%M"): r.temp_c
+            for r in spark.read.parquet(target).collect()}
+    assert len(rows) == 3                      # no duplicate 08:10
+    assert rows["08:10"] == 99.0               # revised value won
+    assert rows["08:00"] == 10.0
+    assert rows["08:20"] == 12.0

@@ -155,3 +155,35 @@ def write_stream_to_parquet(df: DataFrame, out_dir: str,
         .outputMode("append")
         .trigger(availableNow=True)
     )
+
+
+def write_stream_upsert(df: DataFrame, target_path: str,
+                        checkpoint_dir: str,
+                        station_col: str = "station_id",
+                        ts_col: str = "ts_utc"):
+    """Upsert sink: each micro-batch runs the K6 per-station
+    range-overwrite against the target table via ``foreachBatch`` —
+    the streaming counterpart of the batch ``upsert_station_range``
+    (late re-deliveries replace the overlapping window instead of
+    duplicating it).
+
+    Exactly-once: foreachBatch may re-run a batch on recovery, but the
+    upsert is idempotent (DELETE range + INSERT same rows), which is
+    the standard contract for foreachBatch sinks.
+    """
+    from tpg_weather_etl_spark.sources.writers import upsert_station_range
+
+    def _do_upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_station_range(
+            batch_df.sparkSession, target_path, batch_df,
+            station_col=station_col, ts_col=ts_col,
+        )
+
+    return (
+        df.writeStream.foreachBatch(_do_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
