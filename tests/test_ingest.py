@@ -292,3 +292,40 @@ def test_month_partitioned_scan_prunes_partitions(spark, tmp_path):
     # directory and reading the lake
     assert "PartitionFilters: [isnotnull(month" in plan, plan
     assert scan.count() == sum(1 for _, d, _v in rows if d.month == 2)
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from tpg_weather_etl_spark.sources.writers import compact_parquet
+
+    out = tmp_path / "frag"
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(str(out))  # 64 shards
+    n_before = len(list(out.rglob("*.parquet")))
+    assert n_before >= 64
+    before = sorted(r.id for r in spark.read.parquet(str(out)).collect())
+    compact_parquet(spark, out, target_file_mb=512)
+    n_after = len(list(out.rglob("*.parquet")))
+    assert n_after <= 2
+    after = sorted(r.id for r in spark.read.parquet(str(out)).collect())
+    assert before == after
+
+
+def test_write_sorted_total_order_across_files(spark, tmp_path):
+    from tpg_weather_etl_spark.sources.writers import write_sorted
+
+    out = tmp_path / "sorted"
+    df = spark.range(0, 5000).withColumn(
+        "k", (F.col("id") * 2654435761) % 100000)
+    write_sorted(df.select("k", "id"), out, ["k", "id"], num_partitions=8)
+    files = sorted(out.glob("part-*.parquet"))
+    assert len(files) > 1
+    # per-file [min,max] ranges must not overlap → total order
+    ranges = []
+    for f in files:
+        ks = [r.k for r in spark.read.parquet(str(f)).collect()]
+        assert ks == sorted(ks)          # sorted inside the file
+        if ks:
+            ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2                # disjoint across files

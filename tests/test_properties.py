@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the distributed operators
+whose correctness claim is "equals the obvious single-node form on any
+input" — randomized inputs probe boundary shapes (empty partitions,
+ties, single rows, hot keys) that fixture tests miss.
+
+Spark-session-per-example would be prohibitive; each property uses one
+shared session and small row counts, with deadline disabled (JVM
+first-call JIT skews timing).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_settings = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=1000),
+                  min_size=1, max_size=60),
+    nparts=st.integers(min_value=1, max_value=5),
+    use_bucket=st.booleans(),
+)
+@_settings
+def test_global_running_sum_equals_single_window(spark, vals, nparts,
+                                                 use_bucket):
+    from tpg_weather_etl_spark.operators.prefix import global_running_sum
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    # bucket path: any monotone bounded expr over the order key
+    bucket = (F.col("k") / 10).cast("long") if use_bucket else None
+    got = {
+        r.k: r.running_sum
+        for r in global_running_sum(df, ["k"], "v", num_partitions=nparts,
+                                    bucket=bucket).collect()
+    }
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+        want[i] = acc
+    assert got == want
+
+
+@given(
+    pts=st.lists(st.integers(min_value=0, max_value=3600),
+                 min_size=1, max_size=40),
+    ivs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3600),
+                  st.integers(min_value=1, max_value=900)),
+        min_size=1, max_size=10),
+    bin_s=st.sampled_from([60, 300, 900]),
+)
+@_settings
+def test_interval_join_equals_theta_join(spark, pts, ivs, bin_s):
+    from tpg_weather_etl_spark.operators.ranges import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    p_df = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=s)) for i, s in enumerate(pts)],
+        "pid long, p_ts timestamp")
+    i_df = spark.createDataFrame(
+        [(j, t0 + dt.timedelta(seconds=a),
+          t0 + dt.timedelta(seconds=a + w)) for j, (a, w) in enumerate(ivs)],
+        "wid long, w_start timestamp, w_end timestamp")
+    got = sorted(
+        (r.pid, r.wid)
+        for r in interval_join(p_df, i_df, "p_ts", "w_start", "w_end",
+                               bin_seconds=bin_s).collect())
+    want = sorted(
+        (i, j)
+        for i, s in enumerate(pts)
+        for j, (a, w) in enumerate(ivs)
+        if a <= s < a + w)
+    assert got == want

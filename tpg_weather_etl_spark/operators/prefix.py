@@ -1,0 +1,74 @@
+"""Distributed global prefix sum — running totals over a global order
+WITHOUT a single-partition window.
+
+``SUM() OVER (ORDER BY k)`` with no PARTITION BY forces every row
+through one task — the plan works at any SF and silently serializes at
+scale. The two-level form used by every shared-nothing engine:
+
+1. range-partition on the order key (each partition owns a contiguous
+   key range),
+2. per-partition running sums (window partitioned by
+   ``spark_partition_id()`` — parallel),
+3. a P-row partition-totals table, prefix-summed on the driver-sized
+   side and broadcast back as per-partition offsets.
+
+The result is independent of where the range boundaries land, so the
+sampling-based partitioner never affects values — only balance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = inclusive running sum of ``value_col`` over
+    the global ``order_cols`` order (ties must be broken by the order
+    columns themselves — pass a unique key last).
+
+    ``bucket`` (optional but preferred): an expression monotone
+    non-decreasing in the order key with a bounded value set — e.g.
+    ``shiftright(hash_key, 55)`` for a uniform 60-bit key. With it the
+    local-cumsum window clusters by the bucket directly and the whole
+    operator costs ONE data shuffle. Without it, rows are range-
+    partitioned first and the window re-clusters by partition id —
+    correct for arbitrary key types, but Catalyst cannot see that the
+    range layout already satisfies the window, so the data moves
+    twice.
+    """
+    if bucket is None:
+        n = (num_partitions
+             or df.sparkSession.sparkContext.defaultParallelism)
+        staged = df.repartitionByRange(n, *order_cols).withColumn(
+            "__b", F.spark_partition_id()
+        )
+    else:
+        staged = df.withColumn("__b", bucket)
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # persisted: consumed by both the totals agg and the final join —
+    # without materialization Spark computes the windowed subtree twice
+    local = staged.withColumn(
+        "__cum_in", F.sum(value_col).over(w_in)
+    ).persist()
+    totals = local.groupBy("__b").agg(F.sum(value_col).alias("__ptot"))
+    w_p = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__poff", F.coalesce(F.sum("__ptot").over(w_p), F.lit(0))
+    ).select("__b", "__poff")
+    return (
+        local.join(F.broadcast(offsets), "__b")
+        .withColumn(out_col, F.col("__poff") + F.col("__cum_in"))
+        .drop("__b", "__cum_in", "__poff")
+    )

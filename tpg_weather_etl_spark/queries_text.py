@@ -1017,14 +1017,15 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as GPT-style packing cuts them.
 
     Scale design — the global running sum is built WITHOUT a
-    single-partition window: ``repartitionByRange`` on the order key,
-    per-partition running sums (window partitioned by
-    ``spark_partition_id``), then a ~P-row partition-total table whose
-    prefix sums are broadcast back as offsets. Every full sequence
-    totals exactly CAP tokens, which the oracle verifies row by row.
-    The oracle computes the same packing with the one-partition window
-    — proving the distributed form loses nothing.
+    single-partition window via ``operators.prefix.global_running_sum``
+    (range partition → parallel local cumsums → broadcast P-row offset
+    table). Every full sequence totals exactly CAP tokens, which the
+    oracle verifies row by row. The oracle computes the same packing
+    with the one-partition window — proving the distributed form loses
+    nothing.
     """
+    from tpg_weather_etl_spark.operators.prefix import global_running_sum
+
     docs = (
         t(spark, sf_dir, "documents")
         .select(
@@ -1034,24 +1035,12 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_tok") >= 1)
     )
-    parts = docs.repartitionByRange(
-        PACK_PARTITIONS, "hkey", "doc_id"
-    ).withColumn("pid", F.spark_partition_id())
-    w_in = (
-        Window.partitionBy("pid")
-        .orderBy("hkey", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = parts.withColumn("cum_in", F.sum("n_tok").over(w_in)).persist()
-    totals = local.groupBy("pid").agg(F.sum("n_tok").alias("ptot"))
-    w_p = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "poff", F.coalesce(F.sum("ptot").over(w_p), F.lit(0))
-    ).select("pid", "poff")
-    packed = local.join(F.broadcast(offsets), "pid").withColumn(
-        "start", (F.col("poff") + F.col("cum_in") - F.col("n_tok"))
-        .cast("long")
-    )
+    packed = global_running_sum(
+        docs, ["hkey", "doc_id"], "n_tok", out_col="cum",
+        # hkey is uniform in [0, 2^60): its top 5 bits are a monotone
+        # 32-bucket split → the prefix sum costs ONE shuffle
+        bucket=F.shiftright(F.col("hkey"), 55),
+    ).withColumn("start", (F.col("cum") - F.col("n_tok")).cast("long"))
     spans = packed.select(
         "start", "n_tok",
         F.explode(F.sequence(

@@ -151,3 +151,57 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str | Path,
+    target_file_mb: int = 512,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb`` files —
+    the small-files maintenance op every streaming/append lake needs
+    (thousands of KB-sized files turn scans into open/seek storms and
+    blow up driver file listings).
+
+    Sizes from the on-disk footprint, not row counts, so compaction is
+    schema-agnostic. Returns the new file count. At cluster scale the
+    same routine runs per partition directory; a transactional format
+    (Delta/Iceberg OPTIMIZE) replaces the staging rename.
+    """
+    path = Path(path)
+    total_bytes = sum(f.stat().st_size
+                      for f in path.rglob("*.parquet"))
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(str(path))
+    staging = path.with_name(path.name + "__compacting")
+    (df.repartition(n_files).write.mode("overwrite")
+       .option("compression", "zstd").parquet(str(staging)))
+    import shutil
+    backup = path.with_name(path.name + "__precompact")
+    path.rename(backup)
+    staging.rename(path)
+    shutil.rmtree(backup)
+    return n_files
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str | Path,
+    sort_cols: list[str],
+    num_partitions: int | None = None,
+) -> None:
+    """Globally range-sorted parquet output: ``repartitionByRange`` +
+    ``sortWithinPartitions`` gives a total order across files (file i
+    holds keys below file i+1, rows sorted inside) WITHOUT funneling
+    through one task the way ``coalesce(1).orderBy`` would.
+
+    Why it matters at scale: sorted layout gives parquet min/max row-
+    group statistics real pruning power — a key-range scan touches one
+    file instead of all of them (the poor man's clustered index).
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    (df.repartitionByRange(n, *sort_cols)
+       .sortWithinPartitions(*sort_cols)
+       .write.mode("overwrite")
+       .option("compression", "zstd").parquet(str(path)))
