@@ -44,6 +44,9 @@ NAMES = [
     "bpe_token_stats",
     "pattern_within",
     "numeric_profile",
+    "source_priority_dedup",
+    "domain_curation",
+    "source_lang_entropy",
     "pii_redact",
     "chunk_dedup",
     "sequence_pack",

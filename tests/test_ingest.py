@@ -329,3 +329,28 @@ def test_write_sorted_total_order_across_files(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2                # disjoint across files
+
+
+def test_merge_schema_reads_evolved_shards(spark, tmp_path):
+    out = tmp_path / "evolving"
+    spark.createDataFrame([(1, "a")], "id long, name string") \
+        .write.parquet(str(out / "day=1"))
+    spark.createDataFrame([(2, "b", 9.5)],
+                          "id long, name string, score double") \
+        .write.parquet(str(out / "day=2"))
+    df = spark.read.option("mergeSchema", "true").parquet(str(out))
+    rows = {r.id: r for r in df.collect()}
+    assert set(df.columns) >= {"id", "name", "score"}
+    assert rows[1].score is None        # padded for the old shard
+    assert rows[2].score == 9.5
+
+
+def test_ignore_corrupt_files_skips_poison_shard(spark, tmp_path):
+    out = tmp_path / "mixed"
+    out.mkdir()
+    spark.range(0, 10).write.parquet(str(out / "good"))
+    (out / "good" / "zzz-poison.parquet").write_bytes(b"not a parquet file")
+    read = (spark.read
+            .option("ignoreCorruptFiles", "true")
+            .parquet(str(out / "good")))
+    assert read.count() == 10

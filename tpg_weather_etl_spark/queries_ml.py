@@ -374,7 +374,54 @@ def _embedding_dedup_clusters_oracle() -> str:
     return _cc_sql(f"SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({inner})")
 
 
+# ---------------------------------------------------------------------------
+# Source-mix diagnostics: per-source language entropy — the "is this
+# source monolingual boilerplate or a broad mix" signal used when
+# weighting corpus sources. ln parity follows the unigram-LM rule:
+# round each transcendental term to 6 BEFORE the exact decimal sum.
+# ---------------------------------------------------------------------------
+
+def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language distribution.
+
+    Scale shape: one (source, lang) map-side-combined count, one tiny
+    per-source rollup, a co-partitioned join on source, one final agg
+    — nothing holds more than (sources × languages) rows after the
+    first combine.
+    """
+    d = t(spark, sf_dir, "documents").select("source", "lang")
+    cnt = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").alias("n_docs"), F.count(F.lit(1)).alias("n_langs")
+    )
+    p = F.col("c") / F.col("n_docs")
+    term = F.round(-p * F.log(p), 6).cast("decimal(24,8)")
+    return (
+        cnt.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("n_langs").alias("n_langs"),
+            (F.sum(term).cast("double") + 0.0).alias("lang_entropy"),
+        )
+    )
+
+
+SQL_SOURCE_LANG_ENTROPY = """
+WITH c AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_langs
+        FROM c GROUP BY 1)
+SELECT source, MAX(n_docs) AS n_docs, MAX(n_langs) AS n_langs,
+  CAST(SUM(CAST(round(-(c.c / tot.n_docs) * ln(c.c / tot.n_docs), 6)
+           AS DECIMAL(24,8))) AS DOUBLE) + 0.0 AS lang_entropy
+FROM c JOIN tot USING (source)
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "source_lang_entropy": q_source_lang_entropy,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bigram_topk": q_bigram_topk,
     "repetition_stats": q_repetition_stats,
@@ -385,6 +432,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "source_lang_entropy": SQL_SOURCE_LANG_ENTROPY,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bigram_topk": SQL_BIGRAM_TOPK,
     "repetition_stats": SQL_REPETITION_STATS,

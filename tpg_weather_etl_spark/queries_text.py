@@ -1084,6 +1084,136 @@ FROM s GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Source-priority dedup: among content-identical documents keep the
+# one from the most trusted source (curated > semi-curated > crawl) —
+# the cross-source generalization of A2, run on content fingerprints.
+# ---------------------------------------------------------------------------
+
+# Deterministic 3-tier source trust map over the synthetic src0..srcN.
+_TIER1 = ("src0", "src1")
+_TIER2 = ("src2", "src3", "src4")
+
+
+def _source_priority(col: F.Column) -> F.Column:
+    return (
+        F.when(col.isin(*_TIER1), 3)
+        .when(col.isin(*_TIER2), 2)
+        .otherwise(1)
+    )
+
+
+def q_source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per content fingerprint: the keeper document under source-trust
+    priority (tier desc, then doc_id asc), plus the duplicate count —
+    reuses the A2 ``priority_dedupe`` operator (one window over the
+    fingerprint shuffle; the count aggregates over the same
+    partitioning, so at scale this is one shuffle of (fp, small
+    payload) rows).
+    """
+    from tpg_weather_etl_spark.operators.dedupe import priority_dedupe
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        doc_fingerprint(F.col("text")).alias("fp"),
+        _source_priority(F.col("source")).alias("prio"),
+    )
+    keeper = priority_dedupe(
+        d, ["fp"], [F.col("prio").desc()], ["doc_id"]
+    ).select("fp", F.col("doc_id").alias("keeper_doc_id"),
+             F.col("source").alias("keeper_source"))
+    counts = d.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    return keeper.join(counts, "fp")
+
+
+SQL_SOURCE_PRIORITY_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, source,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+    CASE WHEN source IN {_TIER1} THEN 3
+         WHEN source IN {_TIER2} THEN 2 ELSE 1 END AS prio
+  FROM documents),
+k AS (SELECT fp, doc_id AS keeper_doc_id, source AS keeper_source
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY fp ORDER BY prio DESC, doc_id) AS rn FROM d)
+      WHERE rn = 1)
+SELECT k.fp, k.keeper_doc_id, k.keeper_source, c.n_copies
+FROM k JOIN (SELECT fp, COUNT(*) AS n_copies FROM d GROUP BY 1) c
+  USING (fp)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Web-domain curation: host extraction + per-domain caps — the
+# URL-level hygiene pass of a crawl corpus. The synthetic corpus has
+# no URLs, so a deterministic URL is derived from doc_id (identical
+# expression in the oracle), then parsed back with the regexes a real
+# crawl pipeline would use.
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 5  # max docs kept per registered domain
+
+_HOST_RE = "^https?://([^/]+)/"
+
+
+def q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per registered domain: doc count, token total, and how many
+    docs survive a per-domain cap (keep the ``DOMAIN_CAP`` smallest
+    md5-ordered docs — the deterministic equivalent of random
+    per-host sampling crawl pipelines apply against SEO farms).
+
+    Scale shape: URL parse and hash order are map-side; one shuffle
+    on domain for the window + aggregate (shared partitioning).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tok"),
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") * 2654435761) % 97,
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".com"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(".org"))
+            .otherwise(F.lit(".net")),
+            F.lit("/doc/"), F.col("doc_id"),
+        ).alias("url"),
+    )
+    parsed = d.select(
+        "doc_id", "n_tok",
+        F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("domain"),
+        stable_hash60(F.md5(F.col("url"))).alias("horder"),
+    )
+    w = Window.partitionBy("domain").orderBy("horder", "doc_id")
+    ranked = parsed.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum((F.col("rn") <= DOMAIN_CAP).cast("int")).alias("n_kept"),
+    )
+
+
+SQL_DOMAIN_CURATION = f"""
+WITH d AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+    'https://site' || ((doc_id * 2654435761) % 97) ||
+      CASE WHEN doc_id % 3 = 0 THEN '.com'
+           WHEN doc_id % 3 = 1 THEN '.org' ELSE '.net' END ||
+      '/doc/' || doc_id AS url
+  FROM documents),
+p AS (SELECT doc_id, n_tok,
+        regexp_extract(url, '{_HOST_RE}', 1) AS domain,
+        ('0x' || substr(md5(md5(url)), 1, 15))::BIGINT AS horder
+      FROM d),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY domain ORDER BY horder, doc_id) AS rn FROM p)
+SELECT domain, COUNT(*) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept
+FROM r GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE-style pre-tokenization stats — the GPT-2 pre-tokenizer regex
 # class structure (word / number / punctuation runs, each optionally
 # space-prefixed), restricted to lookahead-free primitives RE2 and
@@ -1236,6 +1366,8 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "sequence_pack": q_sequence_pack,
     "bpe_token_stats": q_bpe_token_stats,
+    "source_priority_dedup": q_source_priority_dedup,
+    "domain_curation": q_domain_curation,
     "text_stats": q_text_stats,
     "lang_quality": q_lang_quality,
     "fingerprint_dedup": q_fingerprint_dedup,
@@ -1257,6 +1389,8 @@ ORACLE = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
+    "source_priority_dedup": SQL_SOURCE_PRIORITY_DEDUP,
+    "domain_curation": SQL_DOMAIN_CURATION,
     "text_stats": SQL_TEXT_STATS,
     "lang_quality": SQL_LANG_QUALITY,
     "fingerprint_dedup": SQL_FINGERPRINT_DEDUP,

@@ -64,6 +64,9 @@ _RUN_FIRST = [
     "bpe_token_stats",
     "pattern_within",
     "numeric_profile",
+    "source_priority_dedup",
+    "domain_curation",
+    "source_lang_entropy",
     "json_extract",
     "gap_fill_forward",
     "pii_redact",
