@@ -47,6 +47,8 @@ NAMES = [
     "source_priority_dedup",
     "domain_curation",
     "source_lang_entropy",
+    "scd2_intervals",
+    "weighted_sample_topk",
     "pii_redact",
     "chunk_dedup",
     "sequence_pack",

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tpg_weather_etl_spark.functions.macros import robust_bool, status_rank
+from tpg_weather_etl_spark.functions.text import stable_hash60, token_count
 from tpg_weather_etl_spark.functions.time import dow_monday0
 from tpg_weather_etl_spark.queries_relational import _dsum
 from tpg_weather_etl_spark.sources.tables import read_table as t
@@ -378,6 +379,114 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Gaps-and-islands / SCD2 interval compression: collapse consecutive
+# equal values per key into validity intervals — the slowly-changing-
+# dimension (type 2) build step
+# ---------------------------------------------------------------------------
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each user's consecutive same-event_type runs into
+    [valid_from, valid_to) intervals (valid_to = next run's start,
+    NULL on the open tail) — the gaps-and-islands pattern: the
+    difference of two row_numbers (overall vs per-value) is constant
+    exactly within a run.
+
+    Scale shape: both row_number windows and the island aggregation
+    share one user_id shuffle; interval close (lead over islands) is a
+    window over the already-small island table.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id")
+    runs = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_val))
+        .alias("grp"),
+    )
+    islands = runs.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("valid_from")
+    return islands.select(
+        "user_id", "event_type", "valid_from", "n_events",
+        F.lead("valid_from").over(w_seq).alias("valid_to"),
+    )
+
+
+SQL_SCD2_INTERVALS = """
+WITH runs AS (
+  SELECT user_id, event_type, ts, event_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      - row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS grp
+  FROM events),
+islands AS (
+  SELECT user_id, event_type, grp,
+    MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM runs GROUP BY 1, 2, 3)
+SELECT user_id, event_type, valid_from, n_events,
+  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+    AS valid_to
+FROM islands
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement
+# (Efraimidis–Spirakis): rank by u^(1/w) with u derived from md5 —
+# the one-pass distributed weighted reservoir
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 50
+
+
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample the ``WSAMPLE_K`` documents with the largest
+    Efraimidis–Spirakis keys, weighting by token count: rank on
+    −ln(u)/w ascending where u ∈ (0,1] is md5-derived — equivalent to
+    u^(1/w) descending but numerically stabler; deterministic, so
+    hash-checkable and repeatable across runs/engines.
+
+    Scale shape: the ES key is map-side arithmetic; top-k is a
+    TakeOrderedAndProject (per-partition heaps + one k-row merge) —
+    the whole corpus is never sorted. Keys round to 9 decimals before
+    ranking (libm ulp differences) with doc_id as the total-order tie
+    break in both engines.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).alias("w"),
+    ).filter(F.col("w") >= 1)
+    # u in (0,1]: (h+1) / 2^60 with h uniform in [0, 2^60)
+    u = (stable_hash60(F.col("doc_id").cast("string")) + 1) / F.lit(
+        float(2 ** 60))
+    es_key = F.round(-F.log(u) / F.col("w"), 9)
+    return (
+        d.select("doc_id", "w", es_key.alias("es_key"))
+        .orderBy(F.col("es_key").asc(), F.col("doc_id").asc())
+        .limit(WSAMPLE_K)
+    )
+
+
+SQL_WEIGHTED_SAMPLE_TOPK = f"""
+WITH d AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w,
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+      / 1152921504606846976.0 AS u
+  FROM documents),
+k AS (SELECT doc_id, w, round(-ln(u) / w, 9) AS es_key
+      FROM d WHERE w >= 1)
+SELECT doc_id, w, es_key FROM k
+ORDER BY es_key ASC, doc_id ASC LIMIT {WSAMPLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cohort retention: weekly signup cohorts × activity-week offset
 # ---------------------------------------------------------------------------
 
@@ -684,6 +793,8 @@ QUERIES = {
     "session_window_agg": q_session_window_agg,
     "pattern_within": q_pattern_within,
     "numeric_profile": q_numeric_profile,
+    "scd2_intervals": q_scd2_intervals,
+    "weighted_sample_topk": q_weighted_sample_topk,
     "gap_fill_forward": q_gap_fill_forward,
     "json_extract": q_json_extract,
     "contains_filter": q_contains_filter,
@@ -703,6 +814,8 @@ ORACLE = {
     "session_window_agg": SQL_SESSION_WINDOW_AGG,
     "pattern_within": SQL_PATTERN_WITHIN,
     "numeric_profile": SQL_NUMERIC_PROFILE,
+    "scd2_intervals": SQL_SCD2_INTERVALS,
+    "weighted_sample_topk": SQL_WEIGHTED_SAMPLE_TOPK,
     # approx_stats is deliberately absent: sketch results are
     # engine-specific (rows-only gate; bounds-tested in pytest)
     "contains_filter": SQL_CONTAINS_FILTER,

@@ -67,6 +67,8 @@ _RUN_FIRST = [
     "source_priority_dedup",
     "domain_curation",
     "source_lang_entropy",
+    "scd2_intervals",
+    "weighted_sample_topk",
     "json_extract",
     "gap_fill_forward",
     "pii_redact",
