@@ -49,6 +49,7 @@ NAMES = [
     "source_lang_entropy",
     "scd2_intervals",
     "weighted_sample_topk",
+    "sliding_window_counts",
     "pii_redact",
     "chunk_dedup",
     "sequence_pack",

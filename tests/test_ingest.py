@@ -354,3 +354,17 @@ def test_ignore_corrupt_files_skips_poison_shard(spark, tmp_path):
             .option("ignoreCorruptFiles", "true")
             .parquet(str(out / "good")))
     assert read.count() == 10
+
+
+def test_narrow_projection_prunes_read_schema(spark):
+    from tpg_weather_etl_spark.sources.tables import read_table
+
+    df = read_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "lang")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m, plan
+    # the scan must read ONLY the projected columns — at 100 TB the
+    # text column is ~99% of the bytes and must not leave the footer
+    assert "text" not in m[0], m[0]
+    assert "doc_id" in m[0] and "lang" in m[0]

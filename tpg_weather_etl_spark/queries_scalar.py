@@ -379,6 +379,60 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Sliding (hopping) time windows: F.window with slide < width — each
+# event lands in width/slide overlapping windows (the smoothed-rate
+# view; same operator drives the streaming form)
+# ---------------------------------------------------------------------------
+
+SLIDE_WIDTH_MIN = 60
+SLIDE_STEP_MIN = 30
+
+
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts and value sums per 60-minute window sliding every
+    30 minutes (each event feeds exactly 2 windows).
+
+    Spark's ``F.window`` expands the row to its covering windows
+    map-side (a Generate of width/slide rows), then one hash agg on
+    window start — the same plan the streaming engine runs
+    incrementally. The oracle derives each event's covering window
+    starts arithmetically.
+    """
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", f"{SLIDE_WIDTH_MIN} minutes",
+                     f"{SLIDE_STEP_MIN} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             _dsum(F.col("value")).alias("value_sum"))
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "event_type", "n", "value_sum")
+    )
+
+
+SQL_SLIDING_WINDOW_COUNTS = f"""
+WITH e AS (SELECT ts, event_type, value,
+             epoch_us(ts) // ({SLIDE_STEP_MIN} * 60 * 1000000)
+               AS step_idx
+           FROM events),
+x AS (SELECT ts, event_type, value,
+        unnest(range(step_idx - {SLIDE_WIDTH_MIN // SLIDE_STEP_MIN} + 1,
+                     step_idx + 1)) AS w_idx
+      FROM e)
+SELECT make_timestamp(w_idx * {SLIDE_STEP_MIN} * 60 * 1000000) AS w_start,
+  make_timestamp((w_idx + {SLIDE_WIDTH_MIN // SLIDE_STEP_MIN})
+                 * {SLIDE_STEP_MIN} * 60 * 1000000) AS w_end,
+  event_type, COUNT(*) AS n,
+  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE) AS value_sum
+FROM x GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gaps-and-islands / SCD2 interval compression: collapse consecutive
 # equal values per key into validity intervals — the slowly-changing-
 # dimension (type 2) build step
@@ -793,6 +847,7 @@ QUERIES = {
     "session_window_agg": q_session_window_agg,
     "pattern_within": q_pattern_within,
     "numeric_profile": q_numeric_profile,
+    "sliding_window_counts": q_sliding_window_counts,
     "scd2_intervals": q_scd2_intervals,
     "weighted_sample_topk": q_weighted_sample_topk,
     "gap_fill_forward": q_gap_fill_forward,
@@ -814,6 +869,7 @@ ORACLE = {
     "session_window_agg": SQL_SESSION_WINDOW_AGG,
     "pattern_within": SQL_PATTERN_WITHIN,
     "numeric_profile": SQL_NUMERIC_PROFILE,
+    "sliding_window_counts": SQL_SLIDING_WINDOW_COUNTS,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "weighted_sample_topk": SQL_WEIGHTED_SAMPLE_TOPK,
     # approx_stats is deliberately absent: sketch results are

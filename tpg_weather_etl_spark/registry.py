@@ -69,6 +69,7 @@ _RUN_FIRST = [
     "source_lang_entropy",
     "scd2_intervals",
     "weighted_sample_topk",
+    "sliding_window_counts",
     "json_extract",
     "gap_fill_forward",
     "pii_redact",
