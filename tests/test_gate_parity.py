@@ -50,6 +50,8 @@ NAMES = [
     "scd2_intervals",
     "weighted_sample_topk",
     "sliding_window_counts",
+    "rank_functions",
+    "fuzzy_match_sources",
     "pii_redact",
     "chunk_dedup",
     "sequence_pack",

@@ -828,6 +828,82 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Ranking-function family: rank / dense_rank / percent_rank /
+# cume_dist / ntile in one window pass
+# ---------------------------------------------------------------------------
+
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every SQL ranking function over one (event_type, value-ordered)
+    window — all five share a single sort/shuffle; ties are broken by
+    event_id so every rank is total-order deterministic. Ratios round
+    to 6 (exact small-int divisions, but the guard costs nothing).
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id", "event_type",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        (F.round(F.percent_rank().over(w), 6) + 0.0).alias("prnk"),
+        (F.round(F.cume_dist().over(w), 6) + 0.0).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+SQL_RANK_FUNCTIONS = """
+SELECT event_id, event_type,
+  rank() OVER w AS rnk,
+  dense_rank() OVER w AS drnk,
+  round(percent_rank() OVER w, 6) + 0.0 AS prnk,
+  round(cume_dist() OVER w, 6) + 0.0 AS cdist,
+  ntile(4) OVER w AS quartile
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching: levenshtein self-join over a distinct
+# key vocabulary (the fuzzy-key-reconciliation primitive; at scale the
+# distinct vocab is small relative to the corpus, so the quadratic
+# stays on the dictionary, never on the data)
+# ---------------------------------------------------------------------------
+
+def q_fuzzy_match_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-name pairs within levenshtein distance 1 (e.g. 'src1' ~
+    'src2') — the dictionary-level fuzzy join: dedupe the key column
+    first (20 rows), pair the dictionary, map matches back by exact
+    join if needed. The corpus never enters the quadratic.
+    """
+    s = (
+        t(spark, sf_dir, "documents").select("source").distinct()
+    )
+    a = s.select(F.col("source").alias("src_a"))
+    b = s.select(F.col("source").alias("src_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a", "src_b",
+            F.levenshtein(F.col("src_a"), F.col("src_b")).cast("long")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )
+
+
+SQL_FUZZY_MATCH_SOURCES = """
+WITH s AS (SELECT DISTINCT source FROM documents)
+SELECT a.source AS src_a, b.source AS src_b,
+  CAST(levenshtein(a.source, b.source) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.source < b.source
+WHERE levenshtein(a.source, b.source) <= 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Set operations: INTERSECT / EXCEPT (§2.7 beyond UNION ALL)
 # ---------------------------------------------------------------------------
 
@@ -867,6 +943,8 @@ QUERIES = {
     "pivot_event_values": q_pivot_event_values,
     "intersect_except": q_intersect_except,
     "interval_join": q_interval_join,
+    "rank_functions": q_rank_functions,
+    "fuzzy_match_sources": q_fuzzy_match_sources,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
     "semi_join_parts": q_semi_join_parts,
@@ -896,6 +974,8 @@ ORACLE = {
     "pivot_event_values": SQL_PIVOT_EVENT_VALUES,
     "intersect_except": SQL_INTERSECT_EXCEPT,
     "interval_join": SQL_INTERVAL_JOIN,
+    "rank_functions": SQL_RANK_FUNCTIONS,
+    "fuzzy_match_sources": SQL_FUZZY_MATCH_SOURCES,
     "top_orders": SQL_TOP_ORDERS,
     "region_revenue": SQL_REGION_REVENUE,
     "semi_join_parts": SQL_SEMI_JOIN_PARTS,

@@ -70,6 +70,8 @@ _RUN_FIRST = [
     "scd2_intervals",
     "weighted_sample_topk",
     "sliding_window_counts",
+    "rank_functions",
+    "fuzzy_match_sources",
     "json_extract",
     "gap_fill_forward",
     "pii_redact",
