@@ -1,10 +1,10 @@
-"""Oracle-parity pytest for the newest gate queries at sf0.001.
+"""Oracle-parity pytest for EVERY oracle-backed gate query at sf0.001.
 
 The full gate (`tools/check_oracle.py`) runs every query at sf0.01;
-this test wires a representative subset — the training-data-pipeline
-additions — into the pytest suite so `pytest tests/` alone catches a
-parity regression in them (value compare, order-insensitive, same
-canonicalization as the gate tool).
+this suite re-verifies the complete registry inside `pytest tests/`
+(value compare, order-insensitive, same canonicalization as the gate
+tool) so a green pytest alone certifies every entry — independent of
+any per-round budget the external driver applies to its own run.
 """
 
 from __future__ import annotations
@@ -18,44 +18,13 @@ import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
-NAMES = [
-    "embedding_neardup",
-    "embedding_neardup_multi",
-    "multimodal_metadata",
-    "ngram_jaccard_pairs",
-    "dedup_clusters",
-    "ivf_topk",
-    "contamination_ngrams",
-    "stratified_sample",
-    "length_buckets",
-    "gopher_quality",
-    "sessionize",
-    "cohort_retention",
-    "funnel_steps",
-    "embedding_dedup_clusters",
-    "json_extract",
-    "rollup_revenue",
-    "pivot_event_values",
-    "intersect_except",
-    "interval_join",
-    "gap_fill_forward",
-    "array_agg_types",
-    "session_window_agg",
-    "bpe_token_stats",
-    "pattern_within",
-    "numeric_profile",
-    "source_priority_dedup",
-    "domain_curation",
-    "source_lang_entropy",
-    "scd2_intervals",
-    "weighted_sample_topk",
-    "sliding_window_counts",
-    "rank_functions",
-    "fuzzy_match_sources",
-    "pii_redact",
-    "chunk_dedup",
-    "sequence_pack",
-]
+
+def _all_oracle_names() -> list[str]:
+    from tpg_weather_etl_spark.registry import all_oracles
+    return list(all_oracles())
+
+
+NAMES = _all_oracle_names()
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
