@@ -368,3 +368,76 @@ def test_narrow_projection_prunes_read_schema(spark):
     # text column is ~99% of the bytes and must not leave the footer
     assert "text" not in m[0], m[0]
     assert "doc_id" in m[0] and "lang" in m[0]
+
+
+def test_refresh_months_equals_full_rebuild(spark, tmp_path):
+    import datetime as _dt
+    from tpg_weather_etl_spark.sources.writers import (
+        refresh_months, write_month_partitioned)
+
+    def build(df):
+        return df.groupBy("service_date").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("v_sum"))
+
+    def mkrows(seed, n):
+        return [(i, _dt.date(2024, 1 + (i + seed) % 3, 1 + i % 27),
+                 float(i * seed)) for i in range(n)]
+
+    v1 = spark.createDataFrame(mkrows(1, 200),
+                               "id long, service_date date, v double")
+    gold = tmp_path / "gold"
+    write_month_partitioned(build(v1), gold, date_col="service_date")
+
+    # february gets corrected data → refresh only that month
+    v2_feb = spark.createDataFrame(
+        [(i, _dt.date(2024, 2, 1 + i % 27), float(i * 7))
+         for i in range(300)],
+        "id long, service_date date, v double")
+    full_v2 = v1.filter(F.month("service_date") != 2).unionByName(v2_feb)
+    refreshed = refresh_months(spark, v2_feb, gold, build,
+                               date_col="service_date")
+    assert refreshed == ["2024-02"]
+
+    got = spark.read.parquet(str(gold)).drop("month")
+    want = build(full_v2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_aqe_splits_skewed_join(spark):
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one hot key carrying ~95% of the left side
+        # pad is incompressible so the hot partition's shuffle bytes
+        # actually exceed the skew threshold (constant keys compress
+        # to nothing on their own)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"))
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        joined = left.join(right, "k").select("k", "pad")
+        # execute THIS dataframe so its own AdaptiveSparkPlan finalizes
+        # (a .write would run a separate query execution)
+        assert len(joined.collect()) == 190_050
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # AQE must mark the hot partition split on the final plan —
+        # the runtime answer to hot keys the static planner can't see
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -205,3 +205,40 @@ def write_sorted(
        .sortWithinPartitions(*sort_cols)
        .write.mode("overwrite")
        .option("compression", "zstd").parquet(str(path)))
+
+
+def refresh_months(
+    spark: SparkSession,
+    source: DataFrame,
+    gold_path: str | Path,
+    build: "callable",
+    months: list[str] | None = None,
+    date_col: str = "service_date",
+) -> list[str]:
+    """Incremental gold maintenance: rebuild ONLY the given months of
+    a month-partitioned aggregate (default: the months present in
+    ``source``) and dynamic-overwrite exactly those partitions.
+
+    ``build`` maps a month-filtered source DataFrame to its gold rows
+    (the same function a full rebuild uses — incremental refresh must
+    never have its own aggregation logic to drift). At 100 TB this is
+    the difference between touching one month's partitions and
+    recomputing the lake; correctness holds because monthly aggregates
+    depend only on that month's rows (partition-aligned computation).
+    Returns the refreshed month keys.
+    """
+    src_m = source.withColumn("month", month_key(F.col(date_col)))
+    if months is None:
+        months = [r.month for r in src_m.select("month").distinct().collect()]
+    subset = src_m.filter(F.col("month").isin(months)).drop("month")
+    out = build(subset).withColumn("month", month_key(F.col(date_col)))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (out.write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("month")
+            .parquet(str(gold_path)))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return sorted(months)
