@@ -277,6 +277,77 @@ GROUP BY label, j
 
 
 # ---------------------------------------------------------------------------
+# Embedding z-score normalization: per-dimension standardization —
+# the feature-prep step before distance-based ML. Moments are
+# decimal-exact (order-independent); sqrt is IEEE-correctly-rounded in
+# every engine, so z-scores hash-match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def q_embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardize every embedding dimension to zero mean / unit
+    variance and rebuild the vectors (ordered array reassembly via
+    array_sort over (dim, z) structs — the engine-portable ordered
+    collect).
+
+    Scale shape: one posexplode pass, a 64-row per-dimension stats
+    table (broadcast — the dimension count is fixed, never
+    corpus-scale), and one groupBy(vec_id) reassembly; total two
+    shuffles of (vec_id|dim, scalar) rows.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    # Parity rule for derived moments: decimal-sum (order-independent),
+    # round ONCE, cast to double, then do all remaining arithmetic in
+    # pure double — every IEEE double op is correctly rounded and thus
+    # engine-identical, whereas decimal *division/multiplication* scale
+    # rules differ between engines in the late decimals.
+    # (18,8) so the squared product stays within precision 38 — a
+    # (24,8)x(24,8) product overflows and each engine degrades scale
+    # differently
+    xd = F.col("x").cast("decimal(18,8)")
+    n = F.count("x")
+    s1 = F.sum(xd)
+    s1d = F.round(s1, 6).cast("double")
+    s2d = F.round(F.sum(xd * xd), 6).cast("double")
+    nd = n.cast("double")
+    mean = (F.round(s1, 4).cast("decimal(18,4)").cast("double") / n)
+    var = (nd * s2d - s1d * s1d) / (nd * (nd - F.lit(1.0)))
+    stats = dims.groupBy("dim").agg(mean.alias("mu"), var.alias("v"))
+    z = F.round((F.col("x") - F.col("mu")) / F.sqrt(F.col("v")), 6) + 0.0
+    zd = dims.join(F.broadcast(stats), "dim").select(
+        "vec_id", "dim", z.alias("z"))
+    return zd.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "z"))),
+            lambda s: s["z"],
+        ).alias("zvec")
+    )
+
+
+SQL_EMBEDDING_ZSCORE = """
+WITH dims AS (
+  SELECT vec_id, j AS dim, CAST(embedding[j+1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(0, 64) s(j)),
+st AS (
+  SELECT dim,
+    CAST(CAST(ROUND(SUM(CAST(x AS DECIMAL(24,8))), 4) AS DECIMAL(18,4))
+         AS DOUBLE) / COUNT(x) AS mu,
+    (CAST(COUNT(x) AS DOUBLE)
+       * CAST(ROUND(SUM(CAST(x AS DECIMAL(18,8))
+                        * CAST(x AS DECIMAL(18,8))), 6) AS DOUBLE)
+     - CAST(ROUND(SUM(CAST(x AS DECIMAL(18,8))), 6) AS DOUBLE)
+       * CAST(ROUND(SUM(CAST(x AS DECIMAL(18,8))), 6) AS DOUBLE))
+    / (CAST(COUNT(x) AS DOUBLE) * (CAST(COUNT(x) AS DOUBLE) - 1.0)) AS v
+  FROM dims GROUP BY 1)
+SELECT vec_id, list(round((x - mu) / sqrt(v), 6) + 0.0 ORDER BY dim) AS zvec
+FROM dims JOIN st USING (dim)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Dedup clustering: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
@@ -427,6 +498,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "unigram_logprob": q_unigram_logprob,
     "label_centroids": q_label_centroids,
+    "embedding_zscore": q_embedding_zscore,
     "dedup_clusters": q_dedup_clusters,
     "embedding_dedup_clusters": q_embedding_dedup_clusters,
 }
@@ -438,6 +510,7 @@ ORACLE = {
     "repetition_stats": SQL_REPETITION_STATS,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "embedding_zscore": SQL_EMBEDDING_ZSCORE,
     "dedup_clusters": _dedup_clusters_oracle(),
     "embedding_dedup_clusters": _embedding_dedup_clusters_oracle(),
 }

@@ -343,21 +343,26 @@ def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``stddev`` which folds doubles in partition arrival order.
     """
     e = t(spark, sf_dir, "events")
-    x = F.col("value").cast("decimal(24,8)")
+    # square terms at (18,6): the product stays within Spark's
+    # precision-38 cap AND DuckDB's int64 physical multiply for this
+    # value range; decimal division/multiplication scale rules differ
+    # across engines past that, so sums are rounded ONCE and the
+    # variance is then pure double arithmetic (IEEE ops are correctly
+    # rounded → identical)
+    x = F.col("value").cast("decimal(18,6)")
     n = F.count("value")
-    s1 = F.sum(x)
-    s2 = F.sum(x * x)  # decimal(38,16) product, exact
-    var = (n.cast("decimal(38,8)") * s2 - s1 * s1) / (
-        n.cast("decimal(38,8)") * (n - 1).cast("decimal(38,8)")
-    )
+    nd = n.cast("double")
+    s1d = F.round(F.sum(x), 6).cast("double")
+    s2d = F.round(F.sum(x * x), 6).cast("double")
+    var = (nd * s2d - s1d * s1d) / (nd * (nd - F.lit(1.0)))
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("value").isNull().cast("int")).alias("n_nulls"),
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
-        (F.round(s1 / n.cast("decimal(38,8)"), 6).cast("double") + 0.0)
-        .alias("v_mean"),
-        (F.round(var, 6).cast("double") + 0.0).alias("v_var"),
+        (F.round(F.round(F.sum(x), 4).cast("decimal(18,4)").cast("double")
+                 / n, 6) + 0.0).alias("v_mean"),
+        (F.round(var, 6) + 0.0).alias("v_var"),
     )
 
 
@@ -365,15 +370,15 @@ SQL_NUMERIC_PROFILE = """
 SELECT event_type, COUNT(*) AS n_rows,
   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
   MIN(value) AS v_min, MAX(value) AS v_max,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8)))
-             / CAST(COUNT(value) AS DECIMAL(38,8)), 6) AS DOUBLE) + 0.0
-    AS v_mean,
-  CAST(ROUND((CAST(COUNT(value) AS DECIMAL(38,8))
-                * SUM(CAST(value AS DECIMAL(24,8)) * CAST(value AS DECIMAL(24,8)))
-              - SUM(CAST(value AS DECIMAL(24,8))) * SUM(CAST(value AS DECIMAL(24,8))))
-             / (CAST(COUNT(value) AS DECIMAL(38,8))
-                * CAST(COUNT(value) - 1 AS DECIMAL(38,8))), 6) AS DOUBLE) + 0.0
-    AS v_var
+  round(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) / COUNT(value), 6) + 0.0 AS v_mean,
+  round((CAST(COUNT(value) AS DOUBLE)
+           * CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))
+                            * CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)
+         - CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)
+           * CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE))
+        / (CAST(COUNT(value) AS DOUBLE)
+           * (CAST(COUNT(value) AS DOUBLE) - 1.0)), 6) + 0.0 AS v_var
 FROM events GROUP BY 1
 """
 

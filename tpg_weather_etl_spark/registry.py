@@ -72,6 +72,7 @@ _RUN_FIRST = [
     "sliding_window_counts",
     "rank_functions",
     "fuzzy_match_sources",
+    "embedding_zscore",
     "json_extract",
     "gap_fill_forward",
     "pii_redact",
