@@ -186,6 +186,37 @@ WHERE rank <= 3
 
 
 # ---------------------------------------------------------------------------
+# Semantic search: ANN hits joined back to document metadata — the
+# user-facing retrieval shape (vector index finds ids, the catalog
+# supplies the payload; vec_id doubles as doc_id in the testdata)
+# ---------------------------------------------------------------------------
+
+def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 ANN neighbors per query vector enriched with the matched
+    document's source/lang/length — composes the bucketed ANN operator
+    with a doc_id equi-join rather than re-deriving retrieval logic.
+
+    Scale shape: everything the ANN query does, plus one
+    co-partitioned join of the (tiny) hit list against the catalog —
+    at scale the hit list broadcasts; the catalog never shuffles.
+    """
+    hits = q_ann_topk(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), "source", "lang", "n_chars")
+    return (
+        hits.join(docs, hits["vec_id"] == docs["doc_id"])
+        .select("qid", "vec_id", "cos", "rank", "source", "lang", "n_chars")
+    )
+
+
+SQL_SEMANTIC_SEARCH = f"""
+WITH hits AS ({SQL_ANN_TOPK})
+SELECT h.qid, h.vec_id, h.cos, h.rank, d.source, d.lang, d.n_chars
+FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (LSH-bucketed scale path)
 # ---------------------------------------------------------------------------
 
@@ -553,6 +584,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "ann_buckets": q_ann_buckets,
     "ann_topk": q_ann_topk,
+    "semantic_search": q_semantic_search,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_multi": q_embedding_neardup_multi,
     "ivf_topk": q_ivf_topk,
@@ -563,6 +595,7 @@ ORACLE = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "ann_buckets": SQL_ANN_BUCKETS,
     "ann_topk": SQL_ANN_TOPK,
+    "semantic_search": SQL_SEMANTIC_SEARCH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "embedding_neardup_multi": SQL_EMBEDDING_NEARDUP_MULTI,
     "ivf_topk": SQL_IVF_TOPK,

@@ -384,6 +384,38 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Daily quantile trend: per-day discrete p50/p90 bands — the
+# monitoring time series every pipeline dashboard plots (reuses the
+# A8 quantile operator over a calendar grouping)
+# ---------------------------------------------------------------------------
+
+def q_daily_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day p50/p90 of event values plus count — one window rank
+    pass and one agg sharing the day shuffle (operators/quantiles).
+    """
+    from tpg_weather_etl_spark.operators.quantiles import (
+        with_group_quantiles,
+    )
+
+    e = t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    return with_group_quantiles(
+        e, ["day"], "value", {"p50": 0.5, "p90": 0.9},
+        extra_aggs=[F.count(F.lit(1)).alias("n")],
+    )
+
+
+SQL_DAILY_VALUE_QUANTILES = """
+SELECT CAST(ts AS DATE) AS day,
+  quantile_disc(value, 0.5) AS p50,
+  quantile_disc(value, 0.9) AS p90,
+  COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sliding (hopping) time windows: F.window with slide < width — each
 # event lands in width/slide overlapping windows (the smoothed-rate
 # view; same operator drives the streaming form)
@@ -853,6 +885,7 @@ QUERIES = {
     "pattern_within": q_pattern_within,
     "numeric_profile": q_numeric_profile,
     "sliding_window_counts": q_sliding_window_counts,
+    "daily_value_quantiles": q_daily_value_quantiles,
     "scd2_intervals": q_scd2_intervals,
     "weighted_sample_topk": q_weighted_sample_topk,
     "gap_fill_forward": q_gap_fill_forward,
@@ -875,6 +908,7 @@ ORACLE = {
     "pattern_within": SQL_PATTERN_WITHIN,
     "numeric_profile": SQL_NUMERIC_PROFILE,
     "sliding_window_counts": SQL_SLIDING_WINDOW_COUNTS,
+    "daily_value_quantiles": SQL_DAILY_VALUE_QUANTILES,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "weighted_sample_topk": SQL_WEIGHTED_SAMPLE_TOPK,
     # approx_stats is deliberately absent: sketch results are

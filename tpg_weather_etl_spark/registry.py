@@ -73,6 +73,8 @@ _RUN_FIRST = [
     "rank_functions",
     "fuzzy_match_sources",
     "embedding_zscore",
+    "semantic_search",
+    "daily_value_quantiles",
     "json_extract",
     "gap_fill_forward",
     "pii_redact",
