@@ -828,6 +828,127 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Snapshot diff / reconciliation: added-removed-changed report between
+# two table versions via one full-outer join on the key
+# ---------------------------------------------------------------------------
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two deterministic snapshots of the events table (the
+    'v2' snapshot drops error events and revalues clicks) into the
+    classic added/removed/changed/unchanged counts per event type.
+
+    One full-outer join on the key, status derived from null-ness and
+    value comparison, one small agg — the table-diff every migration
+    and backfill validation runs. At scale both sides co-partition on
+    the key; nothing is collected.
+    """
+    e = t(spark, sf_dir, "events")
+    v1 = e.select("event_id", "event_type", "value")
+    v2 = (
+        e.filter(F.col("event_type") != "error")
+        .select(
+            "event_id", "event_type",
+            F.when(F.col("event_type") == "click", F.col("value") * 2)
+            .otherwise(F.col("value")).alias("value"),
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.event_id") == F.col("b.event_id"), "full")
+    status = (
+        F.when(F.col("b.event_id").isNull(), "removed")
+        .when(F.col("a.event_id").isNull(), "added")
+        .when(F.col("a.value") != F.col("b.value"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.event_type"), F.col("b.event_type"))
+            .alias("event_type"),
+            status.alias("status"),
+        )
+        .groupBy("event_type", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH v1 AS (SELECT event_id, event_type, value FROM events),
+v2 AS (SELECT event_id, event_type,
+         CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+       FROM events WHERE event_type != 'error')
+SELECT coalesce(a.event_type, b.event_type) AS event_type,
+  CASE WHEN b.event_id IS NULL THEN 'removed'
+       WHEN a.event_id IS NULL THEN 'added'
+       WHEN a.value != b.value THEN 'changed'
+       ELSE 'unchanged' END AS status,
+  COUNT(*) AS n
+FROM v1 a FULL OUTER JOIN v2 b ON a.event_id = b.event_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Constraint validation: dbt-test-style expectations (unique key,
+# not-null, value range, referential integrity) in one report
+# ---------------------------------------------------------------------------
+
+def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per declared constraint with its violation count —
+    unique(event_id), not_null(user_id), range(value ∈ [0, 1000]),
+    and FK events.user_id → customer.c_custkey.
+
+    Scale shape: the unique check is one count-distinct agg, the FK
+    check a left-anti join against the (broadcastable) key side,
+    scalar checks are map-side conditional sums; the report unions
+    four 1-row frames.
+    """
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"))
+
+    def one(name: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(F.lit(name).alias("constraint"),
+                          F.col("violations").cast("long")
+                          .alias("violations"))
+
+    uniq = e.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("event_id")))
+        .alias("violations"))
+    notnull = e.agg(
+        F.sum(F.col("user_id").isNull().cast("int")).alias("violations"))
+    rng = e.agg(
+        F.sum((~F.col("value").between(0.0, 1000.0)).cast("int"))
+        .alias("violations"))
+    fk = (
+        e.select("user_id").join(c, "user_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    return (
+        one("unique_event_id", uniq)
+        .unionByName(one("not_null_user_id", notnull))
+        .unionByName(one("value_in_range", rng))
+        .unionByName(one("fk_user_id_customer", fk))
+    )
+
+
+SQL_CONSTRAINT_REPORT = """
+SELECT 'unique_event_id' AS constraint,
+       COUNT(*) - COUNT(DISTINCT event_id) AS violations FROM events
+UNION ALL
+SELECT 'not_null_user_id',
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value_in_range',
+       CAST(SUM(CASE WHEN value NOT BETWEEN 0.0 AND 1000.0
+                THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL
+SELECT 'fk_user_id_customer', COUNT(*) FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Ranking-function family: rank / dense_rank / percent_rank /
 # cume_dist / ntile in one window pass
 # ---------------------------------------------------------------------------
@@ -944,6 +1065,8 @@ QUERIES = {
     "intersect_except": q_intersect_except,
     "interval_join": q_interval_join,
     "rank_functions": q_rank_functions,
+    "snapshot_diff": q_snapshot_diff,
+    "constraint_report": q_constraint_report,
     "fuzzy_match_sources": q_fuzzy_match_sources,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
@@ -975,6 +1098,8 @@ ORACLE = {
     "intersect_except": SQL_INTERSECT_EXCEPT,
     "interval_join": SQL_INTERVAL_JOIN,
     "rank_functions": SQL_RANK_FUNCTIONS,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "constraint_report": SQL_CONSTRAINT_REPORT,
     "fuzzy_match_sources": SQL_FUZZY_MATCH_SOURCES,
     "top_orders": SQL_TOP_ORDERS,
     "region_revenue": SQL_REGION_REVENUE,

@@ -75,6 +75,8 @@ _RUN_FIRST = [
     "embedding_zscore",
     "semantic_search",
     "daily_value_quantiles",
+    "snapshot_diff",
+    "constraint_report",
     "json_extract",
     "gap_fill_forward",
     "pii_redact",
