@@ -81,3 +81,53 @@ def test_interval_join_equals_theta_join(spark, pts, ivs, bin_s):
         for j, (a, w) in enumerate(ivs)
         if a <= s < a + w)
     assert got == want
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=4000),
+                  min_size=1, max_size=50),
+)
+@_settings
+def test_sessionize_invariants(spark, gaps):
+    from tpg_weather_etl_spark.queries_scalar import SESSION_GAP_SEC
+
+    # one user; event times from cumulative random gaps (seconds)
+    ts, acc = [], 0
+    for g in gaps:
+        acc += g
+        ts.append(acc)
+    rows = [(1, i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), 1.0)
+            for i, s in enumerate(ts)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    # rebuild the same window pipeline q_sessionize uses, inline on
+    # the fixture frame
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts"))
+    d = df.withColumn("tus", tus)
+    new_s = F.when(
+        F.lag("tus").over(w).isNull()
+        | ((F.col("tus") - F.lag("tus").over(w))
+           > SESSION_GAP_SEC * 1_000_000), 1).otherwise(0)
+    sess = d.withColumn("new_s", new_s).withColumn(
+        "seq", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    out = sess.groupBy("seq").agg(
+        F.min("tus").alias("t0"), F.max("tus").alias("t1"),
+        F.count(F.lit(1)).alias("n")).orderBy("seq").collect()
+
+    # invariants: sessions tile the events; consecutive sessions are
+    # separated by > gap; total event count preserved
+    assert sum(r.n for r in out) == len(rows)
+    for a, b in zip(out, out[1:]):
+        assert (b.t0 - a.t1) > SESSION_GAP_SEC * 1_000_000
+    # within a session, the max internal gap never exceeds the cutoff:
+    # session span < n * gap is implied; check directly per event list
+    by_seq = {}
+    for r in sess.select("seq", "tus").collect():
+        by_seq.setdefault(r.seq, []).append(r.tus)
+    for seq, tt in by_seq.items():
+        tt.sort()
+        for x, y in zip(tt, tt[1:]):
+            assert (y - x) <= SESSION_GAP_SEC * 1_000_000
