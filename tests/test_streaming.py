@@ -138,3 +138,46 @@ def test_stream_upsert_replaces_overlapping_window(spark, tmp_path):
     assert rows["08:10"] == 99.0               # revised value won
     assert rows["08:00"] == 10.0
     assert rows["08:20"] == 12.0
+
+
+def test_stream_session_windows_merge_and_close(spark, tmp_path):
+    from tpg_weather_etl_spark.streaming.istdaten_stream import (
+        stream_trip_sessions,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    # trip t1: stops at 08:00, 08:10 (merge: gap 10 < 15) then 08:40
+    # (new session: gap 30 > 15); trip t2: one stop
+    (inbox / "b1.csv").write_text(
+        "\n".join([IST_HEADER,
+                   _row("t1", 0, 2), _row("t1", 10, 4),
+                   _row("t1", 40, 0), _row("t2", 5, 1)]))
+    # sentinel batches at 09:30/09:35 advance the watermark (max-30min)
+    # past every session end (t1@08:40 closes at 08:55) so they emit
+    def sentinel(fahrt, hhmm):
+        ts = f"01.02.2024 {hhmm}"
+        return ";".join(["01.02.2024", fahrt, "TPG", "Bus", "12", "Gare",
+                         "8501", ts, ts, "REAL", ts, ts, "REAL",
+                         "0", "0", "0"])
+    (inbox / "b2.csv").write_text(
+        "\n".join([IST_HEADER, sentinel("w1", "09:30:00")]))
+    (inbox / "b3.csv").write_text(
+        "\n".join([IST_HEADER, sentinel("w2", "09:35:00")]))
+    # FileStreamSource orders files by modification time; same-second
+    # writes tie and can batch the watermark sentinels BEFORE the data
+    # (making every data row late) — pin ascending mtimes explicitly
+    import os as _os
+    for i, f in enumerate(["b1.csv", "b2.csv", "b3.csv"]):
+        _os.utime(inbox / f, (1000 + i, 1000 + i))
+    events = stream_istdaten(spark, str(inbox), max_files_per_trigger=1)
+    q = write_stream_to_parquet(
+        stream_trip_sessions(events), str(tmp_path / "out"),
+        str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+    rows = {(r.fahrt_bezeichner, r.s_start.minute, r.n_stops,
+             r.max_delay_sec)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert ("t1", 0, 2, 240) in rows      # 08:00+08:10 merged, max 4 min
+    assert ("t1", 40, 1, 0) in rows       # 08:40 separate session
+    assert ("t2", 5, 1, 60) in rows

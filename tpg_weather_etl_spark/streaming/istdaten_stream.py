@@ -187,3 +187,35 @@ def write_stream_upsert(df: DataFrame, target_path: str,
         .outputMode("update")
         .trigger(availableNow=True)
     )
+
+
+def stream_trip_sessions(events: DataFrame,
+                         gap: str = "15 minutes") -> DataFrame:
+    """Per-trip session windows on the event stream: consecutive stop
+    events of a trip merge while gaps stay under ``gap`` — Spark's
+    ``session_window`` state operator (variable-length windows with
+    watermark-driven eviction; a different state path from the
+    fixed-window aggs above). Emits one row per closed session with
+    event count and max departure delay.
+    """
+    est = F.coalesce("depart_est_ts", "arrival_est_ts")
+    delayed = events.withColumn(
+        "delay_sec",
+        (F.unix_timestamp(est) - F.unix_timestamp("sched_ts")).cast("int"),
+    )
+    return (
+        delayed.groupBy(
+            F.col("fahrt_bezeichner"),
+            F.session_window(F.col("sched_ts"), gap),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_stops"),
+            F.max("delay_sec").alias("max_delay_sec"),
+        )
+        .select(
+            "fahrt_bezeichner",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n_stops", "max_delay_sec",
+        )
+    )
