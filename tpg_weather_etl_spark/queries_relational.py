@@ -828,6 +828,57 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+# match each other instead of vanishing — the semantics dimension
+# tables with optional keys need
+# ---------------------------------------------------------------------------
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate events by a nullable derived group (k%5, NULL when
+    the JSON field is absent-or-zero), then enrich each group from a
+    reference frame through ``eqNullSafe`` — the NULL group survives
+    the join and carries its label, which a plain equi-join would
+    silently drop.
+
+    Scale shape: identical to an ordinary equi-join (hash on the key
+    with NULL as a regular value) — ``<=>`` only changes comparison
+    semantics, not the shuffle.
+    """
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    grouped = (
+        e.withColumn("g", F.nullif(k % 5, F.lit(0)))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _dsum(F.col("value")).alias("value_sum"))
+    )
+    labels = spark.createDataFrame(
+        [(None, "missing-or-zero"), (1, "one"), (2, "two"),
+         (3, "three"), (4, "four")],
+        "g int, label string",
+    )
+    return grouped.join(
+        F.broadcast(labels),
+        grouped["g"].eqNullSafe(labels["g"]),
+    ).select(grouped["g"].alias("g"), "label", "n", "value_sum")
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH grouped AS (
+  SELECT nullif(CAST(json_extract_string(props, '$.k') AS INTEGER) % 5, 0)
+           AS g,
+         COUNT(*) AS n,
+         CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 4)
+              AS DECIMAL(18,4)) AS DOUBLE) AS value_sum
+  FROM events GROUP BY 1),
+labels(g, label) AS (VALUES (NULL, 'missing-or-zero'), (1, 'one'),
+                            (2, 'two'), (3, 'three'), (4, 'four'))
+SELECT CAST(grouped.g AS INTEGER) AS g, label, n, value_sum
+FROM grouped JOIN labels ON grouped.g IS NOT DISTINCT FROM labels.g
+"""
+
+
+# ---------------------------------------------------------------------------
 # Snapshot diff / reconciliation: added-removed-changed report between
 # two table versions via one full-outer join on the key
 # ---------------------------------------------------------------------------
@@ -1066,6 +1117,7 @@ QUERIES = {
     "interval_join": q_interval_join,
     "rank_functions": q_rank_functions,
     "snapshot_diff": q_snapshot_diff,
+    "null_safe_join": q_null_safe_join,
     "constraint_report": q_constraint_report,
     "fuzzy_match_sources": q_fuzzy_match_sources,
     "top_orders": q_top_orders,
@@ -1099,6 +1151,7 @@ ORACLE = {
     "interval_join": SQL_INTERVAL_JOIN,
     "rank_functions": SQL_RANK_FUNCTIONS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "null_safe_join": SQL_NULL_SAFE_JOIN,
     "constraint_report": SQL_CONSTRAINT_REPORT,
     "fuzzy_match_sources": SQL_FUZZY_MATCH_SOURCES,
     "top_orders": SQL_TOP_ORDERS,

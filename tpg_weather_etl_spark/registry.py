@@ -76,6 +76,7 @@ _RUN_FIRST = [
     "semantic_search",
     "daily_value_quantiles",
     "snapshot_diff",
+    "null_safe_join",
     "constraint_report",
     "json_extract",
     "gap_fill_forward",
