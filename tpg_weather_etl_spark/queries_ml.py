@@ -348,6 +348,45 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Array higher-order functions: filter / exists / forall / aggregate
+# directly over the embedding arrays — all JVM-side lambda expressions
+# inside codegen (zero explode, zero shuffle beyond the scan)
+# ---------------------------------------------------------------------------
+
+def q_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector array statistics computed entirely with higher-order
+    functions: positive-dimension count (``filter``), any-extreme flag
+    (``exists``), boundedness check (``forall``), and a sequential-fold
+    sum (``aggregate`` — deterministic left fold, matching DuckDB
+    list_aggregate ordering).
+    """
+    e = t(spark, sf_dir, "embeddings")
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(arr, lambda x: x > 0)).cast("long")
+        .alias("n_positive"),
+        F.exists(arr, lambda x: F.abs(x) > 2.5).alias("has_extreme"),
+        F.forall(arr, lambda x: F.abs(x) <= 6.0).alias("bounded"),
+        (F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 6)
+         + 0.0).alias("dim_sum"),
+    )
+
+
+SQL_ARRAY_HOF_STATS = """
+WITH a AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings)
+SELECT vec_id,
+  CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_positive,
+  len(list_filter(e, x -> abs(x) > 2.5)) > 0 AS has_extreme,
+  len(list_filter(e, x -> abs(x) > 6.0)) = 0 AS bounded,
+  round(list_aggregate(e, 'sum'), 6) + 0.0 AS dim_sum
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
 # Dedup clustering: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
@@ -499,6 +538,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "label_centroids": q_label_centroids,
     "embedding_zscore": q_embedding_zscore,
+    "array_hof_stats": q_array_hof_stats,
     "dedup_clusters": q_dedup_clusters,
     "embedding_dedup_clusters": q_embedding_dedup_clusters,
 }
@@ -511,6 +551,7 @@ ORACLE = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "embedding_zscore": SQL_EMBEDDING_ZSCORE,
+    "array_hof_stats": SQL_ARRAY_HOF_STATS,
     "dedup_clusters": _dedup_clusters_oracle(),
     "embedding_dedup_clusters": _embedding_dedup_clusters_oracle(),
 }

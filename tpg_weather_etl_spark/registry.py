@@ -77,6 +77,7 @@ _RUN_FIRST = [
     "daily_value_quantiles",
     "snapshot_diff",
     "null_safe_join",
+    "array_hof_stats",
     "constraint_report",
     "json_extract",
     "gap_fill_forward",
