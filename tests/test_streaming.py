@@ -181,3 +181,29 @@ def test_stream_session_windows_merge_and_close(spark, tmp_path):
     assert ("t1", 0, 2, 240) in rows      # 08:00+08:10 merged, max 4 min
     assert ("t1", 40, 1, 0) in rows       # 08:40 separate session
     assert ("t2", 5, 1, 60) in rows
+
+
+def test_stream_rerun_same_checkpoint_is_exactly_once(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (inbox / "b1.csv").write_text(
+        "\n".join([IST_HEADER, _row("t1", 0, 3), _row("t2", 5, 1)]))
+    (inbox / "b2.csv").write_text("\n".join([IST_HEADER, _row("w1", 55, 0)]))
+    (inbox / "b3.csv").write_text("\n".join([IST_HEADER, _row("w2", 59, 0)]))
+    import os as _os
+    for i, f in enumerate(["b1.csv", "b2.csv", "b3.csv"]):
+        _os.utime(inbox / f, (1000 + i, 1000 + i))
+
+    def run():
+        ev = stream_istdaten(spark, str(inbox), max_files_per_trigger=1)
+        q = write_stream_to_parquet(
+            stream_delay_features(ev), str(tmp_path / "out"),
+            str(tmp_path / "ckpt")).start()
+        q.awaitTermination(120)
+        return spark.read.parquet(str(tmp_path / "out")).count()
+
+    n1 = run()
+    assert n1 >= 1
+    # second run, same checkpoint, no new input → no duplicate output
+    n2 = run()
+    assert n2 == n1

@@ -828,6 +828,38 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# spark.sql surface: the same engine through SQL text + temp views —
+# one dialect-portable statement runs verbatim on Spark AND DuckDB
+# ---------------------------------------------------------------------------
+
+SQL_API_STATEMENT = """
+SELECT o.o_orderpriority AS priority,
+  COUNT(*) AS n_orders,
+  CAST(CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+  MIN(o.o_orderdate) AS first_order,
+  MAX(o.o_orderdate) AS last_order
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_quantity >= 45)
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text front door: register temp views, run one
+    dialect-portable statement (correlated EXISTS → Catalyst plans a
+    left-semi join; the identical text IS the oracle). Everything
+    else in the gate uses the DataFrame API — this proves a SQL user
+    gets the same engine.
+    """
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_API_STATEMENT)
+
+
+# ---------------------------------------------------------------------------
 # Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
 # match each other instead of vanishing — the semantics dimension
 # tables with optional keys need
@@ -1118,6 +1150,7 @@ QUERIES = {
     "rank_functions": q_rank_functions,
     "snapshot_diff": q_snapshot_diff,
     "null_safe_join": q_null_safe_join,
+    "sql_api_revenue": q_sql_api_revenue,
     "constraint_report": q_constraint_report,
     "fuzzy_match_sources": q_fuzzy_match_sources,
     "top_orders": q_top_orders,
@@ -1152,6 +1185,7 @@ ORACLE = {
     "rank_functions": SQL_RANK_FUNCTIONS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "null_safe_join": SQL_NULL_SAFE_JOIN,
+    "sql_api_revenue": SQL_API_STATEMENT,
     "constraint_report": SQL_CONSTRAINT_REPORT,
     "fuzzy_match_sources": SQL_FUZZY_MATCH_SOURCES,
     "top_orders": SQL_TOP_ORDERS,

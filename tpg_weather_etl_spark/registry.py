@@ -78,6 +78,7 @@ _RUN_FIRST = [
     "snapshot_diff",
     "null_safe_join",
     "array_hof_stats",
+    "sql_api_revenue",
     "constraint_report",
     "json_extract",
     "gap_fill_forward",
