@@ -126,3 +126,31 @@ def test_stdlib_decoder_through_spark_seam(spark):
     assert out[1].feature[0] == 1.0
     assert out[2].feature[0] == 2.0
     assert out[3].feature is None and out[3].n_bytes == 13
+
+
+def test_sample_frames_rawv(spark):
+    from tpg_weather_etl_spark.operators.multimodal import (
+        pack_rawv, sample_frames,
+    )
+
+    w, h = 4, 2
+    def frame(v):
+        return bytes([v]) * (w * h * 3)
+
+    vids = [
+        (1, pack_rawv(w, h, [frame(10), frame(20), frame(30),
+                             frame(40), frame(50)])),
+        (2, pack_rawv(w, h, [frame(100)])),
+        (3, b"not a video"),                       # skipped
+        (4, pack_rawv(w, h, [frame(1)])[:-5]),     # truncated → skipped
+        (5, None),                                 # null → skipped
+    ]
+    df = spark.createDataFrame(vids, "media_id long, content binary")
+    rows = sample_frames(df, every_k=2).collect()
+    got = {(r.media_id, r.frame_idx): r for r in rows}
+    # video 1: frames 0,2,4 sampled of 5; video 2: frame 0 of 1
+    assert set(got) == {(1, 0), (1, 2), (1, 4), (2, 0)}
+    assert got[(1, 0)].mean_intensity == 10.0
+    assert got[(1, 2)].mean_intensity == 30.0
+    assert got[(1, 4)].n_frames == 5
+    assert len(got[(2, 0)].frame) == w * h * 3
