@@ -154,3 +154,28 @@ def test_sample_frames_rawv(spark):
     assert got[(1, 2)].mean_intensity == 30.0
     assert got[(1, 4)].n_frames == 5
     assert len(got[(2, 0)].frame) == w * h * 3
+
+
+def test_resize_ppm_downsamples_and_passes_through(spark):
+    from tpg_weather_etl_spark.operators.multimodal import resize_ppm
+
+    def ppm(w, h, val):
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes([val]) * (w * h * 3)
+
+    rows = [
+        (1, ppm(512, 256, 7)),     # downsample → 256x128
+        (2, ppm(16, 8, 9)),        # small → untouched
+        (3, b"GIF89a not ppm"),    # foreign format → pass-through
+        (4, None),                 # null → pass-through
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in resize_ppm(df, max_px=256).collect()}
+    assert got[1].resized and (got[1].width, got[1].height) == (256, 128)
+    assert got[1].content.startswith(b"P6\n256 128\n255\n")
+    # pixel payload is exactly the downsampled size, values preserved
+    body = bytes(got[1].content).split(b"\n", 3)[3]
+    assert len(body) == 256 * 128 * 3 and set(body) == {7}
+    assert not got[2].resized and got[2].width == 16
+    assert not got[3].resized and got[3].width is None
+    assert bytes(got[3].content) == b"GIF89a not ppm"
+    assert not got[4].resized and got[4].content is None
