@@ -828,6 +828,83 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Two-level aggregation distribution (TPC-H Q13 shape): aggregate of
+# an aggregate, keeping empty groups through a left join
+# ---------------------------------------------------------------------------
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer distribution by order count — including zero-order
+    customers, which only survive because the per-customer count runs
+    over a LEFT join (the classic Q13 trap: an inner join silently
+    drops the biggest histogram bucket).
+
+    Scale shape: one co-partitioned left join + two hash aggs, the
+    second over at most (distinct order counts) rows.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_cust GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# HAVING-subquery join-back (TPC-H Q18 shape): large-quantity orders
+# ---------------------------------------------------------------------------
+
+BIG_ORDER_QTY = 210
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total lineitem quantity exceeds a threshold,
+    joined back for order payload — the aggregate-filter-then-join
+    composition (HAVING subquery in SQL).
+
+    Scale shape: the qualifying-key set is the output of a HAVING agg
+    (tiny), so the join back to orders broadcasts at runtime; the
+    lineitem table is aggregated once, never re-scanned.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > BIG_ORDER_QTY)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+SQL_BIG_ORDERS = f"""
+SELECT o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+        CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(24,8))), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING total_qty > {BIG_ORDER_QTY}) b
+  ON o_orderkey = b.l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # spark.sql surface: the same engine through SQL text + temp views —
 # one dialect-portable statement runs verbatim on Spark AND DuckDB
 # ---------------------------------------------------------------------------
@@ -1151,6 +1228,8 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "null_safe_join": q_null_safe_join,
     "sql_api_revenue": q_sql_api_revenue,
+    "order_count_distribution": q_order_count_distribution,
+    "big_orders": q_big_orders,
     "constraint_report": q_constraint_report,
     "fuzzy_match_sources": q_fuzzy_match_sources,
     "top_orders": q_top_orders,
@@ -1186,6 +1265,8 @@ ORACLE = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "null_safe_join": SQL_NULL_SAFE_JOIN,
     "sql_api_revenue": SQL_API_STATEMENT,
+    "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
+    "big_orders": SQL_BIG_ORDERS,
     "constraint_report": SQL_CONSTRAINT_REPORT,
     "fuzzy_match_sources": SQL_FUZZY_MATCH_SOURCES,
     "top_orders": SQL_TOP_ORDERS,

@@ -79,6 +79,8 @@ _RUN_FIRST = [
     "null_safe_join",
     "array_hof_stats",
     "sql_api_revenue",
+    "order_count_distribution",
+    "big_orders",
     "constraint_report",
     "json_extract",
     "gap_fill_forward",
