@@ -441,3 +441,28 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_month_join(spark, tmp_path):
+    import datetime as _dt
+    from tpg_weather_etl_spark.sources.writers import write_month_partitioned
+
+    rows = [(i, _dt.date(2024, 1 + (i % 6), 1 + i % 27), float(i))
+            for i in range(2000)]
+    fact = spark.createDataFrame(
+        rows, "id long, service_date date, v double")
+    out = str(tmp_path / "fact")
+    write_month_partitioned(fact, out)
+
+    dim = spark.createDataFrame(
+        [("2024-02", "febfeature"), ("2099-01", "unused")],
+        "month string, feature string")
+    # DPP requires a selective predicate on the dim side
+    joined = (spark.read.parquet(out)
+              .join(dim.filter(F.col("feature") == "febfeature"), "month")
+              .select("id", "feature"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the dim filter must reach the fact scan as a runtime partition
+    # filter (DPP) — at 100 TB this reads one month, not the lake
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == sum(1 for _, d, _v in rows if d.month == 2)

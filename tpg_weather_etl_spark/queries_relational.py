@@ -905,6 +905,52 @@ JOIN (SELECT l_orderkey,
 
 
 # ---------------------------------------------------------------------------
+# Correlated per-group threshold (TPC-H Q17 shape): rows below a
+# fraction of their own group's average
+# ---------------------------------------------------------------------------
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue locked in small orders: lineitems whose quantity is
+    under 50% of their part's average quantity — the correlated
+    scalar-subquery shape, decorrelated the way Catalyst itself does
+    it: compute per-part averages once, join back, filter.
+
+    The per-part threshold uses the decimal-exact average (rounded 6)
+    so the comparison predicate lands identically in both engines.
+    Scale shape: one map-side-combined agg over lineitem, one
+    co-partitioned join on partkey, one global sum.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        (F.round(F.sum(F.col("l_quantity").cast("decimal(24,8)"))
+                 .cast("double") / F.count("l_quantity"), 6))
+        .alias("avg_qty")
+    )
+    return (
+        l.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            _dsum(F.col("l_extendedprice")).alias("small_revenue"),
+        )
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH per_part AS (
+  SELECT l_partkey,
+    round(CAST(SUM(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE)
+          / COUNT(l_quantity), 6) AS avg_qty
+  FROM lineitem GROUP BY 1)
+SELECT COUNT(*) AS n_small,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE) AS small_revenue
+FROM lineitem JOIN per_part USING (l_partkey)
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
 # spark.sql surface: the same engine through SQL text + temp views —
 # one dialect-portable statement runs verbatim on Spark AND DuckDB
 # ---------------------------------------------------------------------------
@@ -1230,6 +1276,7 @@ QUERIES = {
     "sql_api_revenue": q_sql_api_revenue,
     "order_count_distribution": q_order_count_distribution,
     "big_orders": q_big_orders,
+    "small_quantity_revenue": q_small_quantity_revenue,
     "constraint_report": q_constraint_report,
     "fuzzy_match_sources": q_fuzzy_match_sources,
     "top_orders": q_top_orders,
@@ -1267,6 +1314,7 @@ ORACLE = {
     "sql_api_revenue": SQL_API_STATEMENT,
     "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
     "big_orders": SQL_BIG_ORDERS,
+    "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "constraint_report": SQL_CONSTRAINT_REPORT,
     "fuzzy_match_sources": SQL_FUZZY_MATCH_SOURCES,
     "top_orders": SQL_TOP_ORDERS,

@@ -81,6 +81,7 @@ _RUN_FIRST = [
     "sql_api_revenue",
     "order_count_distribution",
     "big_orders",
+    "small_quantity_revenue",
     "constraint_report",
     "json_extract",
     "gap_fill_forward",
