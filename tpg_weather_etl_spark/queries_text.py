@@ -1273,6 +1273,86 @@ FROM d
 
 
 # ---------------------------------------------------------------------------
+# Char-level fingerprinting (winnowing-lite): hash every character
+# k-gram, keep each document's minimum as its selected fingerprint —
+# the MOSS/winnowing primitive that catches copied character runs
+# word-level shingles miss (whitespace/token-boundary edits).
+# ---------------------------------------------------------------------------
+
+CHAR_GRAM_K = 16
+CHAR_GRAM_STRIDE = 4   # sample every 4th offset (winnowing stride)
+
+
+def q_char_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: distinct char-16-gram count, the winnowed (min)
+    fingerprint, and how many OTHER documents share it.
+
+    Positional char k-grams via the same Generate-barrier pattern as
+    word shingles (substr per exploded offset — O(n·k) with no
+    re-tokenization; a true Karp-Rabin recurrence is the streaming
+    form of the same fingerprint set). Hashes are 60-bit map-side
+    ints, so the min-agg and the sharing join move longs. Scale
+    shape: one explode + per-doc min agg, then a self-join on the
+    k-distinct fingerprint values only.
+    """
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = d.select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    ).withColumn("len", F.length("norm"))
+    exploded = base.select(
+        "doc_id", "norm",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.col("len") - CHAR_GRAM_K + 1, F.lit(1)),
+                F.lit(CHAR_GRAM_STRIDE),
+            )
+        ).alias("i"),
+    )
+    gram_hash = stable_hash60(
+        F.substring(F.col("norm"), F.col("i"), CHAR_GRAM_K)
+    )
+    per_doc = (
+        exploded.select("doc_id", gram_hash.alias("g"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_char_grams"),
+             F.min("g").alias("min_fp"))
+    )
+    sharing = per_doc.groupBy("min_fp").agg(
+        F.count(F.lit(1)).alias("n_docs_with_fp"))
+    return (
+        per_doc.join(sharing, "min_fp")
+        .select("doc_id", "n_char_grams", "min_fp",
+                (F.col("n_docs_with_fp") - 1).cast("long")
+                .alias("n_sharing_docs"))
+    )
+
+
+SQL_CHAR_FINGERPRINTS = f"""
+WITH d AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+           FROM documents),
+g AS (SELECT DISTINCT doc_id,
+        ('0x' || substr(md5(substr(norm, i, {CHAR_GRAM_K})), 1, 15))::BIGINT
+          AS g
+      FROM (SELECT doc_id, norm,
+              unnest(range(1, greatest(length(norm) - {CHAR_GRAM_K} + 1, 1)
+                           + 1, {CHAR_GRAM_STRIDE})) AS i
+            FROM d)),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_char_grams, MIN(g) AS min_fp
+            FROM g GROUP BY 1),
+sharing AS (SELECT min_fp, COUNT(*) AS n_docs_with_fp
+            FROM per_doc GROUP BY 1)
+SELECT doc_id, n_char_grams, min_fp,
+  CAST(n_docs_with_fp - 1 AS BIGINT) AS n_sharing_docs
+FROM per_doc JOIN sharing USING (min_fp)
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII detection + redaction (email / phone / IPv4) — the compliance
 # pass every pretraining corpus goes through before training.
 # ---------------------------------------------------------------------------
@@ -1366,6 +1446,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "sequence_pack": q_sequence_pack,
     "bpe_token_stats": q_bpe_token_stats,
+    "char_fingerprints": q_char_fingerprints,
     "source_priority_dedup": q_source_priority_dedup,
     "domain_curation": q_domain_curation,
     "text_stats": q_text_stats,
@@ -1389,6 +1470,7 @@ ORACLE = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
+    "char_fingerprints": SQL_CHAR_FINGERPRINTS,
     "source_priority_dedup": SQL_SOURCE_PRIORITY_DEDUP,
     "domain_curation": SQL_DOMAIN_CURATION,
     "text_stats": SQL_TEXT_STATS,

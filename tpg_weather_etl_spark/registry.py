@@ -82,6 +82,7 @@ _RUN_FIRST = [
     "order_count_distribution",
     "big_orders",
     "small_quantity_revenue",
+    "char_fingerprints",
     "constraint_report",
     "json_extract",
     "gap_fill_forward",
