@@ -116,3 +116,33 @@ def test_multi_table_neardup_superset_and_candidates(spark, _need_testdata):
     # far below the n^2 cross join
     n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     assert c1 <= cm < n * (n - 1) / 2
+
+
+def test_ivf_index_at_rest_prunes_to_probed_cells(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from tpg_weather_etl_spark.operators.lsh_ml import (
+        probe_ivf_index, write_ivf_index,
+    )
+    from tpg_weather_etl_spark.queries_embeddings import (
+        _cell_scores, _centroids,
+    )
+    from tpg_weather_etl_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    e = read_table(spark, sf, "embeddings")
+    assign = (_cell_scores(e, _centroids(spark, sf))
+              .filter(F.col("rn") <= 1).select("vec_id", "cell"))
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(assign, idx)
+
+    probe = probe_ivf_index(spark, idx, [0, 1])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the probe must reach the scan as a PartitionFilter — an index
+    # read touches nprobe cell directories, not the corpus
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1)[1][:200], plan
+    got_cells = {r.cell for r in probe.select("cell").distinct().collect()}
+    assert got_cells <= {0, 1}
+    # round trip preserves the assignment
+    n_all = spark.read.parquet(idx).count()
+    assert n_all == assign.count()

@@ -119,3 +119,31 @@ def random_projection_ann_pairs(
             "l2_distance",
         )
     )
+
+
+def write_ivf_index(
+    assignments: "DataFrame",
+    path: str,
+    cell_col: str = "cell",
+) -> None:
+    """Persist an IVF index at rest: the (vector, cell) assignment
+    table written partitioned by cell — the inverted-list layout.
+
+    This is what makes IVF an *index* rather than a per-query
+    computation: probing nprobe cells becomes a partition-pruned scan
+    (``PartitionFilters: [cell IN (...)]``) that reads nprobe/k of the
+    corpus from disk and nothing else. Combine with ``write_sorted``
+    inside each cell for row-group pruning on secondary keys.
+    """
+    (assignments.write.mode("overwrite")
+     .option("compression", "zstd")
+     .partitionBy(cell_col)
+     .parquet(str(path)))
+
+
+def probe_ivf_index(spark, path: str, cells: list[int],
+                    cell_col: str = "cell"):
+    """Read ONLY the probed cells' partitions from an index at rest."""
+    from pyspark.sql import functions as F
+    return spark.read.parquet(str(path)).filter(
+        F.col(cell_col).isin([int(c) for c in cells]))
