@@ -348,6 +348,45 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary ID assignment: contiguous frequency-ranked token ids for
+# a corpus-scale vocabulary — global enumeration WITHOUT the
+# single-partition row_number window (the zipWithIndex replacement)
+# ---------------------------------------------------------------------------
+
+def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token vocabulary with dense ids in (frequency desc, token asc)
+    order — the tokenizer-building step. At 100 TB the vocabulary is
+    itself corpus-scale, so ids come from
+    ``operators.prefix.global_running_sum`` over a constant-1 column
+    (range partition → parallel local counts → broadcast offsets)
+    instead of ``row_number() OVER (ORDER BY …)``, which would drag
+    the whole vocabulary through one task. The oracle computes the
+    same ids the single-window way, proving nothing is lost.
+    """
+    from tpg_weather_etl_spark.operators.prefix import global_running_sum
+
+    toks = _tokens(spark, sf_dir)
+    vocab = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("negc", -F.col("c"))
+        .withColumn("one", F.lit(1))
+    )
+    return (
+        global_running_sum(vocab, ["negc", "tok"], "one", out_col="tid")
+        .select("tok", "c", F.col("tid").cast("long").alias("tid"))
+    )
+
+
+SQL_VOCAB_IDS = f"""
+WITH {_SQL_TOKENS},
+vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1)
+SELECT tok, c,
+  row_number() OVER (ORDER BY c DESC, tok ASC) AS tid
+FROM vocab
+"""
+
+
+# ---------------------------------------------------------------------------
 # Array higher-order functions: filter / exists / forall / aggregate
 # directly over the embedding arrays — all JVM-side lambda expressions
 # inside codegen (zero explode, zero shuffle beyond the scan)
@@ -539,6 +578,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "embedding_zscore": q_embedding_zscore,
     "array_hof_stats": q_array_hof_stats,
+    "vocab_ids": q_vocab_ids,
     "dedup_clusters": q_dedup_clusters,
     "embedding_dedup_clusters": q_embedding_dedup_clusters,
 }
@@ -552,6 +592,7 @@ ORACLE = {
     "label_centroids": SQL_LABEL_CENTROIDS,
     "embedding_zscore": SQL_EMBEDDING_ZSCORE,
     "array_hof_stats": SQL_ARRAY_HOF_STATS,
+    "vocab_ids": SQL_VOCAB_IDS,
     "dedup_clusters": _dedup_clusters_oracle(),
     "embedding_dedup_clusters": _embedding_dedup_clusters_oracle(),
 }

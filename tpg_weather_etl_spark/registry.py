@@ -83,6 +83,7 @@ _RUN_FIRST = [
     "big_orders",
     "small_quantity_revenue",
     "char_fingerprints",
+    "vocab_ids",
     "constraint_report",
     "json_extract",
     "gap_fill_forward",
