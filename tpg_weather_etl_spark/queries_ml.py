@@ -387,6 +387,62 @@ FROM vocab
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer apply: documents → vocabulary-id sequences (the encode
+# step; corpus ⋈ vocabulary joined co-partitioned on token, order
+# restored through the struct-sort array rebuild)
+# ---------------------------------------------------------------------------
+
+def q_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document as its sequence of ``vocab_ids`` token
+    ids, preserving token order.
+
+    Scale shape: posexplode (one Generate), a corpus⋈vocab join
+    co-partitioned on the token (the vocabulary is corpus-scale —
+    never broadcast), one groupBy(doc_id) rebuilding the ordered id
+    array. Exactly the plan a distributed tokenizer encode pass runs.
+    """
+    vocab = q_vocab_ids(spark, sf_dir).select("tok", "tid")
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ptoks = d.select(
+        "doc_id",
+        F.posexplode(F.split(norm_text(F.col("text")), " "))
+        .alias("pos", "tok"),
+    )
+    return (
+        ptoks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("ids"),
+        )
+    )
+
+
+SQL_TOKENIZED_DOCS = f"""
+WITH {_SQL_TOKENS},
+vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+vids AS (SELECT tok,
+           row_number() OVER (ORDER BY c DESC, tok ASC) AS tid
+         FROM vocab),
+ptok AS (SELECT doc_id, unnest(toks) AS tok,
+           generate_subscripts(toks, 1) - 1 AS pos
+         FROM (SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                  'g')), ' ') AS toks
+               FROM documents))
+SELECT doc_id, COUNT(*) AS n_tokens,
+  list(tid ORDER BY pos) AS ids
+FROM ptok JOIN vids USING (tok)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Array higher-order functions: filter / exists / forall / aggregate
 # directly over the embedding arrays — all JVM-side lambda expressions
 # inside codegen (zero explode, zero shuffle beyond the scan)
@@ -579,6 +635,7 @@ QUERIES = {
     "embedding_zscore": q_embedding_zscore,
     "array_hof_stats": q_array_hof_stats,
     "vocab_ids": q_vocab_ids,
+    "tokenized_docs": q_tokenized_docs,
     "dedup_clusters": q_dedup_clusters,
     "embedding_dedup_clusters": q_embedding_dedup_clusters,
 }
@@ -593,6 +650,7 @@ ORACLE = {
     "embedding_zscore": SQL_EMBEDDING_ZSCORE,
     "array_hof_stats": SQL_ARRAY_HOF_STATS,
     "vocab_ids": SQL_VOCAB_IDS,
+    "tokenized_docs": SQL_TOKENIZED_DOCS,
     "dedup_clusters": _dedup_clusters_oracle(),
     "embedding_dedup_clusters": _embedding_dedup_clusters_oracle(),
 }

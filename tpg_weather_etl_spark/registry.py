@@ -84,6 +84,7 @@ _RUN_FIRST = [
     "small_quantity_revenue",
     "char_fingerprints",
     "vocab_ids",
+    "tokenized_docs",
     "constraint_report",
     "json_extract",
     "gap_fill_forward",
