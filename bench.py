@@ -49,6 +49,8 @@ HEADLINE = [
     "gap_fill_forward",
     "session_window_agg",
     "pii_redact",
+    "char_fingerprints",
+    "tokenized_docs",
 ]
 
 
