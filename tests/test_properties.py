@@ -131,3 +131,50 @@ def test_sessionize_invariants(spark, gaps):
         tt.sort()
         for x, y in zip(tt, tt[1:]):
             assert (y - x) <= SESSION_GAP_SEC * 1_000_000
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=40),
+        min_size=1, max_size=12),
+)
+@_settings
+def test_chunk_hashing_matches_python_reference(spark, texts):
+    import hashlib
+    import re
+
+    from tpg_weather_etl_spark.queries_text import (
+        CHUNK_TOKENS, q_chunk_dedup,
+    )
+    from tpg_weather_etl_spark.sources import tables
+
+    # route the gate query's reader at a temp parquet of random docs
+    rows = [(i, t_, "en", "srcX", len(t_)) for i, t_ in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        got = {r.doc_id: (r.n_chunks, r.n_dup_chunks)
+               for r in q_chunk_dedup(spark, d).collect()}
+
+    # python reference: same normalize → chunk → distinct → doc-freq
+    def chunks_of(t_):
+        norm = re.sub(r"\s+", " ", t_.lower()).strip()
+        toks = norm.split(" ")
+        return {
+            hashlib.md5(
+                " ".join(toks[g:g + CHUNK_TOKENS]).encode()
+            ).hexdigest()
+            for g in range(0, len(toks), CHUNK_TOKENS)
+        }
+
+    per_doc = {i: chunks_of(t_) for i, (t_) in enumerate(texts)}
+    freq = {}
+    for cs in per_doc.values():
+        for c in cs:
+            freq[c] = freq.get(c, 0) + 1
+    for i, cs in per_doc.items():
+        want = (len(cs), sum(1 for c in cs if freq[c] >= 2))
+        assert got[i] == want
