@@ -905,6 +905,42 @@ JOIN (SELECT l_orderkey,
 
 
 # ---------------------------------------------------------------------------
+# Salted join under the gate: the skew-mitigation operator must be
+# invisible in results — oracle is the PLAIN join
+# ---------------------------------------------------------------------------
+
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority computed through
+    ``operators.skew.salted_join`` (events-scale lineitem side salted,
+    orders side replicated per salt) — the value-hash oracle is the
+    UNSALTED join, proving salting changes the shuffle layout and
+    nothing else. The one operator class where correctness means
+    "identical to not using it".
+    """
+    from tpg_weather_etl_spark.operators.skew import salted_join
+
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice",
+                                            "l_discount")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = salted_join(l, o, ["l_orderkey"], salt_buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("revenue"),
+    )
+
+
+SQL_SALTED_JOIN_REVENUE = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+       AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Correlated per-group threshold (TPC-H Q17 shape): rows below a
 # fraction of their own group's average
 # ---------------------------------------------------------------------------
@@ -1277,6 +1313,7 @@ QUERIES = {
     "order_count_distribution": q_order_count_distribution,
     "big_orders": q_big_orders,
     "small_quantity_revenue": q_small_quantity_revenue,
+    "salted_join_revenue": q_salted_join_revenue,
     "constraint_report": q_constraint_report,
     "fuzzy_match_sources": q_fuzzy_match_sources,
     "top_orders": q_top_orders,
@@ -1315,6 +1352,7 @@ ORACLE = {
     "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
     "big_orders": SQL_BIG_ORDERS,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+    "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
     "constraint_report": SQL_CONSTRAINT_REPORT,
     "fuzzy_match_sources": SQL_FUZZY_MATCH_SOURCES,
     "top_orders": SQL_TOP_ORDERS,

@@ -85,6 +85,7 @@ _RUN_FIRST = [
     "char_fingerprints",
     "vocab_ids",
     "tokenized_docs",
+    "salted_join_revenue",
     "constraint_report",
     "json_extract",
     "gap_fill_forward",
