@@ -211,7 +211,7 @@ def test_approx_stats_bounds_vs_exact(spark):
         x = exact[et]
         # HLL++ rsd=0.02 → generous 10% bound at tiny cardinalities
         assert abs(a.approx_users - x.users) <= max(2, 0.10 * x.users)
-        p50a, p90a = a.approx_p50_p90
+        p50a, p90a = a.approx_p50, a.approx_p90
         # percentile_approx returns an actual data value near the
         # target rank; bound it by a ±5-percentile band, not by value
         assert x.p45 <= p50a <= x.p55

@@ -318,10 +318,18 @@ def q_embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.round((F.col("x") - F.col("mu")) / F.sqrt(F.col("v")), 6) + 0.0
     zd = dims.join(F.broadcast(stats), "dim").select(
         "vec_id", "dim", z.alias("z"))
+    # Gate contract: the driver's canonicalizer cannot hash raw array
+    # cells (pandas sort_values on list objects), so the vector is
+    # serialized to a comma-joined string of fixed-scale DECIMAL(18,6)
+    # renderings — scale-stable text in both engines, unlike raw
+    # double→string (scientific-notation divergence).
     return zd.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "z"))),
-            lambda s: s["z"],
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "z"))),
+                lambda s: s["z"].cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
         ).alias("zvec")
     )
 
@@ -341,7 +349,10 @@ st AS (
        * CAST(ROUND(SUM(CAST(x AS DECIMAL(18,8))), 6) AS DOUBLE))
     / (CAST(COUNT(x) AS DOUBLE) * (CAST(COUNT(x) AS DOUBLE) - 1.0)) AS v
   FROM dims GROUP BY 1)
-SELECT vec_id, list(round((x - mu) / sqrt(v), 6) + 0.0 ORDER BY dim) AS zvec
+SELECT vec_id,
+  string_agg(CAST(CAST(round((x - mu) / sqrt(v), 6) + 0.0
+                       AS DECIMAL(18,6)) AS VARCHAR),
+             ',' ORDER BY dim) AS zvec
 FROM dims JOIN st USING (dim)
 GROUP BY 1
 """
@@ -410,14 +421,20 @@ def q_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split(norm_text(F.col("text")), " "))
         .alias("pos", "tok"),
     )
+    # Gate contract: comma-joined id string rather than array<long> —
+    # the driver canonicalizer cannot hash raw list cells; integer
+    # rendering is engine-identical so nothing is lost.
     return (
         ptoks.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-                lambda s: s["tid"],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                    lambda s: s["tid"].cast("string"),
+                ),
+                ",",
             ).alias("ids"),
         )
     )
@@ -436,7 +453,7 @@ ptok AS (SELECT doc_id, unnest(toks) AS tok,
                                                   'g')), ' ') AS toks
                FROM documents))
 SELECT doc_id, COUNT(*) AS n_tokens,
-  list(tid ORDER BY pos) AS ids
+  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids
 FROM ptok JOIN vids USING (tok)
 GROUP BY 1
 """

@@ -869,10 +869,14 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     point at scale.
     """
     e = t(spark, sf_dir, "events")
+    # Gate contract: the percentile sketch returns an array, which the
+    # driver's rows-only canonicalizer cannot hash — split the two
+    # probed quantiles into scalar columns via element_at instead.
+    pcts = F.percentile_approx("value", [0.5, 0.9], 10000)
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9], 10000)
-        .alias("approx_p50_p90"),
+        F.element_at(pcts, 1).alias("approx_p50"),
+        F.element_at(pcts, 2).alias("approx_p90"),
         F.count(F.lit(1)).alias("n"),
     )
 
