@@ -73,6 +73,12 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Free every persisted intermediate accumulated by the sweep
+    # (deliberately AFTER all queries: dedup_clusters reuses the
+    # minhash edge cache within the sweep).
+    from tpg_weather_etl_spark.caching import release_all
+    release_all()
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total",

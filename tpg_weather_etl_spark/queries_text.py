@@ -120,7 +120,11 @@ def _shingle_df_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle table is the natural reuse point of every similarity DAG.
     """
     from pyspark import StorageLevel
-    return _shingle_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+
+    from tpg_weather_etl_spark.caching import track
+    return track(
+        _shingle_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 def _shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,23 +153,49 @@ def _pair_jaccard(shingles: DataFrame, counts: DataFrame,
         )
     else:
         # Scale path: intersect shingles only for LSH candidate pairs —
-        # the n² shingle self-join never happens.
+        # the n² shingle self-join never happens. The candidate DOC-ID
+        # sets are bounded by LSH output (orders of magnitude smaller
+        # than the corpus — unlike per-doc counts, which scale with it),
+        # so broadcasting them and semi-join-reducing the shingle table
+        # BEFORE the pair joins keeps both verify shuffles to candidate
+        # shingles only. Without this, ``cand.join(a, ...)`` and the
+        # (doc_b, sh) join each move the FULL shingle table (the r2
+        # minhash_pairs 2.14× regression).
         b2 = shingles.select(F.col("doc_id").alias("doc_b2"),
                              F.col("sh_hash").alias("sh_b"))
+        a_red = a.join(F.broadcast(cand.select("doc_a").distinct()),
+                       "doc_a", "left_semi")
+        b2_red = b2.join(
+            F.broadcast(
+                cand.select(F.col("doc_b").alias("doc_b2")).distinct()
+            ),
+            "doc_b2", "left_semi",
+        )
         inter = (
-            cand.join(a, "doc_a")
-            .join(b2, (F.col("doc_b") == F.col("doc_b2"))
+            cand.join(a_red, "doc_a")
+            .join(b2_red, (F.col("doc_b") == F.col("doc_b2"))
                   & (F.col("sh_b") == F.col("sh_a")), "inner")
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
     # Per-doc counts scale with the corpus (one row per document) —
     # NEVER broadcast them: at 100 TB the broadcast build would OOM
-    # the driver. inter is keyed by doc ids, so these are plain
-    # shuffle hash joins co-partitioned on the join key; inter (the
-    # near-dup pair set) is the small side anyway.
-    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # the driver. In the candidate branch the reduced shingle sides
+    # already hold every shingle of every candidate doc, so the counts
+    # aggregate over THEM (candidate-bounded) instead of re-scanning
+    # the corpus-wide ``counts`` table; the join inputs shrink from
+    # |corpus| to |candidates| rows. In the exhaustive branch they are
+    # plain shuffle hash joins co-partitioned on the join key.
+    if cand is None:
+        na = counts.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_sh").alias("na"))
+        nb = counts.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("nb"))
+    else:
+        na = a_red.groupBy("doc_a").agg(F.count(F.lit(1)).alias("na"))
+        nb = b2_red.groupBy(F.col("doc_b2").alias("doc_b")).agg(
+            F.count(F.lit(1)).alias("nb")
+        )
     return (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
@@ -384,22 +414,30 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-running signatures + band join + verify.
     """
     from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
     sh = _shingle_df_shared(spark, sf_dir)
     bands = _minhash_bands(spark, sf_dir, shingles=sh)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("doc_b"),
                      F.col("band").alias("band_b"),
                      F.col("bkey").alias("bkey_b"))
-    cand = (
+    # Persisted: the verify path consumes the candidate pair set three
+    # times (two broadcast doc-id reductions + the pair join); without
+    # materialization each consumer re-runs the band self-join.
+    cand = track(
         a.join(b, (F.col("band") == F.col("band_b"))
                & (F.col("bkey") == F.col("bkey_b"))
                & (F.col("doc_a") < F.col("doc_b")))
         .select("doc_a", "doc_b").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = _pair_jaccard(sh, counts, cand=cand)
-    return pairs.filter(F.col("jaccard") >= 0.5).persist(
-        StorageLevel.MEMORY_AND_DISK
+    return track(
+        pairs.filter(F.col("jaccard") >= 0.5).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
 
 
