@@ -68,16 +68,20 @@ def main() -> None:
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    # Free every persisted intermediate accumulated by the sweep
-    # (deliberately AFTER all queries: dedup_clusters reuses the
-    # minhash edge cache within the sweep).
-    from tpg_weather_etl_spark.caching import release_all
-    release_all()
+    try:
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+    finally:
+        # Free every persisted intermediate accumulated by the sweep
+        # (deliberately AFTER all queries: dedup_clusters reuses the
+        # minhash edge cache within the sweep). In the finally block so
+        # a mid-sweep failure can't leak tracked persists for the
+        # session lifetime.
+        from tpg_weather_etl_spark.caching import release_all
+        release_all()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -27,6 +27,7 @@ from tpg_weather_etl_spark.functions.time import (
     cyclic_hour_cos,
     cyclic_hour_sin,
     dow_monday0,
+    epoch_us,
 )
 
 _DAY_US = 86_400 * 1_000_000
@@ -66,7 +67,7 @@ def build_training_rows(
     # differ: +30 sees departures +15 cannot.
     tw = (
         Window.partitionBy("line_text", "stop_code")
-        .orderBy(F.unix_micros(F.col("ts_event")))
+        .orderBy(epoch_us(F.col("ts_event")))
     )
     for mins in (15, 30):
         ev = ev.withColumn(
@@ -80,7 +81,7 @@ def build_training_rows(
     # excludes the current day's value leaking: range up to -1 µs.
     base_w = (
         Window.partitionBy("line_text", "stop_code")
-        .orderBy(F.unix_micros(F.col("ts_event")))
+        .orderBy(epoch_us(F.col("ts_event")))
     )
     for days in (7, 14, 28):
         ev = ev.withColumn(

@@ -16,6 +16,22 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_us(c: Column) -> Column:
+    """Microseconds since epoch, tolerant of TIMESTAMP_NTZ inputs.
+
+    ``F.unix_micros`` is strictly typed: it rejects ``TIMESTAMP_NTZ``
+    columns (which pyspark >= 4 produces when reading timezone-less
+    parquet ``timestamp[us]`` with NTZ inference enabled) with
+    DATATYPE_MISMATCH at analysis time. The engine pins the session
+    timezone to UTC (session.py, hazard H1 — the reference stores
+    naive-UTC timestamps, 03_ingest_weather.py:138), so casting
+    NTZ → TIMESTAMP is lossless and this helper is exact for both
+    timestamp flavors. Use this, never raw ``unix_micros``, on any
+    column that may originate from parquet.
+    """
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def time_bin(ts: Column, minutes: int = 10) -> Column:
     """Floor ``ts`` onto a fixed minute grid (default 10 minutes).
 

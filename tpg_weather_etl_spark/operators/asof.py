@@ -33,6 +33,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tpg_weather_etl_spark.functions.time import epoch_us
+
 
 def _left_id_col(left: DataFrame) -> str:
     for c in ("__asof_left_id", "event_id", "_row_id", "row_id", "id"):
@@ -151,7 +153,7 @@ def _asof_range(left, right, left_ts, right_ts, on, tol_min, how):
     # shared helper takes a single ordering key)
     order_key = F.when(
         F.col("__asof_rts").isNotNull(),
-        -F.unix_micros(F.col("__asof_rts")),
+        -epoch_us(F.col("__asof_rts")),
     )
     return _pick_best(joined, left, lid, right_ts,
                       _payload_cols(right, right_ts, on), order_key, how)

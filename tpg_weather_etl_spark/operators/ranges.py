@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tpg_weather_etl_spark.functions.time import epoch_us
+
 _US = 1_000_000
 
 
@@ -44,18 +46,22 @@ def interval_join(
     bin_us = int(bin_seconds) * _US
 
     def ts_bin(c: Column) -> Column:
-        return F.floor(F.unix_micros(c) / bin_us).cast("long")
+        return F.floor(epoch_us(c) / bin_us).cast("long")
 
+    start_bin = ts_bin(F.col(start_col))
+    # end is exclusive: a window ending exactly on a bin boundary does
+    # not cover that bin
+    end_bin = (
+        F.floor((epoch_us(F.col(end_col)) - 1) / bin_us).cast("long")
+    )
     iv_binned = intervals.withColumn(
         "__bin",
         F.explode(
-            F.sequence(
-                ts_bin(F.col(start_col)),
-                # end is exclusive: a window ending exactly on a bin
-                # boundary does not cover that bin
-                F.floor((F.unix_micros(F.col(end_col)) - 1) / bin_us)
-                .cast("long"),
-            )
+            # malformed intervals (end <= start) cover no bins; without
+            # the guard F.sequence would generate a DESCENDING bin list
+            # — an unbounded blowup hazard on untrusted data
+            F.when(end_bin >= start_bin, F.sequence(start_bin, end_bin))
+            .otherwise(F.array().cast("array<long>"))
         ),
     )
     pt_binned = points.withColumn("__bin", ts_bin(F.col(point_ts)))

@@ -33,6 +33,7 @@ from tpg_weather_etl_spark.functions.time import (
     cyclic_hour_cos,
     cyclic_hour_sin,
     dow_monday0,
+    epoch_us,
     month_key,
     time_bin,
 )
@@ -623,7 +624,7 @@ def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(epoch_us(F.col("ts")))
         .rangeBetween(-7 * 86400 * 1_000_000, 0)
     )
     return e.select(

