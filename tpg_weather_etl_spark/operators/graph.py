@@ -69,14 +69,34 @@ def connected_components_min_label(
     return labels
 
 
-def cluster_summary(labels: DataFrame) -> DataFrame:
-    """(cluster_id, cluster_size, members) per connected component."""
+MEMBER_SAMPLE_N = 100
+
+
+def cluster_summary(labels: DataFrame,
+                    sample_n: int = MEMBER_SAMPLE_N) -> DataFrame:
+    """(cluster_id, cluster_size, members) per connected component.
+
+    ``members`` holds only the ``sample_n`` smallest member ids:
+    an unbounded ``collect_list`` turns a boilerplate mega-cluster
+    (10⁷ near-identical docs at 100 TB) into one giant row built by
+    one task. Ranking first and collecting only rank ≤ N bounds the
+    aggregation buffer itself, while ``count(*)`` stays exact over all
+    members. The window's hash partitioning on ``cluster`` satisfies
+    the groupBy's distribution, so the whole summary is one shuffle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy("doc")
     return (
-        labels.groupBy("cluster")
+        labels.withColumn("__rk", F.row_number().over(w))
+        .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
-            F.sort_array(F.collect_list("doc")).cast("string")
-             .alias("members"),
+            # collect_list skips NULLs → only the sample_n smallest
+            # ids ever enter the buffer
+            F.sort_array(F.collect_list(
+                F.when(F.col("__rk") <= sample_n, F.col("doc"))
+            )).cast("string").alias("members"),
         )
         .select(F.col("cluster").alias("cluster_id"),
                 "cluster_size", "members")

@@ -575,10 +575,12 @@ def _cc_sql(edges: str) -> str:
             f" FROM {m} m JOIN {m} p ON p.node = m.lbl)"
         )
         prev = cur
+    # members bounded to the 100 smallest ids, mirroring
+    # operators/graph.py cluster_summary MEMBER_SAMPLE_N
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT lbl AS cluster_id, COUNT(*) AS cluster_size,
-       CAST(list_sort(list(node)) AS VARCHAR) AS members
+       CAST(list_slice(list_sort(list(node)), 1, 100) AS VARCHAR) AS members
 FROM {prev} GROUP BY lbl
 """
     )
