@@ -315,7 +315,16 @@ def q_embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = (F.round(s1, 4).cast("decimal(18,4)").cast("double") / n)
     var = (nd * s2d - s1d * s1d) / (nd * (nd - F.lit(1.0)))
     stats = dims.groupBy("dim").agg(mean.alias("mu"), var.alias("v"))
-    z = F.round((F.col("x") - F.col("mu")) / F.sqrt(F.col("v")), 6) + 0.0
+    # Degenerate-dimension guard: v <= 0 (all-equal values) or NULL
+    # (n=1) would make z Inf/NaN — Spark's decimal cast then yields
+    # NULL and an unguarded array_join DROPS the element (silently
+    # shorter vector) while DuckDB's cast raises. Emit an explicit
+    # NULL instead and render it as the literal 'null' in both engines
+    # so degenerate dims stay position-stable and hash-identical.
+    z = F.when(
+        F.col("v") > 0,
+        F.round((F.col("x") - F.col("mu")) / F.sqrt(F.col("v")), 6) + 0.0,
+    )
     zd = dims.join(F.broadcast(stats), "dim").select(
         "vec_id", "dim", z.alias("z"))
     # Gate contract: the driver's canonicalizer cannot hash raw array
@@ -330,6 +339,7 @@ def q_embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["z"].cast("decimal(18,6)").cast("string"),
             ),
             ",",
+            "null",
         ).alias("zvec")
     )
 
@@ -350,8 +360,9 @@ st AS (
     / (CAST(COUNT(x) AS DOUBLE) * (CAST(COUNT(x) AS DOUBLE) - 1.0)) AS v
   FROM dims GROUP BY 1)
 SELECT vec_id,
-  string_agg(CAST(CAST(round((x - mu) / sqrt(v), 6) + 0.0
-                       AS DECIMAL(18,6)) AS VARCHAR),
+  string_agg(COALESCE(CAST(CASE WHEN v > 0 THEN
+                 CAST(round((x - mu) / sqrt(v), 6) + 0.0 AS DECIMAL(18,6))
+               END AS VARCHAR), 'null'),
              ',' ORDER BY dim) AS zvec
 FROM dims JOIN st USING (dim)
 GROUP BY 1

@@ -133,18 +133,23 @@ def _shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_jaccard(shingles: DataFrame, counts: DataFrame,
+def _pair_jaccard(shingles: DataFrame, counts: DataFrame | None = None,
                   cand: DataFrame | None = None) -> DataFrame:
     """Exact shingle-set Jaccard per doc pair via inverted-index join.
 
     One shuffle on the shingle key; pair counts aggregate map-side.
     ``cand`` (doc_a, doc_b) restricts to candidate pairs (LSH output).
+    ``counts`` (doc_id, n_sh) is required only on the exhaustive path;
+    the candidate path derives per-doc counts from the semi-join-
+    reduced shingle sides itself.
     """
     a = shingles.select(F.col("doc_id").alias("doc_a"),
                         F.col("sh_hash").alias("sh_a"))
     b = shingles.select(F.col("doc_id").alias("doc_b"),
                         F.col("sh_hash").alias("sh_b"))
     if cand is None:
+        if counts is None:
+            raise ValueError("exhaustive _pair_jaccard needs counts")
         inter = (
             a.join(b, (F.col("sh_a") == F.col("sh_b"))
                    & (F.col("doc_a") < F.col("doc_b")))
@@ -153,22 +158,22 @@ def _pair_jaccard(shingles: DataFrame, counts: DataFrame,
         )
     else:
         # Scale path: intersect shingles only for LSH candidate pairs —
-        # the n² shingle self-join never happens. The candidate DOC-ID
-        # sets are bounded by LSH output (orders of magnitude smaller
-        # than the corpus — unlike per-doc counts, which scale with it),
-        # so broadcasting them and semi-join-reducing the shingle table
-        # BEFORE the pair joins keeps both verify shuffles to candidate
-        # shingles only. Without this, ``cand.join(a, ...)`` and the
-        # (doc_b, sh) join each move the FULL shingle table (the r2
-        # minhash_pairs 2.14× regression).
+        # the n² shingle self-join never happens. Semi-join-reducing
+        # the shingle table on the candidate doc-id sets BEFORE the
+        # pair joins keeps both verify shuffles to candidate shingles
+        # only; without it, ``cand.join(a, ...)`` and the (doc_b, sh)
+        # join each move the FULL shingle table (the r2 minhash_pairs
+        # 2.14× regression). No broadcast hint: in the near-dup-heavy
+        # regime the distinct candidate id set approaches one row per
+        # corpus document — per-doc-scale data that must never be
+        # force-broadcast. AQE turns these semi-joins into broadcasts
+        # at runtime exactly when the build side is actually small.
         b2 = shingles.select(F.col("doc_id").alias("doc_b2"),
                              F.col("sh_hash").alias("sh_b"))
-        a_red = a.join(F.broadcast(cand.select("doc_a").distinct()),
+        a_red = a.join(cand.select("doc_a").distinct(),
                        "doc_a", "left_semi")
         b2_red = b2.join(
-            F.broadcast(
-                cand.select(F.col("doc_b").alias("doc_b2")).distinct()
-            ),
+            cand.select(F.col("doc_b").alias("doc_b2")).distinct(),
             "doc_b2", "left_semi",
         )
         inter = (
@@ -432,8 +437,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b").distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pairs = _pair_jaccard(sh, counts, cand=cand)
+    pairs = _pair_jaccard(sh, cand=cand)
     return track(
         pairs.filter(F.col("jaccard") >= 0.5).persist(
             StorageLevel.MEMORY_AND_DISK
