@@ -44,6 +44,38 @@ def test_cluster_summary_bounds_members_on_mega_cluster(spark):
     assert len(row.members) < 10_000
 
 
+def test_cc_raises_on_under_convergence(spark):
+    """A 50-node chain cannot converge in 5 neighbor-min rounds — the
+    operator must raise, not return silently-wrong labels."""
+    import pytest as _pytest
+
+    edges = spark.range(49).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_min_label(edges, max_iter=5)
+
+
+def test_cc_oracle_guard_raises_on_long_chain():
+    """The DuckDB oracle's convergence probe must error() on a graph
+    whose diameter exceeds the fixed _CC_ROUNDS unroll."""
+    import duckdb
+    import pytest as _pytest
+
+    from tpg_weather_etl_spark.queries_ml import _cc_sql
+
+    def chain_edges(n):
+        vals = ",".join(f"({i},{i + 1})" for i in range(n))
+        return f"SELECT * FROM (VALUES {vals}) t(doc_a, doc_b)"
+
+    con = duckdb.connect()
+    # diameter 20 << 2^6: converges, every label is the component min
+    rows = con.execute(_cc_sql(chain_edges(20))).fetchall()
+    assert len(rows) == 1 and rows[0][0] == 0 and rows[0][1] == 21
+    # diameter 400 >> 2^6: the probe must fail loudly
+    with _pytest.raises(duckdb.Error, match="under-converged"):
+        con.execute(_cc_sql(chain_edges(400))).fetchall()
+
+
 def test_cluster_summary_small_cluster_members_complete(spark):
     """Below the bound, members lists every id (sorted)."""
     edges = spark.createDataFrame(

@@ -42,6 +42,7 @@ def connected_components_min_label(
         .distinct()
         .withColumn("cluster", F.col("doc"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.doc_b == labels.doc)
@@ -64,8 +65,18 @@ def connected_components_min_label(
         )
         labels = updated.select("doc", "cluster")
         if changed == 0:
+            converged = True
             break
     both.unpersist()
+    if not converged:
+        # Under-convergence means labels that LOOK final but are not
+        # the component minimum — silently wrong clusters downstream.
+        # Fail loudly instead (VERDICT r3 stretch task); callers on a
+        # pathological high-diameter graph raise max_iter consciously.
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} rounds"
+            " — graph diameter exceeds the iteration budget"
+        )
     return labels
 
 

@@ -586,13 +586,30 @@ def _cc_sql(edges: str) -> str:
             f" FROM {m} m JOIN {m} p ON p.node = m.lbl)"
         )
         prev = cur
+    # Convergence oracle (VERDICT r3 stretch): one EXTRA neighbor-min
+    # probe after the unrolled rounds; if any label would still
+    # shrink, the fixed unroll under-covered the graph diameter and
+    # the clusters are silently wrong — raise via error() instead.
+    ctes.append(
+        "probe AS MATERIALIZED (SELECT s.a AS node, MIN(l.lbl) AS nb"
+        f" FROM sym s JOIN {prev} l ON l.node = s.b GROUP BY s.a)"
+    )
+    ctes.append(
+        "guard AS (SELECT CASE WHEN EXISTS ("
+        f"SELECT 1 FROM probe p JOIN {prev} l ON l.node = p.node"
+        " AND p.nb < l.lbl)"
+        " THEN error('cc oracle under-converged: raise _CC_ROUNDS')"
+        " ELSE 1 END AS ok)"
+    )
     # members bounded to the 100 smallest ids, mirroring
     # operators/graph.py cluster_summary MEMBER_SAMPLE_N
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT lbl AS cluster_id, COUNT(*) AS cluster_size,
        CAST(list_slice(list_sort(list(node)), 1, 100) AS VARCHAR) AS members
-FROM {prev} GROUP BY lbl
+FROM {prev}, guard
+WHERE guard.ok = 1
+GROUP BY lbl
 """
     )
 
