@@ -38,4 +38,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # exact-integer range, so a float division corrupts the
             # low microseconds.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif field is not None and isinstance(field.dataType,
+                                              T.TimestampNTZType):
+            # Timezone-less parquet timestamp[us] read under NTZ
+            # inference (pyspark 4 default; broke round 3). Normalize
+            # to TIMESTAMP at the reader boundary — lossless under the
+            # pinned UTC session timezone — so the engine sees one
+            # timestamp flavor regardless of ambient session confs.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
