@@ -49,6 +49,13 @@ def connected_components_min_label(
             .groupBy(both.doc_a.alias("doc"))
             .agg(F.min("cluster").alias("nb_cluster"))
         )
+        # ONE action per round: the lazy localCheckpoint materializes
+        # as a side effect of the full (non-short-circuit) convergence
+        # count — an eager checkpoint plus a separate count would pay
+        # two job launches per round, which dominates wall-clock on
+        # small graphs. The full count visits every partition, so the
+        # checkpoint is completely stored before the next round reads
+        # it; lineage still truncates at each round.
         updated = (
             labels.withColumnRenamed("cluster", "old")
             .join(neighbor_min, "doc", "left")
@@ -59,9 +66,9 @@ def connected_components_min_label(
                     F.coalesce(F.col("nb_cluster"), F.col("old")),
                 ).alias("cluster"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = (
-            updated.filter(F.col("cluster") < F.col("old")).limit(1).count()
+            updated.filter(F.col("cluster") < F.col("old")).count()
         )
         labels = updated.select("doc", "cluster")
         if changed == 0:
