@@ -54,8 +54,11 @@ def test_global_running_sum_equals_single_window(spark, vals, nparts,
     pts=st.lists(st.integers(min_value=0, max_value=3600),
                  min_size=1, max_size=40),
     ivs=st.lists(
+        # width may be zero or NEGATIVE: malformed intervals (end <=
+        # start) must contribute zero pairs, exercising the descending-
+        # sequence guard in operators/ranges.py
         st.tuples(st.integers(min_value=0, max_value=3600),
-                  st.integers(min_value=1, max_value=900)),
+                  st.integers(min_value=-900, max_value=900)),
         min_size=1, max_size=10),
     bin_s=st.sampled_from([60, 300, 900]),
 )
@@ -81,6 +84,47 @@ def test_interval_join_equals_theta_join(spark, pts, ivs, bin_s):
         for j, (a, w) in enumerate(ivs)
         if a <= s < a + w)
     assert got == want
+
+
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=1200),
+                   min_size=1, max_size=25),
+    rights=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),   # key
+                  st.integers(min_value=0, max_value=1200)),  # ts sec
+        min_size=1, max_size=25),
+    tol_min=st.sampled_from([1, 5, 10]),
+)
+@_settings
+def test_asof_range_equals_python_reference(spark, lefts, rights, tol_min):
+    """asof_join (range form) == 'latest right ts <= left ts within
+    tolerance, per key' computed naively in Python."""
+    from tpg_weather_etl_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    # left rows cycle over the 3 keys; right obs are unique per
+    # (key, ts) per the operator's caller contract
+    left_rows = [(i, i % 3, t0 + dt.timedelta(seconds=s))
+                 for i, s in enumerate(lefts)]
+    seen, right_rows = set(), []
+    for k, s in rights:
+        if (k, s) not in seen:
+            seen.add((k, s))
+            right_rows.append((k, t0 + dt.timedelta(seconds=s),
+                               float(len(seen))))
+    l_df = spark.createDataFrame(left_rows, "event_id long, k long, "
+                                            "l_ts timestamp")
+    r_df = spark.createDataFrame(right_rows, "k long, r_ts timestamp, "
+                                             "obs double")
+    got = {r.event_id: r.obs
+           for r in asof_join(l_df, r_df, "l_ts", "r_ts", on=["k"],
+                              tolerance_minutes=tol_min).collect()}
+    tol = dt.timedelta(minutes=tol_min)
+    for i, k, lts in left_rows:
+        in_range = [(rts, obs) for rk, rts, obs in right_rows
+                    if rk == k and rts <= lts and rts >= lts - tol]
+        want = max(in_range)[1] if in_range else None
+        assert got[i] == want, f"event {i}: {got[i]} != {want}"
 
 
 @given(
