@@ -150,6 +150,22 @@ def test_ntz_asof_and_training_row_windows(spark, ntz_sf_dir):
         spark.conf.set(NTZ_CONF, prior)
 
 
+def test_read_table_normalizes_ntz_at_boundary(spark, ntz_sf_dir):
+    """read_table must hand every query an LTZ ts even when the
+    ambient session forces NTZ inference — the boundary guarantee the
+    whole registry relies on."""
+    from tpg_weather_etl_spark.sources.tables import read_table
+
+    prior = spark.conf.get(NTZ_CONF, "false")
+    try:
+        _with_ntz_inference(spark, True)
+        assert _read_ts_type(spark, ntz_sf_dir) == "timestamp_ntz"
+        df = read_table(spark, ntz_sf_dir, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+    finally:
+        spark.conf.set(NTZ_CONF, prior)
+
+
 def test_interval_join_malformed_intervals_yield_no_bins(spark):
     """end < start must produce ZERO join rows, not a descending
     F.sequence explosion (ADVICE r3 medium, operators/ranges.py)."""
