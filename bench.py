@@ -68,11 +68,19 @@ def main() -> None:
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    failure: str | None = None
     try:
         for name in names:
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite").save()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                # Round-3 lesson: a crash that records NOTHING destroys
+                # the whole round's perf evidence. Keep the partial
+                # timings, mark the failure, and still emit the JSON.
+                failure = f"{name}: {type(exc).__name__}: {exc}"
+                break
             timings[name] = round(time.perf_counter() - t0, 3)
     finally:
         # Free every persisted intermediate accumulated by the sweep
@@ -84,13 +92,18 @@ def main() -> None:
         release_all()
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    record = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if failure is not None:
+        record["error"] = failure[:2000]
+    print(json.dumps(record))
+    if failure is not None:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
