@@ -55,6 +55,10 @@ def canon_rows(cols, rows):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--ntz", action="store_true",
+                    help="force TIMESTAMP_NTZ parquet inference on, "
+                         "bypassing the session defaults, to prove the "
+                         "gate survives the hostile read path")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -69,8 +73,16 @@ def main() -> int:
             f"SELECT * FROM read_parquet('{args.sf}/{tname}.parquet')"
         )
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    if args.ntz:
+        # raw registry callables: the entry-module wrapper re-applies
+        # session defaults, which would flip NTZ inference back off
+        from tpg_weather_etl_spark.registry import all_oracles, all_queries
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled",
+                       "true")
+        qs, oracles = all_queries(), all_oracles()
+    else:
+        qs = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
     names = args.names or list(qs)
     n_pass = n_fail = 0
     for name in names:
