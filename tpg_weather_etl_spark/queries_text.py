@@ -352,6 +352,82 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_jaccard(sh, counts).filter(F.col("jaccard") >= 0.5)
 
 
+# ---------------------------------------------------------------------------
+# Containment detection: asymmetric near-dup — doc A's shingles
+# (almost) all appear in doc B. Catches quote-expansion / boilerplate-
+# wrap duplicates whose symmetric Jaccard stays LOW because the
+# containing document is much larger (|A∩B|/|A∪B| shrinks with |B|,
+# |A∩B|/|A| does not).
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_MIN = 0.9
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where either direction's containment ≥ 0.9, with the
+    contained (smaller-coverage) doc identified.
+
+    Scale shape: identical to the Jaccard inverted index — one shuffle
+    on the (hot-capped) shingle key, pair counts aggregate map-side —
+    and BOTH directions' containment derive from the single unordered
+    intersection count, no second pass over the index.
+    """
+    sh = filter_hot_shingles(_shingle_df_shared(spark, sf_dir))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("sh_hash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("sh_hash").alias("sh_b"))
+    inter = (
+        a.join(b, (F.col("sh_a") == F.col("sh_b"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n_sh").alias("nb"))
+    cont_a = F.col("n_inter").cast("double") / F.col("na")
+    cont_b = F.col("n_inter").cast("double") / F.col("nb")
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_inter",
+            (F.round(F.greatest(cont_a, cont_b), 6) + 0.0)
+            .alias("containment"),
+            # the contained doc is the one with the HIGHER coverage
+            # ratio (its shingle set is the one swallowed)
+            F.when(cont_a >= cont_b, F.col("doc_a"))
+            .otherwise(F.col("doc_b")).alias("contained_doc"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_MIN)
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH {_SQL_SHINGLES},
+hot AS (SELECT sh_hash FROM shx GROUP BY sh_hash
+        HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+shc AS (SELECT shx.* FROM shx JOIN hot USING (sh_hash)),
+shcn AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shc a JOIN shc b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter,
+  round(greatest(n_inter / na.n_sh, n_inter / nb.n_sh), 6) + 0.0
+    AS containment,
+  CASE WHEN n_inter / na.n_sh >= n_inter / nb.n_sh
+       THEN doc_a ELSE doc_b END AS contained_doc
+FROM inter
+JOIN shcn na ON na.doc_id = doc_a
+JOIN shcn nb ON nb.doc_id = doc_b
+WHERE round(greatest(n_inter / na.n_sh, n_inter / nb.n_sh), 6) + 0.0
+      >= {CONTAINMENT_MIN}
+"""
+
+
 SQL_NGRAM_JACCARD_PAIRS = f"""
 WITH {_SQL_SHINGLES},
 hot AS (SELECT sh_hash FROM shx GROUP BY sh_hash
@@ -1483,6 +1559,7 @@ FROM a
 
 
 QUERIES = {
+    "containment_pairs": q_containment_pairs,
     "pipeline_funnel": q_pipeline_funnel,
     "pii_redact": q_pii_redact,
     "chunk_dedup": q_chunk_dedup,
@@ -1507,6 +1584,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "pipeline_funnel": SQL_PIPELINE_FUNNEL,
     "pii_redact": SQL_PII_REDACT,
     "chunk_dedup": SQL_CHUNK_DEDUP,

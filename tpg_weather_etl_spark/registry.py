@@ -155,6 +155,9 @@ _RUN_LAST = [
     "pipeline_funnel",
     "ngram_jaccard_pairs",
     "minhash_pairs",
+    # new this round — behind the 50-query rotation head on purpose:
+    # pytest + tools/check_oracle.py provide its round-4 evidence
+    "containment_pairs",
 ]
 
 
