@@ -556,11 +556,16 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_ROUNDS = 6
 
 
-def _cc_sql(edges: str) -> str:
-    # MATERIALIZED: every CTE here is referenced 2+ times (sym each
-    # round, m{k} self-joined); without it DuckDB inlines the whole
-    # chain per reference and re-opens the source parquet once per
-    # inlined copy ("Too many open files").
+def _cc_label_ctes(edges: str) -> tuple[list, str]:
+    """The shared (node, lbl) propagation CTE chain + convergence
+    guard; callers append their own final SELECT, cross-joined with
+    ``guard`` and filtered on ``guard.ok = 1``.
+
+    MATERIALIZED: every CTE here is referenced 2+ times (sym each
+    round, m{k} self-joined); without it DuckDB inlines the whole
+    chain per reference and re-opens the source parquet once per
+    inlined copy ("Too many open files").
+    """
     ctes = [
         f"edges AS MATERIALIZED ({edges})",
         "sym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM edges"
@@ -601,6 +606,11 @@ def _cc_sql(edges: str) -> str:
         " THEN error('cc oracle under-converged: raise _CC_ROUNDS')"
         " ELSE 1 END AS ok)"
     )
+    return ctes, prev
+
+
+def _cc_sql(edges: str) -> str:
+    ctes, prev = _cc_label_ctes(edges)
     # members bounded to the 100 smallest ids, mirroring
     # operators/graph.py cluster_summary MEMBER_SAMPLE_N
     return (
@@ -624,6 +634,70 @@ def _embedding_dedup_clusters_oracle() -> str:
     from tpg_weather_etl_spark.queries_embeddings import SQL_EMBEDDING_NEARDUP
     inner = SQL_EMBEDDING_NEARDUP.strip().rstrip(";")
     return _cc_sql(f"SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({inner})")
+
+
+# ---------------------------------------------------------------------------
+# Keeper selection: the FINAL step of a dedup pipeline — per near-dup
+# cluster, decide which document survives. Rule: longest document wins
+# (the standard "keep the most complete copy" heuristic), ties broken
+# by lowest doc_id (H2 tie rule).
+# ---------------------------------------------------------------------------
+
+def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_id, keeper_doc_id, keeper_n_chars, n_members) for each
+    MinHash near-dup cluster.
+
+    Scale shape: labels ⋈ documents is a per-doc equi join; the keeper
+    argmax is a row_number window on cluster whose hash partitioning
+    the member-count groupBy reuses — one shuffle after the join, no
+    collect, no per-cluster materialization.
+    """
+    from pyspark.sql import Window
+
+    from tpg_weather_etl_spark.operators.graph import (
+        connected_components_min_label,
+    )
+
+    labels = connected_components_min_label(_edges(spark, sf_dir))
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = labels.join(d, labels.doc == d.doc_id).select(
+        "doc", "cluster", "n_chars")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.asc("doc"))
+    ranked = m.withColumn("__rk", F.row_number().over(w))
+    sizes = m.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    return (
+        ranked.filter(F.col("__rk") == 1)
+        .join(sizes, "cluster")
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            F.col("doc").alias("keeper_doc_id"),
+            F.col("n_chars").cast("long").alias("keeper_n_chars"),
+            "n_members",
+        )
+    )
+
+
+def _dedup_keeper_oracle() -> str:
+    from tpg_weather_etl_spark.queries_text import SQL_MINHASH_PAIRS
+    inner = SQL_MINHASH_PAIRS.strip().rstrip(";")
+    ctes, prev = _cc_label_ctes(f"SELECT doc_a, doc_b FROM ({inner})")
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+mem AS (SELECT l.lbl, l.node, d.n_chars
+        FROM {prev} l JOIN documents d ON d.doc_id = l.node),
+ranked AS (SELECT lbl, node, n_chars,
+             row_number() OVER (PARTITION BY lbl
+                                ORDER BY n_chars DESC, node ASC) AS rk
+           FROM mem),
+sizes AS (SELECT lbl, COUNT(*) AS n_members FROM mem GROUP BY lbl)
+SELECT r.lbl AS cluster_id, r.node AS keeper_doc_id,
+       CAST(r.n_chars AS BIGINT) AS keeper_n_chars, s.n_members
+FROM ranked r JOIN sizes s USING (lbl), guard
+WHERE r.rk = 1 AND guard.ok = 1
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -685,6 +759,7 @@ QUERIES = {
     "tokenized_docs": q_tokenized_docs,
     "dedup_clusters": q_dedup_clusters,
     "embedding_dedup_clusters": q_embedding_dedup_clusters,
+    "dedup_keeper": q_dedup_keeper,
 }
 
 ORACLE = {
@@ -700,4 +775,5 @@ ORACLE = {
     "tokenized_docs": SQL_TOKENIZED_DOCS,
     "dedup_clusters": _dedup_clusters_oracle(),
     "embedding_dedup_clusters": _embedding_dedup_clusters_oracle(),
+    "dedup_keeper": _dedup_keeper_oracle(),
 }

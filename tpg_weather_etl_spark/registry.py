@@ -156,8 +156,9 @@ _RUN_LAST = [
     "ngram_jaccard_pairs",
     "minhash_pairs",
     # new this round — behind the 50-query rotation head on purpose:
-    # pytest + tools/check_oracle.py provide its round-4 evidence
+    # pytest + tools/check_oracle.py provide their round-4 evidence
     "containment_pairs",
+    "dedup_keeper",
 ]
 
 
