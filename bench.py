@@ -51,6 +51,9 @@ HEADLINE = [
     "pii_redact",
     "char_fingerprints",
     "tokenized_docs",
+    # round-4 additions
+    "containment_pairs",
+    "dedup_keeper",
 ]
 
 
