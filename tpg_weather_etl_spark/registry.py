@@ -42,23 +42,76 @@ except ImportError:
     _IMPORT_FAILURES.append("queries_multimodal")
 
 
-# The driver caps each round at 50 checked queries of the 98-query
+# The driver caps each round at 50 checked queries of the 100-query
 # registry, walking it in order. Rotate per round so every query's
-# latest green row is ≤1 round old: rounds 2 and 3 both checked the
-# same 50 (first-half), so round 4 fronts the 48 queries whose last
-# evidence is round 1, plus the two round-3 `err` rows (interval_join,
-# pattern_within — the NTZ regression, fixed this round) — exactly 50.
-# r3-green queries go to the tail.
+# latest green row is ≤1 round old: round 4 checked the then-head 50,
+# so round 5 fronts the other half — led by containment_pairs and
+# dedup_keeper (added in r4, never driver-checked) and the r3-green
+# tail. The 50 queries green in CORRECTNESS_r04 go to the tail.
 _RUN_FIRST = [
-    # fixed this round (TIMESTAMP_NTZ regression) — must get fresh rows
+    # added in round 4 — zero driver evidence in any round yet
+    "containment_pairs",
+    "dedup_keeper",
+    # last driver-green row is round 3
+    "minhash_pairs",
+    "dedup_clusters",
+    "kmeans_ivf_topk",
+    "ngram_jaccard_pairs",
+    "label_centroids",
+    "embedding_dedup_clusters",
+    "multimodal_features",
+    "rollup_revenue",
+    "pivot_event_values",
+    "intersect_except",
+    "array_agg_types",
+    "approx_stats",
+    "session_window_agg",
+    "bpe_token_stats",
+    "numeric_profile",
+    "source_priority_dedup",
+    "domain_curation",
+    "source_lang_entropy",
+    "scd2_intervals",
+    "weighted_sample_topk",
+    "sliding_window_counts",
+    "rank_functions",
+    "fuzzy_match_sources",
+    "embedding_zscore",
+    "semantic_search",
+    "daily_value_quantiles",
+    "snapshot_diff",
+    "null_safe_join",
+    "array_hof_stats",
+    "sql_api_revenue",
+    "order_count_distribution",
+    "big_orders",
+    "small_quantity_revenue",
+    "char_fingerprints",
+    "vocab_ids",
+    "tokenized_docs",
+    "salted_join_revenue",
+    "constraint_report",
+    "json_extract",
+    "gap_fill_forward",
+    "pii_redact",
+    "chunk_dedup",
+    "sequence_pack",
+    "multimodal_metadata",
+    "embedding_neardup_multi",
+    "repetition_stats",
+    "unigram_logprob",
+    "pipeline_funnel",
+]
+
+# Green in round 4 (CORRECTNESS_r04) — the least-information rows to
+# lose to the 50-query cap.
+_RUN_LAST = [
     "rolling_7d",
     "sessionize",
     "interval_join",
     "pattern_within",
-    # same unix_micros pattern, previously masked — re-prove under NTZ
     "asof_join",
     "lag_grid",
-    # last green row is round 1
     "pricing_summary",
     "top_orders",
     "region_revenue",
@@ -105,62 +158,6 @@ _RUN_FIRST = [
     "union_shards",
 ]
 
-# Green in round 3 — the least-information rows to lose to the cap.
-_RUN_LAST = [
-    "label_centroids",
-    "dedup_clusters",
-    "embedding_dedup_clusters",
-    "multimodal_features",
-    "rollup_revenue",
-    "pivot_event_values",
-    "intersect_except",
-    "array_agg_types",
-    "approx_stats",
-    "session_window_agg",
-    "bpe_token_stats",
-    "numeric_profile",
-    "source_priority_dedup",
-    "domain_curation",
-    "source_lang_entropy",
-    "scd2_intervals",
-    "weighted_sample_topk",
-    "sliding_window_counts",
-    "rank_functions",
-    "fuzzy_match_sources",
-    "embedding_zscore",
-    "semantic_search",
-    "daily_value_quantiles",
-    "snapshot_diff",
-    "null_safe_join",
-    "array_hof_stats",
-    "sql_api_revenue",
-    "order_count_distribution",
-    "big_orders",
-    "small_quantity_revenue",
-    "char_fingerprints",
-    "vocab_ids",
-    "tokenized_docs",
-    "salted_join_revenue",
-    "constraint_report",
-    "json_extract",
-    "gap_fill_forward",
-    "pii_redact",
-    "chunk_dedup",
-    "sequence_pack",
-    "multimodal_metadata",
-    "embedding_neardup_multi",
-    "kmeans_ivf_topk",
-    "repetition_stats",
-    "unigram_logprob",
-    "pipeline_funnel",
-    "ngram_jaccard_pairs",
-    "minhash_pairs",
-    # new this round — behind the 50-query rotation head on purpose:
-    # pytest + tools/check_oracle.py provide their round-4 evidence
-    "containment_pairs",
-    "dedup_keeper",
-]
-
 
 def _validate_ordering(query_keys: set[str]) -> None:
     # A typo in the hand-maintained ordering lists would silently land
@@ -170,12 +167,17 @@ def _validate_ordering(query_keys: set[str]) -> None:
     # enforced when every gate module imported: with a module missing,
     # its names are legitimately absent and a hard assert would turn
     # that partial degradation into total registry failure.
+    # raise, not assert: `python -O` strips asserts and a typo here
+    # would silently demote a query to the unordered middle.
     if not _IMPORT_FAILURES:
         unknown = (set(_RUN_FIRST) | set(_RUN_LAST)) - query_keys
-        assert not unknown, \
-            f"registry ordering names unknown queries: {unknown}"
+        if unknown:
+            raise ValueError(
+                f"registry ordering names unknown queries: {unknown}")
     dup = set(_RUN_FIRST) & set(_RUN_LAST)
-    assert not dup, f"queries listed in both _RUN_FIRST and _RUN_LAST: {dup}"
+    if dup:
+        raise ValueError(
+            f"queries listed in both _RUN_FIRST and _RUN_LAST: {dup}")
 
 
 def _prioritize(d: dict) -> dict:
