@@ -62,6 +62,11 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    # dynamic oracles (kmeans centers CTE) must be built against the
+    # same data the DuckDB views read
+    import os
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = args.sf
+
     import __spark_entry__ as entry_mod
     from tpg_weather_etl_spark.session import get_spark
 

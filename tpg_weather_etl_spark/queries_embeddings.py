@@ -19,7 +19,7 @@ the probability is negligible, and the gate would surface it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tpg_weather_etl_spark.functions.vectors import cosine_similarity
@@ -495,36 +495,58 @@ KMEANS_IVF_NPROBE = 4
 # per cell, not the full corpus (FAISS trains exactly this way).
 KMEANS_TRAIN_MAX = 20_000
 
-# Fitted centers memo: (cache_key, k, seed, train_max, max_iter) →
-# centroid rows. The centers are k tiny Python lists (plain data, no
-# session handle), so the memo survives session churn; a sweep that
-# calls the query repeatedly (correctness gate + bench + recall tests)
-# pays the fit once per (sf_dir, params) (VERDICT r2 task #6).
+# Fitted centers memo: (cache_key + data signature, k, seed,
+# train_max, max_iter) → centroid rows. The centers are k tiny Python
+# lists (plain data, no session handle), so the memo survives session
+# churn; a sweep that calls the query repeatedly (correctness gate +
+# bench + recall tests) pays the fit once per (sf_dir, params)
+# (VERDICT r2 task #6). The signature (parquet size + mtime) keeps
+# the memo from serving stale centers if the data under sf_dir is
+# regenerated within one process (ADVICE r4).
 _CENTROID_MEMO: dict[tuple, list] = {}
 
 
-def _fit_kmeans(e: DataFrame, k: int, seed: int, train_max: int,
-                max_iter: int) -> list:
-    """Seeded kmeans++ / Lloyd fit over a bounded, deterministic sample.
+def _data_signature(cache_key: str | None) -> tuple:
+    """Cheap content signature of ``<cache_key>/embeddings.parquet``
+    (size + mtime_ns), so the centroid memo invalidates if testdata
+    is rewritten in-process. Non-path cache keys sign as ()."""
+    import os
 
-    100 TB shape: the ONLY driver-side data is a ≤``train_max``-row
-    training sample (chosen by xxhash64 order → uniform pseudo-random,
-    deterministic, planned as TakeOrderedAndProject — no full sort) and
-    the k centers. Lloyd on 20k×64 doubles is milliseconds of numpy;
-    a distributed fit at this scale pays per-iteration job overhead
-    for data that fits in one L2 cache. Cell ASSIGNMENT of the full
-    corpus stays distributed (broadcast centroids, see
-    _ivf_topk_from_centroids).
-    """
+    if cache_key is None:
+        return ()
+    p = os.path.join(str(cache_key), "embeddings.parquet")
+    try:
+        st = os.stat(p)
+    except OSError:
+        return ()
+    return (st.st_size, st.st_mtime_ns)
+
+
+def clear_centroid_memo() -> None:
+    _CENTROID_MEMO.clear()
+
+
+def _portable_sample_order(vec_id: Column) -> Column:
+    """Engine-portable pseudo-random sort key over vec_id (the
+    operators/sampling.py LCG). Odd multiplier mod 2^31 is a
+    bijection on distinct ids, so ordering by it is a deterministic
+    pseudo-random permutation reproducible in any SQL dialect —
+    unlike xxhash64, which only Spark computes. The DuckDB-side
+    oracle fit (``fit_kmeans_local``) replays the exact same order."""
+    from tpg_weather_etl_spark.operators.sampling import LCG_A, LCG_C, LCG_M
+
+    return (vec_id.cast("long") * LCG_A + LCG_C) % LCG_M
+
+
+def _lloyd(X, k: int, seed: int, max_iter: int) -> list:
+    """Seeded kmeans++ / Lloyd over an in-memory sample matrix.
+
+    Shared verbatim by the Spark fit (sample collected via
+    TakeOrderedAndProject) and the oracle-side DuckDB fit, so both
+    produce bit-identical centers from the same rows in the same
+    order."""
     import numpy as np
 
-    sample = (
-        e.select(F.col("embedding").cast("array<double>").alias("emb"))
-        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
-        .limit(train_max)
-        .collect()
-    )
-    X = np.asarray([r.emb for r in sample], dtype=np.float64)
     n = len(X)
     k = min(k, n)
     rng = np.random.RandomState(seed)
@@ -555,6 +577,55 @@ def _fit_kmeans(e: DataFrame, k: int, seed: int, train_max: int,
     return [(i, [float(x) for x in c]) for i, c in enumerate(C)]
 
 
+def _fit_kmeans(e: DataFrame, k: int, seed: int, train_max: int,
+                max_iter: int) -> list:
+    """Seeded kmeans++ / Lloyd fit over a bounded, deterministic sample.
+
+    100 TB shape: the ONLY driver-side data is a ≤``train_max``-row
+    training sample (chosen by portable-LCG order → uniform pseudo-
+    random, deterministic, planned as TakeOrderedAndProject — no full
+    sort) and the k centers. Lloyd on 20k×64 doubles is milliseconds
+    of numpy; a distributed fit at this scale pays per-iteration job
+    overhead for data that fits in one L2 cache. Cell ASSIGNMENT of
+    the full corpus stays distributed (broadcast centroids, see
+    _ivf_topk_from_centroids).
+    """
+    import numpy as np
+
+    sample = (
+        e.select(F.col("vec_id"),
+                 F.col("embedding").cast("array<double>").alias("emb"))
+        .orderBy(_portable_sample_order(F.col("vec_id")), F.col("vec_id"))
+        .limit(train_max)
+        .collect()
+    )
+    X = np.asarray([r.emb for r in sample], dtype=np.float64)
+    return _lloyd(X, k, seed, max_iter)
+
+
+def fit_kmeans_local(sf_dir: str, k: int = KMEANS_IVF_K,
+                     seed: int = KMEANS_IVF_SEED,
+                     train_max: int = KMEANS_TRAIN_MAX,
+                     max_iter: int = 8) -> list:
+    """Spark-free replay of ``_fit_kmeans`` for the DuckDB oracle:
+    same LCG sample order, same rows, same ``_lloyd`` → bit-identical
+    centers. This is what lets kmeans_ivf_topk carry a full value-hash
+    oracle instead of a rows-only check."""
+    import duckdb
+    import numpy as np
+
+    from tpg_weather_etl_spark.operators.sampling import LCG_A, LCG_C, LCG_M
+
+    rows = duckdb.sql(
+        f"SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY (vec_id * {LCG_A} + {LCG_C}) % {LCG_M}, vec_id "
+        f"LIMIT {train_max}"
+    ).fetchall()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return _lloyd(X, k, seed, max_iter)
+
+
 def kmeans_centroids(
     spark: SparkSession,
     e: DataFrame,
@@ -571,7 +642,8 @@ def kmeans_centroids(
     across calls — index training is a build-once artifact, not a
     per-query cost.
     """
-    memo_key = (cache_key, k, seed, train_max, max_iter)
+    memo_key = (cache_key, _data_signature(cache_key),
+                k, seed, train_max, max_iter)
     rows = _CENTROID_MEMO.get(memo_key) if cache_key is not None else None
     if rows is None:
         rows = _fit_kmeans(e, k, seed, train_max, max_iter)
@@ -582,10 +654,13 @@ def kmeans_centroids(
 
 def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over a KMeans-trained quantizer, with multi-
-    assignment (each vector indexed in its 2 nearest cells). No SQL
-    oracle (ml training isn't oracle-expressible): the driver checks
-    rows-only; pytest checks recall@k against the brute-force
-    baseline (measured 30/30 at sf0.001, 28/30 at sf0.1).
+    assignment (each vector indexed in its 2 nearest cells). Full
+    value-hash oracle: the fit is deterministic given (seed, sample)
+    and the sample order is an engine-portable LCG, so the oracle
+    replays the identical fit Spark-free (``fit_kmeans_local``) and
+    embeds the centers as a literal VALUES CTE — DuckDB then performs
+    the same assignment + probe + top-k. pytest additionally checks
+    recall@k against the brute-force baseline.
 
     The testdata embeddings are nearly unclustered, so recall needs
     nprobe/k = 1/2 here; on a real corpus (where neighbors ARE
@@ -638,6 +713,69 @@ WHERE rank <= {IVF_TOPK}
 """
 
 
+# Default sf dir the external driver compares oracles at; local runs
+# (tools/check_oracle.py --sf ...) override via this env var so the
+# literal-centers CTE matches whatever data the views point at.
+ORACLE_SF_ENV = "SPARK_GRAFT_ORACLE_SF"
+_DEFAULT_ORACLE_SF = "/root/testdata/sf0.01"
+
+_KMEANS_ORACLE_MEMO: dict[tuple, str] = {}
+
+
+def sql_kmeans_ivf_topk() -> str:
+    """Build the kmeans_ivf_topk oracle at call time: replay the
+    deterministic fit on the oracle's sf dir and inline the centers
+    as double literals (repr round-trips exactly, so DuckDB parses
+    the same 8 centroids bit-for-bit)."""
+    import os
+
+    sf_dir = os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)
+    memo_key = (sf_dir, _data_signature(sf_dir))
+    sql = _KMEANS_ORACLE_MEMO.get(memo_key)
+    if sql is not None:
+        return sql
+    centers = fit_kmeans_local(sf_dir)
+    values = ",\n  ".join(
+        f"({cell}, CAST([{', '.join(repr(x) for x in ce)}] AS DOUBLE[]))"
+        for cell, ce in centers
+    )
+    sql = f"""
+WITH cent(cell, ce) AS (VALUES
+  {values}),
+eb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       FROM embeddings),
+scores AS (
+  SELECT vec_id, e, cell,
+    round(list_dot_product(e, ce)
+          / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))),
+          6) + 0.0 AS cos_c
+  FROM eb CROSS JOIN cent),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_c DESC, cell ASC) AS rn
+  FROM scores),
+asg AS (SELECT vec_id, e, cell FROM ranked WHERE rn <= {KMEANS_IVF_NASSIGN}),
+probe AS (SELECT vec_id AS qid, cell FROM ranked
+          WHERE vec_id < {N_QUERY_VECS} AND rn <= {KMEANS_IVF_NPROBE}),
+q AS (SELECT vec_id AS qid, e AS qe FROM eb WHERE vec_id < {N_QUERY_VECS}),
+cand AS (
+  SELECT p.qid, a.vec_id,
+    round(list_dot_product(q.qe, a.e)
+          / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(a.e, a.e))),
+          6) + 0.0 AS cos
+  FROM probe p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.qid
+  JOIN q ON q.qid = p.qid),
+dedup AS (SELECT qid, vec_id, MAX(cos) AS cos FROM cand GROUP BY qid, vec_id)
+SELECT qid, vec_id, cos, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM dedup)
+WHERE rank <= {IVF_TOPK}
+"""
+    _KMEANS_ORACLE_MEMO[memo_key] = sql
+    return sql
+
+
 QUERIES = {
     "embedding_topk": q_embedding_topk,
     "ann_buckets": q_ann_buckets,
@@ -647,6 +785,12 @@ QUERIES = {
     "embedding_neardup_multi": q_embedding_neardup_multi,
     "ivf_topk": q_ivf_topk,
     "kmeans_ivf_topk": q_kmeans_ivf_topk,
+}
+
+# Oracles whose SQL embeds data-derived literals (fitted centers) are
+# built lazily at oracle_sql() call time, not import time.
+ORACLE_DYNAMIC = {
+    "kmeans_ivf_topk": sql_kmeans_ivf_topk,
 }
 
 ORACLE = {

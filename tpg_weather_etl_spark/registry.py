@@ -200,4 +200,8 @@ def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
         out.update(m.ORACLE)
+        # data-derived oracles (e.g. fitted kmeans centers inlined as
+        # literals) are built at call time, not import time
+        for name, build in getattr(m, "ORACLE_DYNAMIC", {}).items():
+            out[name] = build()
     return _prioritize(out)
