@@ -60,3 +60,115 @@ def test_stream_dedup_in_and_cross_batch(spark, tmp_path):
 
     rows = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
     assert rows == {1, 3, 5, 7}
+
+
+def test_stream_dedup_missing_store_raises_on_real_read_error(spark, tmp_path):
+    # absence is fine (first batch) ...
+    from tpg_weather_etl_spark.streaming.corpus_dedup import _path_exists
+    assert not _path_exists(spark, str(tmp_path / "nope"))
+    # ... but a store that exists and is unreadable must raise, not
+    # silently skip the anti-join and admit duplicates
+    bad = tmp_path / "corpus_bad"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_text("this is not parquet")
+    assert _path_exists(spark, str(bad))
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        spark.read.parquet(str(bad)).select("fp").collect()
+
+
+def test_stream_dedup_bucketed_store(spark, tmp_path):
+    """store_table variant: same dedup semantics, store bucketed on fp."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = tmp_path / "ckpt"
+    table = "corpus_dedup_store_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        (inbox / "a.jsonl").write_text("\n".join([
+            _doc(1, "hello world"),
+            _doc(2, "hello   WORLD"),
+            _doc(3, "fresh content"),
+        ]))
+        q = write_stream_dedup(
+            stream_documents(spark, str(inbox), max_files_per_trigger=1),
+            str(tmp_path / "unused"), str(ckpt), store_table=table,
+            num_buckets=8).start()
+        q.awaitTermination(120)
+        # the stream's microbatches run in a cloned session whose
+        # catalog-cache refresh doesn't reach this session — external
+        # readers of an appended table refresh, per normal Spark
+        # semantics (within the stream itself the clone's own refresh
+        # keeps batch N+1's anti-join consistent with batch N's append)
+        spark.catalog.refreshTable(table)
+        assert {r.doc_id for r in spark.table(table).collect()} == {1, 3}
+
+        (inbox / "b.jsonl").write_text("\n".join([
+            _doc(4, "hello world"),       # cross-batch dup
+            _doc(5, "another document"),
+        ]))
+        q = write_stream_dedup(
+            stream_documents(spark, str(inbox), max_files_per_trigger=1),
+            str(tmp_path / "unused"), str(ckpt), store_table=table,
+            num_buckets=8).start()
+        q.awaitTermination(120)
+        spark.catalog.refreshTable(table)
+        assert {r.doc_id for r in spark.table(table).collect()} == {1, 3, 5}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def _find_scan_path(node, table_name, path=()):
+    """Root→leaf path to the FileScan of ``table_name`` in a JVM plan."""
+    path = path + (node,)
+    cls = node.getClass().getSimpleName()
+    if cls == "FileSourceScanExec" and table_name in node.toString():
+        return path
+    ch = node.children()
+    for i in range(ch.size()):
+        found = _find_scan_path(ch.apply(i), table_name, path)
+        if found:
+            return found
+    return None
+
+
+def test_bucketed_store_anti_join_no_exchange_on_store_side(spark, tmp_path):
+    """The scale claim, mechanically: with the store bucketed on fp,
+    the per-batch anti-join plan has NO Exchange anywhere between the
+    join and the store scan — only the (small) batch side shuffles."""
+    from tpg_weather_etl_spark.sources.writers import write_bucketed
+    from tpg_weather_etl_spark.streaming.corpus_dedup import (
+        DOC_SCHEMA, batch_new_documents, doc_fingerprint)
+    from pyspark.sql import functions as F
+
+    table = "corpus_plan_proof_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE wraps the tree in an opaque AdaptiveSparkPlanExec; disable
+    # it so the walker sees the physical tree (the Exchange-placement
+    # decision under test is made by EnsureRequirements either way)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        store = spark.createDataFrame(
+            [(i, f"doc number {i}", "en", "web", 20) for i in range(500)],
+            DOC_SCHEMA).withColumn("fp", doc_fingerprint(F.col("text")))
+        write_bucketed(store, table, ["fp"], num_buckets=8,
+                       sort_cols=["fp"], mode="overwrite")
+        batch = spark.createDataFrame(
+            [(1000 + i, f"doc number {i * 3}", "en", "web", 20)
+             for i in range(50)], DOC_SCHEMA)
+        out = batch_new_documents(
+            batch, spark.table(table).select("fp"))
+        root = out._jdf.queryExecution().executedPlan()
+        scan_path = _find_scan_path(root, table)
+        assert scan_path is not None, root.toString()
+        exchanges = [n for n in scan_path
+                     if "Exchange" in n.getClass().getSimpleName()]
+        assert not exchanges, root.toString()
+        # and the dedup is still right: docs 0,3,...,147 collide
+        kept = {r.doc_id for r in out.collect()}
+        assert kept == {1000 + i for i in range(50) if i * 3 >= 500}
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

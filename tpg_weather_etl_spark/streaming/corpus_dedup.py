@@ -20,11 +20,12 @@ nothing — the standard exactly-once contract for foreachBatch sinks.
 
 100 TB shape: the anti-join shuffles the BATCH (small) against the
 store's fingerprint column only (pruned scan — ReadSchema is
-fp-only). At warehouse scale the store would be written bucketed on
-``fp`` (sources/writers.py write_bucketed) so the anti-join
-co-locates without shuffling the store; state never lives in
-executor memory, unlike dropDuplicates-forever, whose state grows
-without bound and dies with the checkpoint.
+fp-only). With ``store_table`` set, the store is kept hash-bucketed
+on ``fp`` (sources/writers.py write_bucketed) so the anti-join
+co-locates WITHOUT shuffling the store (plan-proofed in
+tests/test_streaming_dedup.py); state never lives in executor
+memory, unlike dropDuplicates-forever, whose state grows without
+bound and dies with the checkpoint.
 """
 
 from __future__ import annotations
@@ -55,28 +56,74 @@ def stream_documents(spark: SparkSession, input_dir: str,
     )
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check for the output store. Absence is the
+    ONLY condition that may skip the cross-batch anti-join; any other
+    read failure (corrupt footer, permissions, transient FS error)
+    must propagate, not silently admit duplicates."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def batch_new_documents(batch_df: DataFrame,
+                        seen: DataFrame | None) -> DataFrame:
+    """One micro-batch of incremental dedup: fingerprint, keep the
+    lowest doc_id per fingerprint in-batch (H2 tie rule), then
+    anti-join against the fingerprints already in the store (``seen``
+    is None only for a store that does not exist yet).
+
+    Module-level (not a closure) so tests can assert the exact plan
+    the stream executes — e.g. that a bucketed store side joins
+    without an Exchange."""
+    from pyspark.sql import Window
+
+    b = batch_df.withColumn("fp", doc_fingerprint(F.col("text")))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    b = (b.withColumn("__rk", F.row_number().over(w))
+         .filter(F.col("__rk") == 1).drop("__rk"))
+    if seen is not None:
+        b = b.join(seen, "fp", "left_anti")
+    return b
+
+
 def write_stream_dedup(docs: DataFrame, out_dir: str,
-                       checkpoint_dir: str):
+                       checkpoint_dir: str,
+                       store_table: str | None = None,
+                       num_buckets: int = 32):
     """foreachBatch sink: append only never-seen-before documents
-    (by content fingerprint) to ``out_dir``."""
+    (by content fingerprint).
+
+    Default store is plain parquet at ``out_dir``. Pass
+    ``store_table`` to keep the store as a managed table hash-
+    bucketed on ``fp`` instead (sources/writers.py write_bucketed):
+    the per-batch anti-join then reads the store side already
+    partitioned on the join key — NO Exchange on the corpus side,
+    only the (small) batch shuffles. At 100 TB that is the difference
+    between shuffling the whole corpus once per micro-batch and
+    shuffling just the new arrivals (plan-proofed in
+    tests/test_streaming_dedup.py)."""
 
     def _dedupe_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        from pyspark.sql import Window
-
-        b = batch_df.withColumn("fp", doc_fingerprint(F.col("text")))
-        # in-batch winner: lowest doc_id per fingerprint (H2 tie rule)
-        w = Window.partitionBy("fp").orderBy("doc_id")
-        b = (b.withColumn("__rk", F.row_number().over(w))
-             .filter(F.col("__rk") == 1).drop("__rk"))
-        try:
-            seen = spark.read.parquet(out_dir).select("fp")
-            b = b.join(seen, "fp", "left_anti")
-        except Exception:
-            pass  # first batch: no output table yet
-        if not b.isEmpty():
+        if store_table is not None:
+            seen = (spark.table(store_table).select("fp")
+                    if spark.catalog.tableExists(store_table) else None)
+        else:
+            seen = (spark.read.parquet(out_dir).select("fp")
+                    if _path_exists(spark, out_dir) else None)
+        b = batch_new_documents(batch_df, seen)
+        if b.isEmpty():
+            return
+        if store_table is not None:
+            from tpg_weather_etl_spark.sources.writers import write_bucketed
+            write_bucketed(b, store_table, ["fp"],
+                           num_buckets=num_buckets, sort_cols=["fp"],
+                           mode="append")
+        else:
             b.write.mode("append").parquet(out_dir)
 
     return (
