@@ -86,3 +86,35 @@ def test_cluster_summary_small_cluster_members_complete(spark):
     ids = [int(x) for x in
            row.members.strip("[]").replace(",", " ").split()]
     assert ids == [5, 7, 9]
+
+
+def test_cc_high_diameter_chain_converges_logarithmically(spark):
+    """Pointer jumping: a 10^5-node chain (diameter ~10^5) converges
+    within the default 20-round budget — O(log d), not O(d). Plain
+    neighbor-min propagation would need 10^5 rounds."""
+    from tpg_weather_etl_spark.operators import graph
+
+    n = 100_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    labels = connected_components_min_label(edges)
+    assert graph.LAST_ROUNDS <= 20
+    got = labels.agg(
+        F.countDistinct("cluster").alias("k"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("cluster").alias("mx")).collect()[0]
+    assert (got.k, got.n, got.mx) == (1, n, 0)
+
+
+def test_cc_star_clique_mix_converges_fast(spark):
+    """Dup-graph shapes (stars and cliques) converge in <=3 rounds
+    including the final zero-change round."""
+    from tpg_weather_etl_spark.operators import graph
+
+    star = [(0, i) for i in range(1, 50)]
+    clique = [(a, b) for a in range(100, 110) for b in range(a + 1, 110)]
+    edges = spark.createDataFrame(star + clique, "doc_a long, doc_b long")
+    labels = connected_components_min_label(edges)
+    assert graph.LAST_ROUNDS <= 3
+    got = {(r.doc, r.cluster) for r in labels.collect()}
+    assert {c for _, c in got} == {0, 100}

@@ -1,19 +1,35 @@
-"""Distributed connected components via iterative min-label
-propagation — the clustering step of near-duplicate deduplication
+"""Distributed connected components via min-label propagation with
+pointer jumping — the clustering step of near-duplicate deduplication
 (cluster = transitive closure of the near-dup pair graph, keep the
 min-id member per cluster).
 
-Exact, converges in O(graph diameter) rounds; every round is one
-shuffle-join on node ids. No driver-side graph state: edges and labels
+Exact. Each round propagates the min label one hop along edges AND
+one hop through the label pointers themselves (path doubling), so the
+distance the component minimum has travelled at least doubles per
+round: convergence in O(log diameter) rounds, not O(diameter). A
+10⁵-node chain converges in ~17 rounds instead of 10⁵ (stress-tested
+in tests/test_graph.py). No driver-side graph state: edges and labels
 stay distributed, so the operator scales to edge sets that never fit
 one machine. Near-dup graphs have tiny diameter in practice (dup
-clusters are cliques or short chains), so 2-4 rounds is typical.
+clusters are cliques or short chains), so 1-2 propagation rounds is
+typical.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Edge rows per partition for the label-propagation loop. The loop's
+# frames are re-partitioned from the MEASURED edge count rather than
+# inheriting the parent plan's layout: a few hundred candidate pairs
+# at test scale collapse to one partition (a fixed per-round cost of
+# ~32-task stage scheduling otherwise dominates wall-clock), while
+# billions of edges at 100 TB fan out to thousands of partitions.
+# Reduce sides are AQE-coalesced either way; this sizes the cached
+# map sides, which AQE cannot touch.
+_EDGE_ROWS_PER_PARTITION = 65_536
+_MAX_LOOP_PARTITIONS = 65_536
 
 
 def connected_components_min_label(
@@ -25,55 +41,51 @@ def connected_components_min_label(
     """(doc, cluster) for every node in ``edges``; cluster = min
     reachable node id.
 
-    Each round joins labels across the symmetrized edge list, keeps
-    the elementwise min, and folds the convergence check into the
-    localCheckpoint-ed update (one action per round, no second join
-    against the previous labels). ``localCheckpoint`` truncates the
-    growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    Each round: (1) neighbor min — join labels across the symmetrized
+    edge list, keep the elementwise min; (2) pointer jump — look up
+    the label OF the label (l(l(d))) and keep the min again. Jumping
+    preserves the invariant that every label is a reachable node id,
+    and doubles propagation distance per round. The convergence check
+    is folded into the localCheckpoint-ed update (one action per
+    round, no second join against the previous labels);
+    ``localCheckpoint`` truncates the growing lineage so round N's
+    plan doesn't replay rounds 1..N-1.
     """
     both = edges.select(F.col(src).alias("doc_a"),
                         F.col(dst).alias("doc_b"))
     both = both.union(
         both.select(F.col("doc_b").alias("doc_a"),
                     F.col("doc_a").alias("doc_b"))
-    ).cache()
+    )
+    # Eagerly checkpoint the symmetrized edges BEFORE the loop: the
+    # candidate-pair plan upstream (MinHash/LSH etc.) can be hundreds
+    # of operators deep, and without truncation EVERY round's action
+    # re-pays its driver-side analysis+planning even when execution
+    # hits caches — measured as the dominant CC cost at test scale.
+    both = both.localCheckpoint(eager=True)
+    # one cheap job over the checkpointed rows sizes the loop's
+    # parallelism from the actual edge count
+    n_edges = both.count()
+    parts = max(1, min(_MAX_LOOP_PARTITIONS,
+                       -(-n_edges // _EDGE_ROWS_PER_PARTITION)))
+    both = both.repartition(parts, "doc_b").cache()
     labels = (
         both.select(F.col("doc_a").alias("doc"))
         .distinct()
         .withColumn("cluster", F.col("doc"))
     )
-    converged = False
-    for _ in range(max_iter):
-        neighbor_min = (
-            both.join(labels, both.doc_b == labels.doc)
-            .groupBy(both.doc_a.alias("doc"))
-            .agg(F.min("cluster").alias("nb_cluster"))
-        )
-        # ONE action per round: the lazy localCheckpoint materializes
-        # as a side effect of the full (non-short-circuit) convergence
-        # count — an eager checkpoint plus a separate count would pay
-        # two job launches per round, which dominates wall-clock on
-        # small graphs. The full count visits every partition, so the
-        # checkpoint is completely stored before the next round reads
-        # it; lineage still truncates at each round.
-        updated = (
-            labels.withColumnRenamed("cluster", "old")
-            .join(neighbor_min, "doc", "left")
-            .select(
-                "doc", "old",
-                F.least(
-                    F.col("old"),
-                    F.coalesce(F.col("nb_cluster"), F.col("old")),
-                ).alias("cluster"),
-            )
-        ).localCheckpoint(eager=False)
-        changed = (
-            updated.filter(F.col("cluster") < F.col("old")).count()
-        )
-        labels = updated.select("doc", "cluster")
-        if changed == 0:
-            converged = True
-            break
+    # The localCheckpoint compiles each round to an RDD before AQE can
+    # coalesce, so the raw shuffle.partitions applies to every shuffle
+    # in the loop — scope it to the measured size for the duration
+    # (hundreds of near-empty tasks per round otherwise dominate
+    # wall-clock at test scale; at 100 TB ``parts`` is thousands).
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        labels, converged = _propagate(both, labels, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     both.unpersist()
     if not converged:
         # Under-convergence means labels that LOOK final but are not
@@ -85,6 +97,68 @@ def connected_components_min_label(
             " — graph diameter exceeds the iteration budget"
         )
     return labels
+
+
+# Diagnostics: rounds the last connected_components_min_label call
+# took (propagation rounds + the final zero-change round). Read by
+# the convergence stress tests; not part of the operator contract.
+LAST_ROUNDS = 0
+
+
+def _propagate(both: DataFrame, labels: DataFrame,
+               max_iter: int) -> tuple[DataFrame, bool]:
+    global LAST_ROUNDS
+    converged = False
+    LAST_ROUNDS = 0
+    for _ in range(max_iter):
+        LAST_ROUNDS += 1
+        neighbor_min = (
+            both.join(labels, both.doc_b == labels.doc)
+            .groupBy(both.doc_a.alias("doc"))
+            .agg(F.min("cluster").alias("nb_cluster"))
+        )
+        hop = (
+            labels.withColumnRenamed("cluster", "old")
+            .join(neighbor_min, "doc", "left")
+            .select(
+                "doc", "old",
+                F.least(
+                    F.col("old"),
+                    F.coalesce(F.col("nb_cluster"), F.col("old")),
+                ).alias("mid"),
+            )
+        )
+        # pointer jump: follow the (always-reachable) label pointer
+        # one more step — l(l(d)) — and keep the min. Turns O(d)
+        # convergence into O(log d) on chains; on cliques it's a
+        # no-op join on label-sized data.
+        jump = labels.select(F.col("doc").alias("j_doc"),
+                             F.col("cluster").alias("j_cluster"))
+        # ONE action per round: the lazy localCheckpoint materializes
+        # as a side effect of the full (non-short-circuit) convergence
+        # count — an eager checkpoint plus a separate count would pay
+        # two job launches per round, which dominates wall-clock on
+        # small graphs. The full count visits every partition, so the
+        # checkpoint is completely stored before the next round reads
+        # it; lineage still truncates at each round.
+        updated = (
+            hop.join(jump, hop.mid == jump.j_doc, "left")
+            .select(
+                "doc", "old",
+                F.least(
+                    F.col("mid"),
+                    F.coalesce(F.col("j_cluster"), F.col("mid")),
+                ).alias("cluster"),
+            )
+        ).localCheckpoint(eager=False)
+        changed = (
+            updated.filter(F.col("cluster") < F.col("old")).count()
+        )
+        labels = updated.select("doc", "cluster")
+        if changed == 0:
+            converged = True
+            break
+    return labels, converged
 
 
 MEMBER_SAMPLE_N = 100
