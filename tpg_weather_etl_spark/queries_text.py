@@ -373,6 +373,13 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection count, no second pass over the index.
     """
     sh = filter_hot_shingles(_shingle_df_shared(spark, sf_dir))
+    return containment_pairs_from_shingles(sh)
+
+
+def containment_pairs_from_shingles(sh: DataFrame) -> DataFrame:
+    """Containment pair detection over a prepared (doc_id, sh_hash)
+    shingle set — parameterized so tests can measure the hot-shingle
+    cap's recall cost by feeding capped vs uncapped shingles."""
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"),
                   F.col("sh_hash").alias("sh_a"))
