@@ -314,15 +314,21 @@ def q_embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = n.cast("double")
     mean = (F.round(s1, 4).cast("decimal(18,4)").cast("double") / n)
     var = (nd * s2d - s1d * s1d) / (nd * (nd - F.lit(1.0)))
-    stats = dims.groupBy("dim").agg(mean.alias("mu"), var.alias("v"))
-    # Degenerate-dimension guard: v <= 0 (all-equal values) or NULL
-    # (n=1) would make z Inf/NaN — Spark's decimal cast then yields
-    # NULL and an unguarded array_join DROPS the element (silently
-    # shorter vector) while DuckDB's cast raises. Emit an explicit
-    # NULL instead and render it as the literal 'null' in both engines
-    # so degenerate dims stay position-stable and hash-identical.
+    stats = dims.groupBy("dim").agg(
+        mean.alias("mu"), var.alias("v"),
+        (s2d / nd).alias("s2n"))
+    # Degenerate-dimension guard: a (near-)zero-variance dim would
+    # make z Inf/NaN/huge — Spark's decimal cast then yields NULL and
+    # an unguarded array_join DROPS the element (silently shorter
+    # vector) while DuckDB's cast raises. Emit an explicit NULL
+    # instead and render it as the literal 'null' in both engines so
+    # degenerate dims stay position-stable and hash-identical. The
+    # threshold is RELATIVE (v > 1e-12 · Σx²/n, identical in the SQL
+    # oracle): for a mathematically-zero-variance dim the cancellation
+    # n·Σx² − (Σx)² can land tiny-positive, and a bare v > 0 would
+    # sit on that knife-edge (ADVICE r4).
     z = F.when(
-        F.col("v") > 0,
+        F.col("v") > F.lit(1e-12) * F.col("s2n"),
         F.round((F.col("x") - F.col("mu")) / F.sqrt(F.col("v")), 6) + 0.0,
     )
     zd = dims.join(F.broadcast(stats), "dim").select(
@@ -357,10 +363,13 @@ st AS (
                         * CAST(x AS DECIMAL(18,8))), 6) AS DOUBLE)
      - CAST(ROUND(SUM(CAST(x AS DECIMAL(18,8))), 6) AS DOUBLE)
        * CAST(ROUND(SUM(CAST(x AS DECIMAL(18,8))), 6) AS DOUBLE))
-    / (CAST(COUNT(x) AS DOUBLE) * (CAST(COUNT(x) AS DOUBLE) - 1.0)) AS v
+    / (CAST(COUNT(x) AS DOUBLE) * (CAST(COUNT(x) AS DOUBLE) - 1.0)) AS v,
+    CAST(ROUND(SUM(CAST(x AS DECIMAL(18,8))
+                   * CAST(x AS DECIMAL(18,8))), 6) AS DOUBLE)
+    / CAST(COUNT(x) AS DOUBLE) AS s2n
   FROM dims GROUP BY 1)
 SELECT vec_id,
-  string_agg(COALESCE(CAST(CASE WHEN v > 0 THEN
+  string_agg(COALESCE(CAST(CASE WHEN v > 1e-12 * s2n THEN
                  CAST(round((x - mu) / sqrt(v), 6) + 0.0 AS DECIMAL(18,6))
                END AS VARCHAR), 'null'),
              ',' ORDER BY dim) AS zvec
