@@ -146,3 +146,44 @@ def test_ivf_index_at_rest_prunes_to_probed_cells(spark, tmp_path):
     # round trip preserves the assignment
     n_all = spark.read.parquet(idx).count()
     assert n_all == assign.count()
+
+
+SF_DIR_01 = "/root/testdata/sf0.01"
+
+
+def test_ml_lsh_recall_pinned_vs_gate_pairs(spark, _need_testdata):
+    """Regression pin (VERDICT r4 task 7): the pyspark.ml LSH paths
+    must keep recovering the gate's near-dup pairs. Both sides are
+    recomputed, so drift in pyspark.ml defaults (hash family, seed
+    handling, approxSimilarityJoin semantics) fails here instead of
+    silently degrading production recall. Measured 1.0 on both
+    estimators at sf0.01; floor 0.9 absorbs benign jitter only."""
+    from tpg_weather_etl_spark.operators.lsh_ml import (
+        minhash_neardup_pairs,
+        random_projection_ann_pairs,
+    )
+    from tpg_weather_etl_spark.queries_embeddings import q_embedding_neardup
+    from tpg_weather_etl_spark.queries_text import q_minhash_pairs
+    from tpg_weather_etl_spark.sources.tables import read_table
+
+    if not Path(SF_DIR_01).exists():
+        pytest.skip("driver testdata not present")
+
+    gate_mh = {(r.doc_a, r.doc_b)
+               for r in q_minhash_pairs(spark, SF_DIR_01).collect()}
+    ml_mh = {(r.doc_a, r.doc_b) for r in minhash_neardup_pairs(
+        read_table(spark, SF_DIR_01, "documents"),
+        max_jaccard_distance=0.5).collect()}
+    mh_recall = len(gate_mh & ml_mh) / len(gate_mh)
+    assert mh_recall >= 0.9, f"MinHashLSH recall {mh_recall:.2f}"
+
+    # gate near-dups (cos >= 0.35) all sit within L2 1.14 on this
+    # data; 1.2 is the production threshold the rp wrapper documents
+    gate_nd = {(r.vec_a, r.vec_b)
+               for r in q_embedding_neardup(spark, SF_DIR_01).collect()}
+    ml_nd = {(r.vec_a, r.vec_b) for r in random_projection_ann_pairs(
+        read_table(spark, SF_DIR_01, "embeddings"),
+        max_l2_distance=1.2).collect()}
+    nd_recall = len(gate_nd & ml_nd) / len(gate_nd)
+    assert nd_recall >= 0.9, \
+        f"BucketedRandomProjectionLSH recall {nd_recall:.2f}"
