@@ -10,6 +10,7 @@ any per-round budget the external driver applies to its own run.
 from __future__ import annotations
 
 import math
+import os
 from datetime import date, datetime
 from pathlib import Path
 
@@ -17,6 +18,9 @@ import duckdb
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
+# dynamic oracles (fitted-kmeans centers CTE) must be built against
+# the sf dir THIS suite compares at, not the driver's sf0.01 default
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_DIR
 
 
 def _all_oracle_names() -> list[str]:

@@ -148,6 +148,15 @@ def test_bucketed_store_anti_join_no_exchange_on_store_side(spark, tmp_path):
     # it so the walker sees the physical tree (the Exchange-placement
     # decision under test is made by EnsureRequirements either way)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # The no-shuffle-on-store guarantee requires bucket count >= the
+    # batch side's shuffle parallelism: if the batch arrives hash-
+    # partitioned WIDER than the bucket count, Spark reshuffles the
+    # bucketed side up to match instead (observed: 8 buckets vs 32
+    # shuffle partitions -> store Exchange). At warehouse scale the
+    # store is written with buckets >= expected per-batch parallelism;
+    # pin the conf here to encode that sizing rule.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         store = spark.createDataFrame(
             [(i, f"doc number {i}", "en", "web", 20) for i in range(500)],
@@ -171,4 +180,5 @@ def test_bucketed_store_anti_join_no_exchange_on_store_side(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -103,7 +103,10 @@ def write_stream_dedup(docs: DataFrame, out_dir: str,
     only the (small) batch shuffles. At 100 TB that is the difference
     between shuffling the whole corpus once per micro-batch and
     shuffling just the new arrivals (plan-proofed in
-    tests/test_streaming_dedup.py)."""
+    tests/test_streaming_dedup.py). Size ``num_buckets`` >= the
+    expected per-batch shuffle parallelism: if the batch side arrives
+    hash-partitioned wider than the bucket count, Spark reshuffles
+    the bucketed store UP to match instead."""
 
     def _dedupe_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
