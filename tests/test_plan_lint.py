@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     # table (BuildRight = centroids; distance-to-all-k is the point)
     "ivf_topk": "fixed-k centroid broadcast",
     "kmeans_ivf_topk": "fixed-k centroid broadcast",
+    "semantic_dedup_keeper": "fixed-k centroid broadcast",
     # source-mix weighting: per-source stats × single-row global total
     "source_mix_weights": "single-row global total broadcast",
     "mixed_sample": "single-row global total broadcast",

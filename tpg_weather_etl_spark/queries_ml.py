@@ -565,7 +565,8 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_ROUNDS = 6
 
 
-def _cc_label_ctes(edges: str) -> tuple[list, str]:
+def _cc_label_ctes(edges: str,
+                   rounds: int = _CC_ROUNDS) -> tuple[list, str]:
     """The shared (node, lbl) propagation CTE chain + convergence
     guard; callers append their own final SELECT, cross-joined with
     ``guard`` and filtered on ``guard.ok = 1``.
@@ -583,7 +584,7 @@ def _cc_label_ctes(edges: str) -> tuple[list, str]:
         " UNION SELECT b, b FROM sym)",
     ]
     prev = "l0"
-    for k in range(_CC_ROUNDS):
+    for k in range(rounds):
         n, m, cur = f"n{k}", f"m{k}", f"l{k + 1}"
         ctes.append(
             f"{n} AS MATERIALIZED (SELECT s.a AS node, MIN(l.lbl) AS nb"
@@ -755,6 +756,201 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Dedup APPLY: materialize the surviving corpus — every document not
+# in a near-dup cluster, plus each cluster's keeper (longest doc, H2
+# tie rule). The final step of the detect → cluster → keeper pipeline.
+# ---------------------------------------------------------------------------
+
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, n_chars) of the deduplicated corpus.
+
+    Scale shape: the loser set is near-dup-cluster-sized (tiny
+    relative to the corpus), so the final left_anti join broadcasts
+    losers and the corpus itself NEVER shuffles — applying dedup to
+    100 TB is one broadcast anti-join over the scan.
+    """
+    from pyspark.sql import Window
+
+    from tpg_weather_etl_spark.operators.graph import (
+        connected_components_min_label,
+    )
+
+    labels = connected_components_min_label(_edges(spark, sf_dir))
+    d = t(spark, sf_dir, "documents")
+    m = labels.join(d.select("doc_id", "n_chars"),
+                    labels.doc == F.col("doc_id")).select(
+        "doc", "cluster", "n_chars")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.asc("doc"))
+    losers = (m.withColumn("__rk", F.row_number().over(w))
+              .filter(F.col("__rk") > 1)
+              .select(F.col("doc").alias("doc_id")))
+    return (
+        d.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source",
+                F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+def _dedup_apply_oracle() -> str:
+    from tpg_weather_etl_spark.queries_text import SQL_MINHASH_PAIRS
+    inner = SQL_MINHASH_PAIRS.strip().rstrip(";")
+    ctes, prev = _cc_label_ctes(f"SELECT doc_a, doc_b FROM ({inner})")
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+mem AS (SELECT l.lbl, l.node, d.n_chars
+        FROM {prev} l JOIN documents d ON d.doc_id = l.node),
+ranked AS (SELECT lbl, node,
+             row_number() OVER (PARTITION BY lbl
+                                ORDER BY n_chars DESC, node ASC) AS rk
+           FROM mem)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d, guard
+WHERE guard.ok = 1
+  AND d.doc_id NOT IN (SELECT node FROM ranked WHERE rk > 1)
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): KMeans cells bound the quadratic,
+# within-cell cosine >= tau pairs form the semantic-duplicate graph,
+# connected components resolve groups, min-id keeper survives.
+# ---------------------------------------------------------------------------
+
+SEM_TAU = 0.35
+
+
+def q_semantic_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(keeper_vec_id, n_members) per semantic-duplicate group.
+
+    The SemDeDup recipe (Abbas et al. 2023): cluster embeddings with
+    KMeans, compare pairs only WITHIN a cell, keep one representative
+    per connected group. Scale shape: the k broadcast centroids bound
+    the pairwise work to ~n²/k per cell (cells are data-partitioned),
+    the pair graph is semantic-dup-sized, and CC runs on pairs only.
+    Min-id keeper means the CC label IS the keeper — no second pass.
+    Full value-hash oracle: the deterministic fitted centers are
+    inlined as a VALUES CTE (same machinery as kmeans_ivf_topk) and
+    the CC label CTEs mirror the propagation.
+    """
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+    from tpg_weather_etl_spark.operators.graph import (
+        connected_components_min_label,
+    )
+    from tpg_weather_etl_spark.queries_embeddings import (
+        _cell_scores,
+        _cos_rounded,
+        kmeans_centroids,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(spark, e, cache_key=sf_dir)
+    # rn=1: plain (non-replicated) cell assignment; persisted because
+    # the self-join consumes it twice
+    asg = track(
+        _cell_scores(e, cent).filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = asg.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("emb_a"), "cell")
+    b = asg.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("emb_b"),
+                   F.col("cell").alias("cell_b"))
+    pairs = (
+        a.join(b, (F.col("cell") == F.col("cell_b"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b",
+                _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos"))
+        .filter(F.col("cos") >= SEM_TAU)
+        .select("vec_a", "vec_b")
+    )
+    labels = connected_components_min_label(pairs, src="vec_a",
+                                            dst="vec_b", max_iter=40)
+    return (
+        labels.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("cluster").alias("keeper_vec_id"), "n_members")
+    )
+
+
+_SEM_ORACLE_MEMO: dict[tuple, str] = {}
+
+
+def sql_semantic_dedup_keeper() -> str:
+    """Oracle built at call time: fitted centers as literals, then
+    the same assignment, within-cell pair filter, and CC labels."""
+    import os
+
+    from tpg_weather_etl_spark.queries_embeddings import (
+        _DEFAULT_ORACLE_SF,
+        ORACLE_SF_ENV,
+        _data_signature,
+        fit_kmeans_local,
+    )
+
+    sf_dir = os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)
+    memo_key = (sf_dir, _data_signature(sf_dir))
+    sql = _SEM_ORACLE_MEMO.get(memo_key)
+    if sql is not None:
+        return sql
+    centers = fit_kmeans_local(sf_dir)
+    values = ",\n  ".join(
+        f"({cell}, CAST([{', '.join(repr(x) for x in ce)}] AS DOUBLE[]))"
+        for cell, ce in centers
+    )
+    head = f"""cent(cell, ce) AS (VALUES
+  {values}),
+emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+cscore AS (
+  SELECT vec_id, e, cell,
+    round(list_dot_product(e, ce)
+          / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))),
+          6) + 0.0 AS cos_c
+  FROM emb CROSS JOIN cent),
+casg AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_c DESC, cell ASC) AS rn
+    FROM cscore) WHERE rn = 1),
+spairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM casg a JOIN casg b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 6) + 0.0
+        >= {SEM_TAU})"""
+    # The within-cell cosine graph chains far longer than the near-dup
+    # graphs (sparse random intra-cell edges form 100+-node path-like
+    # components; measured 16 propagation rounds at sf0.1 — the
+    # label-pointer jump is ~path-halving, not strict doubling). 20
+    # rounds matches the Spark side\'s default budget; the guard
+    # still errors on anything deeper.
+    ctes, prev = _cc_label_ctes("SELECT doc_a, doc_b FROM spairs",
+                                rounds=20)
+    sql = (
+        "WITH " + head + ",\n" + ",\n".join(ctes) + f"""
+SELECT l.lbl AS keeper_vec_id, COUNT(*) AS n_members
+FROM {prev} l, guard
+WHERE guard.ok = 1
+GROUP BY l.lbl
+"""
+    )
+    _SEM_ORACLE_MEMO[memo_key] = sql
+    return sql
+
+
+ORACLE_DYNAMIC = {
+    "semantic_dedup_keeper": sql_semantic_dedup_keeper,
+}
+
+
 QUERIES = {
     "source_lang_entropy": q_source_lang_entropy,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -769,6 +965,8 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "embedding_dedup_clusters": q_embedding_dedup_clusters,
     "dedup_keeper": q_dedup_keeper,
+    "dedup_apply": q_dedup_apply,
+    "semantic_dedup_keeper": q_semantic_dedup_keeper,
 }
 
 ORACLE = {
@@ -785,4 +983,5 @@ ORACLE = {
     "dedup_clusters": _dedup_clusters_oracle(),
     "embedding_dedup_clusters": _embedding_dedup_clusters_oracle(),
     "dedup_keeper": _dedup_keeper_oracle(),
+    "dedup_apply": _dedup_apply_oracle(),
 }

@@ -156,6 +156,12 @@ _RUN_LAST = [
     "deterministic_sample",
     "contains_filter",
     "union_shards",
+    # new in round 5 — behind the 50-query rotation head on purpose
+    # (the head must finish covering the r4-unchecked half first);
+    # pytest gate-parity + tools/check_oracle.py provide their
+    # round-5 evidence, and the round-6 rotation fronts them.
+    "dedup_apply",
+    "semantic_dedup_keeper",
 ]
 
 
