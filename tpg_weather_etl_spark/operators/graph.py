@@ -129,11 +129,13 @@ def _propagate(both: DataFrame, labels: DataFrame,
             )
         )
         # pointer jump: follow the (always-reachable) label pointer
-        # one more step — l(l(d)) — and keep the min. Turns O(d)
-        # convergence into O(log d) on chains; on cliques it's a
-        # no-op join on label-sized data.
-        jump = labels.select(F.col("doc").alias("j_doc"),
-                             F.col("cluster").alias("j_cluster"))
+        # one more step and keep the min. Jumping through the CURRENT
+        # post-neighbor-min labels (mid), not the previous round's —
+        # strictly stronger per round, and what the DuckDB oracle's
+        # unroll does. On path-like graphs this is ~path-halving; on
+        # cliques it's a no-op join on label-sized data.
+        jump = hop.select(F.col("doc").alias("j_doc"),
+                          F.col("mid").alias("j_cluster"))
         # ONE action per round: the lazy localCheckpoint materializes
         # as a side effect of the full (non-short-circuit) convergence
         # count — an eager checkpoint plus a separate count would pay
