@@ -33,6 +33,8 @@ BNLJ_ALLOWED = {
     # source-mix weighting: per-source stats × single-row global total
     "source_mix_weights": "single-row global total broadcast",
     "mixed_sample": "single-row global total broadcast",
+    # Q22 shape: single-row average-balance threshold broadcast
+    "idle_customer_balance": "single-row scalar threshold broadcast",
 }
 
 

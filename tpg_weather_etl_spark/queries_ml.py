@@ -90,6 +90,119 @@ WHERE rank <= {TOP_TERMS}
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval — Okapi BM25 (Lucene idf variant) top-k
+# documents per query over an inverted-index shaped plan
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+# (qid, term) literal query workload — the retrieval side of a
+# training-data curation loop (e.g. pulling topical slices out of a
+# 100 TB corpus). 'dup' is deliberately the rare term (df≈6% of docs)
+# so the idf spread is exercised, not just tf.
+BM25_QUERIES = [
+    (1, ["spark", "hash", "join"]),
+    (2, ["window", "sort", "merge"]),
+    (3, ["dup", "table", "scan"]),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k docs per query by BM25.
+
+    Scale shape: the tiny (qid, term) workload table joins the
+    per-(doc, term) tf table FIRST — Catalyst broadcasts it, so the
+    corpus-wide tf/df work is immediately cut to rows matching any
+    query term (an inverted-index probe, not a corpus scan-out).
+    Per-doc length joins co-partitioned on doc_id; N and avgdl are
+    scalars (avgdl = total_tokens/n_docs — an exact int/int double
+    division, bit-identical in both engines, instead of an
+    order-dependent AVG over doubles). Per-term contributions are
+    rounded then summed in DECIMAL(18,6) so the (qid, doc) score is
+    independent of aggregation order under AQE.
+    """
+    toks = _tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], stats["tot"] / stats["n_docs"]
+
+    qterms = spark.createDataFrame(
+        [(qid, term) for qid, terms in BM25_QUERIES for term in terms],
+        "qid int, tok string",
+    )
+    tf = (
+        toks.join(F.broadcast(qterms.select("tok").distinct()), "tok")
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
+        ), 6,
+    )
+    contrib = F.round(
+        idf * F.col("tf") * F.lit(BM25_K1 + 1.0)
+        / (F.col("tf") + F.lit(BM25_K1)
+           * (F.lit(1.0 - BM25_B)
+              + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))), 6,
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(qterms), "tok")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(contrib.cast("decimal(18,6)")).cast("double")
+             .alias("score"),
+             F.count(F.lit(1)).alias("n_terms"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("qid", "doc_id", "n_terms", "score",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _bm25_queries_values() -> str:
+    return ", ".join(
+        f"({qid}, '{term}')"
+        for qid, terms in BM25_QUERIES for term in terms
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH {_SQL_TOKENS},
+q(qid, tok) AS (VALUES {_bm25_queries_values()}),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+st AS (SELECT COUNT(*)::DOUBLE AS n_docs,
+              (SUM(dl) / COUNT(*))::DOUBLE AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+       WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT qid, doc_id, COUNT(*) AS n_terms,
+         CAST(SUM(CAST(round(
+           round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+           * tf * {BM25_K1 + 1.0}
+           / (tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl)),
+         6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+       JOIN q USING (tok) CROSS JOIN st
+  GROUP BY qid, doc_id)
+SELECT qid, doc_id, n_terms, score, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {BM25_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Global bigram frequency top-k
 # ---------------------------------------------------------------------------
 
@@ -954,6 +1067,7 @@ ORACLE_DYNAMIC = {
 QUERIES = {
     "source_lang_entropy": q_source_lang_entropy,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_topk": q_bm25_topk,
     "bigram_topk": q_bigram_topk,
     "repetition_stats": q_repetition_stats,
     "unigram_logprob": q_unigram_logprob,
@@ -972,6 +1086,7 @@ QUERIES = {
 ORACLE = {
     "source_lang_entropy": SQL_SOURCE_LANG_ENTROPY,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "bm25_topk": SQL_BM25_TOPK,
     "bigram_topk": SQL_BIGRAM_TOPK,
     "repetition_stats": SQL_REPETITION_STATS,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,

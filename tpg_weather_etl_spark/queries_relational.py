@@ -1301,8 +1301,166 @@ SELECT user_id FROM events WHERE event_type = 'error' AND value > 95.0
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-attribute predicate across a join
+# (OR-of-ANDs referencing BOTH sides). The optimizer lesson: each
+# side's implied common conjunct is stated explicitly so it pushes to
+# the scan (p_brand IN-list on part, l_quantity range on lineitem) —
+# the disjunction itself can only be evaluated after the join.
+# ---------------------------------------------------------------------------
+
+_Q19_BRANDS = ("Brand#12", "Brand#23", "Brand#3")
+
+
+def q_disjunctive_pred_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*_Q19_BRANDS)  # implied by the disjunction
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1.0, 30.0)  # implied; pushes to scan
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1.0, 11.0))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10.0, 20.0))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20.0, 30.0))
+    )
+    return (
+        # part is a dim (constant per-SF ratio) — broadcast kills the
+        # shuffle; the residual disjunction evaluates post-join
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue"),
+        )
+    )
+
+
+SQL_DISJUNCTIVE_PRED_REVENUE = """
+SELECT COUNT(*) AS n_items,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar-subquery threshold + windowed NOT EXISTS
+# anti-join ("above-average-balance customers with no recent orders").
+# ---------------------------------------------------------------------------
+
+IDLE_CUTOFF = "2000-01-01"
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    recent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    # exact, order-independent average: DECIMAL(24,8) sum → double / count
+    # (same contract as _davg) so both engines compare against the
+    # bit-identical threshold — no FP knife edge in the > filter
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(24,8)")).cast("double")
+         / F.count("c_acctbal")).alias("ab")
+    )
+    return (
+        c.join(F.broadcast(ab))            # 1-row scalar: broadcast CROSS
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        # date filter pushes to the orders scan; the anti-join then
+        # co-partitions on custkey (AQE broadcasts the reduced side
+        # when the window makes it small)
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+SQL_IDLE_CUSTOMER_BALANCE = f"""
+WITH ab AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(24,8)))::DOUBLE
+                   / COUNT(c_acctbal) AS ab
+            FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment, COUNT(*) AS n_cust,
+  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE) AS total_bal
+FROM customer CROSS JOIN ab
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = customer.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}')
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-aggregate ratio over a month window
+# ("promo revenue percentage").
+# ---------------------------------------------------------------------------
+
+PROMO_MONTH = ("1997-09-01", "1997-10-01")
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(PROMO_MONTH[0]).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(PROMO_MONTH[1]).cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            _dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            .alias("promo_revenue"),
+            _dsum(rev).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue", "total_revenue",
+        (F.round(F.lit(100.0) * F.col("promo_revenue")
+                 / F.col("total_revenue"), 6) + F.lit(0.0))
+        .alias("promo_pct"),
+    )
+
+
+SQL_PROMO_REVENUE = f"""
+WITH agg AS (
+  SELECT
+    CAST(CAST(ROUND(SUM(CAST(CASE WHEN p_type = 'PROMO'
+          THEN l_extendedprice*(1-l_discount) ELSE 0.0 END
+          AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS promo_revenue,
+    CAST(CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount)
+          AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '{PROMO_MONTH[0]}'
+    AND l_shipdate < TIMESTAMP '{PROMO_MONTH[1]}')
+SELECT promo_revenue, total_revenue,
+  round(100.0 * promo_revenue / total_revenue, 6) + 0.0 AS promo_pct
+FROM agg
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "disjunctive_pred_revenue": q_disjunctive_pred_revenue,
+    "idle_customer_balance": q_idle_customer_balance,
+    "promo_revenue": q_promo_revenue,
     "rollup_revenue": q_rollup_revenue,
     "pivot_event_values": q_pivot_event_values,
     "intersect_except": q_intersect_except,
@@ -1342,6 +1500,9 @@ QUERIES = {
 
 ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "disjunctive_pred_revenue": SQL_DISJUNCTIVE_PRED_REVENUE,
+    "idle_customer_balance": SQL_IDLE_CUSTOMER_BALANCE,
+    "promo_revenue": SQL_PROMO_REVENUE,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "pivot_event_values": SQL_PIVOT_EVENT_VALUES,
     "intersect_except": SQL_INTERSECT_EXCEPT,

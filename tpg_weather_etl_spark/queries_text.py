@@ -1119,6 +1119,114 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Substring-level duplication coverage (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better"): the fraction of each
+# document's token positions covered by ANY W-token span that occurs
+# ≥2 times in the corpus (cross- or intra-document). Unlike
+# chunk_dedup's fixed non-overlapping chunks, the spans OVERLAP, so
+# coverage needs interval-union merging, not a per-chunk count.
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_W = 8   # span width in tokens (production: ~50 BPE tokens)
+
+
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span coverage.
+
+    Plan: spans are built by the same explode-index + O(W) element_at
+    pattern as ``_shingle_df`` (a transform() lambda re-tokenizes per
+    span — O(tokens²)), hashed to 60-bit ints map-side so the
+    occurrence-count groupBy and the doc re-join move 8-byte longs.
+    Duplicated starts come back via a co-partitioned join on the span
+    hash (the duplicated-hash set scales with the corpus — never
+    broadcast). Coverage is the classic sorted-interval union: spans
+    all have width W, so covered = Σ min(W, next_start − start) under
+    a per-doc window over candidate starts only (a handful of rows
+    per doc, not the token stream). Three shuffles total at any
+    scale: span-hash agg, doc_id window, doc_id final join.
+    """
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = (
+        d.select("doc_id", norm_text(F.col("text")).alias("norm"))
+        .withColumn("toks", F.split(F.col("norm"), " "))
+        .withColumn("n", F.size(F.col("toks")))
+    )
+    starts = base.filter(F.col("n") >= DUP_SPAN_W).select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n") - DUP_SPAN_W)).alias("i"),
+    )
+    span = F.concat_ws(" ", *[
+        F.element_at(F.col("toks"), (F.col("i") + j + 1).cast("int"))
+        for j in range(DUP_SPAN_W)
+    ])
+    spans = starts.select(
+        "doc_id", "i", stable_hash60(span).alias("sp_hash")
+    )
+    dup_hashes = (
+        spans.groupBy("sp_hash")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("sp_hash")
+    )
+    dup_starts = spans.join(dup_hashes, "sp_hash").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    covered = (
+        dup_starts.withColumn("nxt", F.lead("i").over(w))
+        .select(
+            "doc_id",
+            F.least(
+                F.lit(DUP_SPAN_W),
+                F.coalesce(F.col("nxt") - F.col("i"), F.lit(DUP_SPAN_W)),
+            ).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("dup_tokens"))
+    )
+    return (
+        base.select("doc_id", F.col("n").cast("bigint").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint")
+            .alias("dup_tokens"),
+            (F.round(F.coalesce(F.col("dup_tokens"), F.lit(0))
+                     / F.col("n_tokens"), 6) + F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+SQL_DUP_SPAN_FRACTION = f"""
+WITH d AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+           FROM documents),
+tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d),
+sp AS (SELECT doc_id, i,
+         ('0x' || substr(md5(
+            array_to_string(toks[i+1 : i+{DUP_SPAN_W}], ' ')), 1, 15))::BIGINT
+           AS sp_hash
+       FROM (SELECT doc_id, toks,
+               unnest(range(0, len(toks) - {DUP_SPAN_W} + 1)) AS i
+             FROM tk WHERE len(toks) >= {DUP_SPAN_W})),
+fr AS (SELECT sp_hash FROM sp GROUP BY 1 HAVING COUNT(*) >= 2),
+ds AS (SELECT doc_id, i FROM sp
+       WHERE sp_hash IN (SELECT sp_hash FROM fr)),
+cov AS (SELECT doc_id,
+          least({DUP_SPAN_W},
+                COALESCE(lead(i) OVER (PARTITION BY doc_id ORDER BY i) - i,
+                         {DUP_SPAN_W})) AS c
+        FROM ds),
+agg AS (SELECT doc_id, SUM(c) AS dup_tokens FROM cov GROUP BY 1)
+SELECT tk.doc_id, len(toks) AS n_tokens,
+  COALESCE(dup_tokens, 0)::BIGINT AS dup_tokens,
+  round(COALESCE(dup_tokens, 0) / len(toks), 6) + 0.0 AS dup_fraction
+FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sequence packing — concatenate the (deterministically
 # shuffled) corpus and cut every PACK_CAP tokens, GPT-style. The
 # interesting part is the *distributed global prefix sum*: a naive
@@ -1570,6 +1678,7 @@ QUERIES = {
     "pipeline_funnel": q_pipeline_funnel,
     "pii_redact": q_pii_redact,
     "chunk_dedup": q_chunk_dedup,
+    "dup_span_fraction": q_dup_span_fraction,
     "sequence_pack": q_sequence_pack,
     "bpe_token_stats": q_bpe_token_stats,
     "char_fingerprints": q_char_fingerprints,
@@ -1595,6 +1704,7 @@ ORACLE = {
     "pipeline_funnel": SQL_PIPELINE_FUNNEL,
     "pii_redact": SQL_PII_REDACT,
     "chunk_dedup": SQL_CHUNK_DEDUP,
+    "dup_span_fraction": SQL_DUP_SPAN_FRACTION,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "char_fingerprints": SQL_CHAR_FINGERPRINTS,
