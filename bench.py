@@ -54,6 +54,11 @@ HEADLINE = [
     # round-4 additions
     "containment_pairs",
     "dedup_keeper",
+    # round-5 additions
+    "dedup_apply",
+    "semantic_dedup_keeper",
+    "bm25_topk",
+    "dup_span_fraction",
 ]
 
 

@@ -118,3 +118,43 @@ def test_cc_star_clique_mix_converges_fast(spark):
     assert graph.LAST_ROUNDS <= 3
     got = {(r.doc, r.cluster) for r in labels.collect()}
     assert {c for _, c in got} == {0, 100}
+
+
+def test_cc_partitioned_matches_global_on_cell_bounded_graph(spark):
+    """Union-find-per-partition must produce the exact labels the
+    global O(log d) loop produces, on a graph whose edges never cross
+    the partition key (the SemDeDup invariant). Mixes chains, a
+    clique, and singleton-free cells across 4 partitions."""
+    import random
+
+    from tpg_weather_etl_spark.operators.graph import (
+        connected_components_partitioned,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for cell in range(4):
+        base = cell * 1000
+        # a 30-node chain
+        rows += [(cell, base + i, base + i + 1) for i in range(30)]
+        # a 10-node clique
+        cl = [base + 100 + i for i in range(10)]
+        rows += [(cell, a, b) for a in cl for b in cl if a < b]
+        # random extra pairs inside the cell
+        for _ in range(20):
+            a, b = rng.randrange(200), rng.randrange(200)
+            if a != b:
+                rows.append((cell, base + min(a, b), base + max(a, b)))
+    edges = spark.createDataFrame(
+        rows, "cell int, doc_a long, doc_b long")
+    got = {
+        (r.doc, r.cluster)
+        for r in connected_components_partitioned(
+            edges, part_col="cell").collect()
+    }
+    want = {
+        (r.doc, r.cluster)
+        for r in connected_components_min_label(
+            edges, max_iter=40).collect()
+    }
+    assert got == want

@@ -163,6 +163,69 @@ def _propagate(both: DataFrame, labels: DataFrame,
     return labels, converged
 
 
+def connected_components_partitioned(
+    edges: DataFrame,
+    part_col: str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """(doc, cluster) exact connected components for an edge list
+    whose edges NEVER cross values of ``part_col``.
+
+    When the candidate generator already confines comparisons to a
+    partition — SemDeDup's KMeans cells, where pairs are intra-cell by
+    construction — the component graph decomposes per partition, and
+    the O(log d) distributed loop (one Spark job per round) is pure
+    overhead. This variant is ONE shuffle: group edges by the
+    partition key and run union-find (path-halving) over each group in
+    an Arrow batch. Memory is bounded by the same budget that already
+    bounds the pipeline: a cell's edge list is never bigger than the
+    O((n/k)²) pairwise step that produced it, so a group that fits
+    that step fits this one.
+
+    Exactness requires the no-cross-partition-edges precondition; it
+    is the caller's invariant (here by construction, since every pair
+    row carries the single cell both endpoints share). Label = min
+    member id, identical to ``connected_components_min_label``.
+    """
+    import pandas as pd
+
+    cols = edges.select(
+        F.col(part_col).alias("__part"),
+        F.col(src).alias("doc_a").cast("long"),
+        F.col(dst).alias("doc_b").cast("long"),
+    )
+
+    def _union_find(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:     # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["doc_a"].to_numpy(),
+                        pdf["doc_b"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[rb] = ra
+        label: dict[int, int] = {}
+        for node in parent:
+            r = find(node)
+            label[r] = min(label.get(r, node), node)
+        return pd.DataFrame({
+            "doc": list(parent.keys()),
+            "cluster": [label[find(n)] for n in parent],
+        })
+
+    return cols.groupBy("__part").applyInPandas(
+        _union_find, "doc long, cluster long"
+    )
+
+
 MEMBER_SAMPLE_N = 100
 
 

@@ -203,6 +203,103 @@ WHERE rank <= {BM25_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# Grouped OLS trend fit — per-key closed-form linear regression
+# (value vs. time), the distributed "fit a model per group" primitive.
+# No UDF and no per-group iteration: five sufficient statistics per
+# group (Σx Σy Σxy Σx² Σy²) aggregate map-side in ONE hash-agg pass,
+# and slope/intercept/r² come from the closed form. At 100 TB this is
+# a single shuffle of 5 numbers per key.
+# ---------------------------------------------------------------------------
+
+TREND_X_ORIGIN = "2024-01-01"  # x = days since this origin
+
+
+def q_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of event value against time, per event_type.
+
+    Cross-engine determinism: x and y are per-row doubles computed
+    bit-identically in both engines (bigint µs → double → one
+    division), and each product is cast to DECIMAL(38,8) BEFORE the
+    sum, so every sufficient statistic is an exact, order-independent
+    decimal — the closed-form arithmetic then starts from identical
+    doubles on both sides. Two magnitude controls make the final
+    decimal→double cast itself bit-identical (the _dsum hazard: above
+    2^53 unscaled, DuckDB double-rounds where Spark rounds once):
+    x is DAYS since an origin INSIDE the data's span (a far-away origin
+    makes x a huge near-constant: x² sums overflow 2^53 unscaled —
+    where the engines' decimal→double casts disagree — and the
+    variance n·Σx²−(Σx)² cancels catastrophically),
+    and each sum is rounded to scale 4 and shrunk to DECIMAL(18,4)
+    before the cast. NULLIF guards degenerate groups (zero variance)
+    identically instead of relying on either engine's
+    division-by-zero behavior.
+    """
+    from tpg_weather_etl_spark.functions.time import epoch_us
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = (
+        (epoch_us(F.col("ts"))
+         - epoch_us(F.lit(TREND_X_ORIGIN).cast("timestamp")))
+        / F.lit(86400000000.0)
+    )
+    b = e.select("event_type", x.alias("x"), F.col("value").alias("y"))
+
+    def dsum38(col: F.Column) -> F.Column:
+        return (F.round(F.sum(col.cast("decimal(38,8)")), 4)
+                .cast("decimal(18,4)").cast("double"))
+
+    a = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum38(F.col("x")).alias("sx"),
+        dsum38(F.col("y")).alias("sy"),
+        dsum38(F.col("x") * F.col("y")).alias("sxy"),
+        dsum38(F.col("x") * F.col("x")).alias("sxx"),
+        dsum38(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.nullif(nd * F.col("sxx") - F.col("sx") * F.col("sx"),
+                     F.lit(0.0))
+    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return a.select(
+        "event_type", "n",
+        (F.round(cov_n / var_x, 6) + F.lit(0.0)).alias("slope"),
+        (F.round((F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+                 / var_x, 6) + F.lit(0.0)).alias("intercept"),
+        (F.round(cov_n * cov_n / F.nullif(
+            (nd * F.col("sxx") - F.col("sx") * F.col("sx")) * var_y,
+            F.lit(0.0)), 6) + F.lit(0.0)).alias("r2"),
+    )
+
+
+SQL_TREND_BY_TYPE = f"""
+WITH b AS (
+  SELECT event_type,
+    (epoch_us(ts) - epoch_us(TIMESTAMP '{TREND_X_ORIGIN}'))
+      / 86400000000.0 AS x,
+    value AS y
+  FROM events WHERE value IS NOT NULL),
+a AS (
+  SELECT event_type, COUNT(*) AS n,
+    CAST(CAST(ROUND(SUM(CAST(x AS DECIMAL(38,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sx,
+    CAST(CAST(ROUND(SUM(CAST(y AS DECIMAL(38,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sy,
+    CAST(CAST(ROUND(SUM(CAST(x*y AS DECIMAL(38,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sxy,
+    CAST(CAST(ROUND(SUM(CAST(x*x AS DECIMAL(38,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sxx,
+    CAST(CAST(ROUND(SUM(CAST(y*y AS DECIMAL(38,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS syy
+  FROM b GROUP BY 1)
+SELECT event_type, n,
+  round((n::DOUBLE*sxy - sx*sy) / NULLIF(n::DOUBLE*sxx - sx*sx, 0.0), 6)
+    + 0.0 AS slope,
+  round((sy*sxx - sx*sxy) / NULLIF(n::DOUBLE*sxx - sx*sx, 0.0), 6)
+    + 0.0 AS intercept,
+  round((n::DOUBLE*sxy - sx*sy) * (n::DOUBLE*sxy - sx*sy)
+        / NULLIF((n::DOUBLE*sxx - sx*sx) * (n::DOUBLE*syy - sy*sy), 0.0), 6)
+    + 0.0 AS r2
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
 # Global bigram frequency top-k
 # ---------------------------------------------------------------------------
 
@@ -952,7 +1049,7 @@ def q_semantic_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tpg_weather_etl_spark.caching import track
     from tpg_weather_etl_spark.operators.graph import (
-        connected_components_min_label,
+        connected_components_partitioned,
     )
     from tpg_weather_etl_spark.queries_embeddings import (
         _cell_scores,
@@ -977,13 +1074,19 @@ def q_semantic_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, (F.col("cell") == F.col("cell_b"))
                & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b",
+        .select("cell", "vec_a", "vec_b",
                 _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos"))
         .filter(F.col("cos") >= SEM_TAU)
-        .select("vec_a", "vec_b")
+        .select("cell", "vec_a", "vec_b")
     )
-    labels = connected_components_min_label(pairs, src="vec_a",
-                                            dst="vec_b", max_iter=40)
+    # Pairs are intra-cell by construction, so the component graph
+    # decomposes per cell — the partitioned union-find resolves all
+    # groups in ONE shuffle instead of O(log d) propagation rounds
+    # (the sparse intra-cell graphs chain to 100+-node components at
+    # sf0.1, which cost ~16 driver-scheduled rounds on the global
+    # loop; measured 10.2s → the pairwise join now dominates).
+    labels = connected_components_partitioned(pairs, part_col="cell",
+                                              src="vec_a", dst="vec_b")
     return (
         labels.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -1068,6 +1171,7 @@ QUERIES = {
     "source_lang_entropy": q_source_lang_entropy,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_topk": q_bm25_topk,
+    "trend_by_type": q_trend_by_type,
     "bigram_topk": q_bigram_topk,
     "repetition_stats": q_repetition_stats,
     "unigram_logprob": q_unigram_logprob,
@@ -1087,6 +1191,7 @@ ORACLE = {
     "source_lang_entropy": SQL_SOURCE_LANG_ENTROPY,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_topk": SQL_BM25_TOPK,
+    "trend_by_type": SQL_TREND_BY_TYPE,
     "bigram_topk": SQL_BIGRAM_TOPK,
     "repetition_stats": SQL_REPETITION_STATS,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,

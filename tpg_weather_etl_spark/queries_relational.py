@@ -1456,8 +1456,47 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# CUBE grouping sets — all four aggregation levels of
+# (event_type × day-of-week) in one Expand + one hash aggregate.
+# Complements rollup_revenue (hierarchical levels only).
+# ---------------------------------------------------------------------------
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value totals for every subset of {event_type, dow} — one Expand
+    (×4 rows) into one map-side-combining hash agg, never a re-scan
+    per level. gid uses the same GROUPING bitmask in both engines
+    (detail=0, per-type=1, per-dow=2, grand=3)."""
+    from tpg_weather_etl_spark.functions.time import dow_monday0
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", dow_monday0(F.col("ts")).alias("dow"), "value"
+    )
+    return (
+        e.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+SQL_CUBE_REVENUE = """
+WITH b AS (SELECT event_type, (isodow(ts) - 1)::INT AS dow, value
+           FROM events)
+SELECT event_type, dow, COUNT(*) AS n_events,
+  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE) AS sum_value,
+  GROUPING(event_type, dow)::INT AS gid
+FROM b
+GROUP BY CUBE(event_type, dow)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "cube_revenue": q_cube_revenue,
     "disjunctive_pred_revenue": q_disjunctive_pred_revenue,
     "idle_customer_balance": q_idle_customer_balance,
     "promo_revenue": q_promo_revenue,
@@ -1500,6 +1539,7 @@ QUERIES = {
 
 ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "cube_revenue": SQL_CUBE_REVENUE,
     "disjunctive_pred_revenue": SQL_DISJUNCTIVE_PRED_REVENUE,
     "idle_customer_balance": SQL_IDLE_CUSTOMER_BALANCE,
     "promo_revenue": SQL_PROMO_REVENUE,
