@@ -122,8 +122,29 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded then summed in DECIMAL(18,6) so the (qid, doc) score is
     independent of aggregation order under AQE.
     """
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+
     toks = _tokens(spark, sf_dir)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qterm_list = sorted({term for _, terms in BM25_QUERIES
+                         for term in terms})
+    # ONE corpus scan: per (doc, matched-term) counts, with every
+    # unmatched token folded into a single NULL bucket per doc. The
+    # result is doc-sized (≤ |terms|+1 rows per doc), so it persists
+    # cheaply and feeds tf, per-doc length, AND the N/avgdl scalars —
+    # the naive formulation scanned and re-exploded the corpus three
+    # times (once per branch), visible as 3 FileScans in the plan.
+    g = track(
+        toks.groupBy(
+            "doc_id",
+            F.when(F.col("tok").isin(qterm_list), F.col("tok"))
+            .alias("qtok"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dl = g.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot")
     ).collect()[0]
@@ -133,9 +154,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, term) for qid, terms in BM25_QUERIES for term in terms],
         "qid int, tok string",
     )
-    tf = (
-        toks.join(F.broadcast(qterms.select("tok").distinct()), "tok")
-        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = g.filter(F.col("qtok").isNotNull()).select(
+        "doc_id", F.col("qtok").alias("tok"), F.col("cnt").alias("tf")
     )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = F.round(
