@@ -455,6 +455,77 @@ WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.5
 
 
 # ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (PPJoin-style; Chaudhuri 2006 /
+# Bayardo 2007). The third point in the design space next to the
+# df-capped inverted index (exact but measured recall cost under the
+# cap) and MinHash-LSH (probabilistic): EXACT τ-threshold join with
+# no cap and no false negatives. Shingles get a global rare-first
+# order (df asc); a doc with n shingles indexes only its first
+# n − ⌈τ·n⌉ + 1. Prefix lemma: J(a,b) ≥ τ ⇒ |a∩b| ≥ ⌈τ·|d|⌉ for both
+# docs, and the globally-smallest intersection element must sit in
+# BOTH prefixes — so the prefix-prefix equi-join misses nothing.
+# Skew story: hot boilerplate shingles have high df, so they land in
+# suffixes and never enter the index — the skew guard is built into
+# the ordering instead of bought with recall.
+# ---------------------------------------------------------------------------
+
+PJ_TAU = 0.5
+
+
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ τ pairs via prefix filtering.
+
+    Shuffles at any scale: df agg + join (sh_hash), counts + window
+    (doc_id), prefix self-join (sh_hash, low-df keys only), then the
+    candidate-bounded exact verify of ``_pair_jaccard``. The oracle
+    is the quadratic uncapped join — hash-equality proves the prefix
+    candidates lose nothing.
+    """
+    sh = _shingle_df_shared(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_ = sh.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("df"))
+    ordered = sh.join(df_, "sh_hash").join(counts, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"),
+                                             F.asc("sh_hash"))
+    pref = (
+        ordered.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk")
+                <= F.col("n_sh")
+                - F.ceil(F.lit(PJ_TAU) * F.col("n_sh")) + 1)
+        .select("doc_id", "sh_hash")
+    )
+    pa = pref.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sh_hash").alias("sh_p"))
+    pb = pref.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sh_hash").alias("sh_p"))
+    cand = (
+        pa.join(pb, ["sh_p"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _pair_jaccard(sh, cand=cand).filter(
+        F.col("jaccard") >= PJ_TAU
+    )
+
+
+SQL_PREFIX_JACCARD_PAIRS = f"""
+WITH {_SQL_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shx a JOIN shx b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter,
+  CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN shn na ON na.doc_id = doc_a
+JOIN shn nb ON nb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter)
+      >= {PJ_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dup detection (the scale path: band-bucket hash
 # join produces candidates; exact Jaccard verifies them)
 # ---------------------------------------------------------------------------
@@ -1688,6 +1759,7 @@ QUERIES = {
     "lang_quality": q_lang_quality,
     "fingerprint_dedup": q_fingerprint_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
@@ -1714,6 +1786,7 @@ ORACLE = {
     "lang_quality": SQL_LANG_QUALITY,
     "fingerprint_dedup": SQL_FINGERPRINT_DEDUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "prefix_jaccard_pairs": SQL_PREFIX_JACCARD_PAIRS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
