@@ -54,3 +54,45 @@ def test_no_unbounded_nested_loop(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: nested-loop join outside the allowlist\n{plan}"
         )
+
+
+def _plan(spark, name: str) -> str:
+    from tpg_weather_etl_spark.registry import all_queries
+    return (all_queries()[name](spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+
+
+def test_disjunctive_pred_pushes_implied_conjuncts(spark):
+    """Q19 shape: the per-side implied conjuncts must reach the scans
+    (brand IN-list on part, quantity range on lineitem) and the dim
+    side must broadcast — the residual OR-of-ANDs evaluates post-join."""
+    plan = _plan(spark, "disjunctive_pred_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "p_brand" in plan.split("BroadcastExchange")[-1]
+    # lineitem scan carries the pushed quantity range
+    li_scan = next(l for l in plan.splitlines()
+                   if "FileScan" in l and "lineitem" in l)
+    assert "l_quantity" in li_scan
+
+
+def test_bm25_single_corpus_materialization(spark):
+    """The shared (doc, term-bucket) aggregate must serve every branch
+    from cache — the corpus explode materializes once, not per branch."""
+    plan = _plan(spark, "bm25_topk")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_trend_by_type_is_one_shuffle(spark):
+    """Grouped OLS = one hash-agg pass: a single shuffle Exchange (the
+    event_type groupBy); the closed form is pure projection above it."""
+    plan = _plan(spark, "trend_by_type")
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_cube_revenue_is_one_expand_one_agg(spark):
+    """CUBE compiles to one Expand feeding one aggregate — never a
+    re-scan per grouping level."""
+    plan = _plan(spark, "cube_revenue")
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1
