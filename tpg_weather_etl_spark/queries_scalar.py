@@ -807,6 +807,142 @@ LEFT JOIN obs o ON o.user_id = g.user_id AND o.grid_ts = g.grid_ts
 
 
 # ---------------------------------------------------------------------------
+# Gap-fill with LINEAR interpolation — the sensor-series companion to
+# forward fill: each missing grid point takes
+# v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev); edges
+# with no observation on one side stay NULL.
+# ---------------------------------------------------------------------------
+
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user grid with linear interpolation across gaps.
+
+    Same one-shuffle layout as ``gap_fill_forward`` (grid generation,
+    the per-hour latest-obs window, and BOTH directional fill windows
+    all share the user_id hash partitioning). The bracketing
+    (value, ts) pairs come from last/first ``ignorenulls`` windows;
+    the fraction divides exact µs bigints (identical doubles in both
+    engines — no sums, so no decimal routing needed), and the result
+    rounds to 6 with -0.0 normalized.
+    """
+    from pyspark.sql import Window
+
+    from tpg_weather_etl_spark.functions.time import epoch_us
+
+    e = t(spark, sf_dir, "events")
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("interval 1 hour"))
+        ).alias("grid_ts"),
+    )
+    w_bin = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    obs = (
+        e.withColumn("rn", F.row_number().over(w_bin))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("grid_ts"),
+            F.col("value").alias("v_obs"),
+        )
+    )
+    w_back = (
+        Window.partitionBy("user_id").orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id").orderBy("grid_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("v_obs").isNotNull(), F.col("grid_ts"))
+    j = (
+        grid.join(obs, ["user_id", "grid_ts"], "left")
+        .select(
+            "user_id", "grid_ts", "v_obs",
+            F.last("v_obs", ignorenulls=True).over(w_back).alias("v_prev"),
+            F.last(obs_ts, ignorenulls=True).over(w_back).alias("t_prev"),
+            F.first("v_obs", ignorenulls=True).over(w_fwd).alias("v_next"),
+            F.first(obs_ts, ignorenulls=True).over(w_fwd).alias("t_next"),
+        )
+    )
+    frac = (
+        (epoch_us(F.col("grid_ts")) - epoch_us(F.col("t_prev")))
+        .cast("double")
+        / F.nullif(
+            (epoch_us(F.col("t_next")) - epoch_us(F.col("t_prev")))
+            .cast("double"),
+            F.lit(0.0),
+        )
+    )
+    interp = F.when(
+        F.col("v_obs").isNotNull(), F.col("v_obs")
+    ).otherwise(
+        F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * frac
+    )
+    # Round via floor(v*1e6 + 0.5)/1e6 in pure IEEE double ops:
+    # midpoint interpolation (frac = k/2^m) lands on EXACT decimal .5
+    # ties where Spark's BigDecimal HALF_UP and DuckDB's scaled-double
+    # round() disagree (8/105k rows at sf0.01); floor is exact and
+    # identical everywhere, so the tie rule is defined by construction.
+    return j.select(
+        "user_id", "grid_ts",
+        (F.floor(interp * F.lit(1000000.0)
+                 + F.lit(0.5)).cast("double") / F.lit(1000000.0)
+         + F.lit(0.0)).alias("v_interp"),
+        F.col("v_obs").isNotNull().alias("is_observed"),
+    )
+
+
+SQL_GAP_FILL_INTERPOLATE = """
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+  FROM events GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+  FROM bounds),
+obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS grid_ts, value AS v_obs
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY user_id, date_trunc('hour', ts)
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+  WHERE rn = 1),
+j AS (
+  SELECT g.user_id, g.grid_ts, o.v_obs,
+    last_value(o.v_obs IGNORE NULLS) OVER (
+      PARTITION BY g.user_id ORDER BY g.grid_ts
+      ROWS UNBOUNDED PRECEDING) AS v_prev,
+    last_value(CASE WHEN o.v_obs IS NOT NULL THEN o.grid_ts END
+               IGNORE NULLS) OVER (
+      PARTITION BY g.user_id ORDER BY g.grid_ts
+      ROWS UNBOUNDED PRECEDING) AS t_prev,
+    first_value(o.v_obs IGNORE NULLS) OVER (
+      PARTITION BY g.user_id ORDER BY g.grid_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+    first_value(CASE WHEN o.v_obs IS NOT NULL THEN o.grid_ts END
+                IGNORE NULLS) OVER (
+      PARTITION BY g.user_id ORDER BY g.grid_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t_next
+  FROM grid g
+  LEFT JOIN obs o ON o.user_id = g.user_id AND o.grid_ts = g.grid_ts)
+SELECT user_id, grid_ts,
+  floor(CASE WHEN v_obs IS NOT NULL THEN v_obs
+        ELSE v_prev + (v_next - v_prev)
+             * ((epoch_us(grid_ts) - epoch_us(t_prev))::DOUBLE
+                / NULLIF((epoch_us(t_next) - epoch_us(t_prev))::DOUBLE,
+                         0.0))
+        END * 1000000.0 + 0.5)::DOUBLE / 1000000.0 + 0.0 AS v_interp,
+  v_obs IS NOT NULL AS is_observed
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # Array aggregation surface: collect_set / collect_list with
 # deterministic ordering (the engine-portable forms)
 # ---------------------------------------------------------------------------
@@ -893,6 +1029,7 @@ QUERIES = {
     "scd2_intervals": q_scd2_intervals,
     "weighted_sample_topk": q_weighted_sample_topk,
     "gap_fill_forward": q_gap_fill_forward,
+    "gap_fill_interpolate": q_gap_fill_interpolate,
     "json_extract": q_json_extract,
     "contains_filter": q_contains_filter,
     "union_shards": q_union_shards,
@@ -907,6 +1044,7 @@ ORACLE = {
     "scalar_normalize": SQL_SCALAR_NORMALIZE,
     "json_extract": SQL_JSON_EXTRACT,
     "gap_fill_forward": SQL_GAP_FILL_FORWARD,
+    "gap_fill_interpolate": SQL_GAP_FILL_INTERPOLATE,
     "array_agg_types": SQL_ARRAY_AGG_TYPES,
     "session_window_agg": SQL_SESSION_WINDOW_AGG,
     "pattern_within": SQL_PATTERN_WITHIN,
