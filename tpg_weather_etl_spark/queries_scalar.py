@@ -855,9 +855,16 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("user_id").orderBy("grid_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward-looking values via a DESCENDING window with an
+    # UnboundedPreceding frame: Spark's UnboundedFollowing frame
+    # re-aggregates the remainder of the partition for every row
+    # (O(n²) — measured 10.6s vs 1.5s for the forward-fill twin at
+    # sf0.1); the reversed-order running frame is the O(n) streaming
+    # form of the same quantity. Same partitioning, so still one
+    # shuffle — just one extra in-partition sort.
     w_fwd = (
-        Window.partitionBy("user_id").orderBy("grid_ts")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        Window.partitionBy("user_id").orderBy(F.col("grid_ts").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_ts = F.when(F.col("v_obs").isNotNull(), F.col("grid_ts"))
     j = (
@@ -866,8 +873,8 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "grid_ts", "v_obs",
             F.last("v_obs", ignorenulls=True).over(w_back).alias("v_prev"),
             F.last(obs_ts, ignorenulls=True).over(w_back).alias("t_prev"),
-            F.first("v_obs", ignorenulls=True).over(w_fwd).alias("v_next"),
-            F.first(obs_ts, ignorenulls=True).over(w_fwd).alias("t_next"),
+            F.last("v_obs", ignorenulls=True).over(w_fwd).alias("v_next"),
+            F.last(obs_ts, ignorenulls=True).over(w_fwd).alias("t_next"),
         )
     )
     frac = (
