@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "ivf_topk": "fixed-k centroid broadcast",
     "kmeans_ivf_topk": "fixed-k centroid broadcast",
     "semantic_dedup_keeper": "fixed-k centroid broadcast",
+    "semantic_dedup_apply": "fixed-k centroid broadcast",
     # source-mix weighting: per-source stats × single-row global total
     "source_mix_weights": "single-row global total broadcast",
     "mixed_sample": "single-row global total broadcast",

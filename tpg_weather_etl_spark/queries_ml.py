@@ -1052,19 +1052,15 @@ WHERE guard.ok = 1
 SEM_TAU = 0.35
 
 
-def q_semantic_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(keeper_vec_id, n_members) per semantic-duplicate group.
-
-    The SemDeDup recipe (Abbas et al. 2023): cluster embeddings with
-    KMeans, compare pairs only WITHIN a cell, keep one representative
-    per connected group. Scale shape: the k broadcast centroids bound
-    the pairwise work to ~n²/k per cell (cells are data-partitioned),
-    the pair graph is semantic-dup-sized, and CC runs on pairs only.
-    Min-id keeper means the CC label IS the keeper — no second pass.
-    Full value-hash oracle: the deterministic fitted centers are
-    inlined as a VALUES CTE (same machinery as kmeans_ivf_topk) and
-    the CC label CTEs mirror the propagation.
-    """
+def _semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc=vec_id, cluster=min-id keeper) for every vector in a
+    semantic-dup group — the shared core of the SemDeDup pipeline
+    (Abbas et al. 2023): KMeans cells bound the pairwise cosine work
+    to ~n²/k per cell; the intra-cell pair graph resolves via the
+    per-cell union-find in ONE shuffle (pairs never cross cells by
+    construction, so the O(log d) global loop — ~16 driver-scheduled
+    rounds on these sparse chain-y graphs at sf0.1 — is pure
+    overhead; measured 10.2s → 6.5s)."""
     from pyspark import StorageLevel
 
     from tpg_weather_etl_spark.caching import track
@@ -1099,14 +1095,17 @@ def q_semantic_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= SEM_TAU)
         .select("cell", "vec_a", "vec_b")
     )
-    # Pairs are intra-cell by construction, so the component graph
-    # decomposes per cell — the partitioned union-find resolves all
-    # groups in ONE shuffle instead of O(log d) propagation rounds
-    # (the sparse intra-cell graphs chain to 100+-node components at
-    # sf0.1, which cost ~16 driver-scheduled rounds on the global
-    # loop; measured 10.2s → the pairwise join now dominates).
-    labels = connected_components_partitioned(pairs, part_col="cell",
-                                              src="vec_a", dst="vec_b")
+    return connected_components_partitioned(pairs, part_col="cell",
+                                            src="vec_a", dst="vec_b")
+
+
+def q_semantic_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(keeper_vec_id, n_members) per semantic-duplicate group.
+    Min-id keeper means the CC label IS the keeper — no second pass.
+    Full value-hash oracle: the deterministic fitted centers are
+    inlined as a VALUES CTE (same machinery as kmeans_ivf_topk) and
+    the CC label CTEs mirror the propagation."""
+    labels = _semantic_labels(spark, sf_dir)
     return (
         labels.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -1114,12 +1113,30 @@ def q_semantic_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEM_ORACLE_MEMO: dict[tuple, str] = {}
+def q_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label) of the SemDeDup-surviving embedding corpus —
+    every vector outside any semantic-dup group plus each group's
+    min-id keeper. Because the CC label IS the keeper id, the loser
+    set is simply rows with doc ≠ cluster: group-sized, so applying
+    the dedup at 100 TB is one broadcast anti-join over the scan (the
+    corpus itself never shuffles), the same shape as ``dedup_apply``.
+    """
+    labels = _semantic_labels(spark, sf_dir)
+    losers = labels.filter(F.col("doc") != F.col("cluster")).select(
+        F.col("doc").alias("vec_id")
+    )
+    e = t(spark, sf_dir, "embeddings")
+    return e.join(losers, "vec_id", "left_anti").select("vec_id", "label")
 
 
-def sql_semantic_dedup_keeper() -> str:
-    """Oracle built at call time: fitted centers as literals, then
-    the same assignment, within-cell pair filter, and CC labels."""
+_SEM_ORACLE_MEMO: dict[tuple, tuple[str, str]] = {}
+
+
+def _semantic_label_with_clause() -> tuple[str, str]:
+    """(WITH-body, final-label-CTE-name) shared by the keeper and
+    apply oracles: fitted centers as literals, the same assignment,
+    within-cell pair filter, and CC label CTEs. Memoized per
+    (sf_dir, data signature)."""
     import os
 
     from tpg_weather_etl_spark.queries_embeddings import (
@@ -1131,9 +1148,9 @@ def sql_semantic_dedup_keeper() -> str:
 
     sf_dir = os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)
     memo_key = (sf_dir, _data_signature(sf_dir))
-    sql = _SEM_ORACLE_MEMO.get(memo_key)
-    if sql is not None:
-        return sql
+    hit = _SEM_ORACLE_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     centers = fit_kmeans_local(sf_dir)
     values = ",\n  ".join(
         f"({cell}, CAST([{', '.join(repr(x) for x in ce)}] AS DOUBLE[]))"
@@ -1170,20 +1187,34 @@ spairs AS (
     # still errors on anything deeper.
     ctes, prev = _cc_label_ctes("SELECT doc_a, doc_b FROM spairs",
                                 rounds=20)
-    sql = (
-        "WITH " + head + ",\n" + ",\n".join(ctes) + f"""
+    parts = ("WITH " + head + ",\n" + ",\n".join(ctes), prev)
+    _SEM_ORACLE_MEMO[memo_key] = parts
+    return parts
+
+
+def sql_semantic_dedup_keeper() -> str:
+    with_clause, prev = _semantic_label_with_clause()
+    return with_clause + f"""
 SELECT l.lbl AS keeper_vec_id, COUNT(*) AS n_members
 FROM {prev} l, guard
 WHERE guard.ok = 1
 GROUP BY l.lbl
 """
-    )
-    _SEM_ORACLE_MEMO[memo_key] = sql
-    return sql
+
+
+def sql_semantic_dedup_apply() -> str:
+    with_clause, prev = _semantic_label_with_clause()
+    return with_clause + f"""
+SELECT e.vec_id, e.label
+FROM embeddings e, guard
+WHERE guard.ok = 1
+  AND e.vec_id NOT IN (SELECT node FROM {prev} WHERE node <> lbl)
+"""
 
 
 ORACLE_DYNAMIC = {
     "semantic_dedup_keeper": sql_semantic_dedup_keeper,
+    "semantic_dedup_apply": sql_semantic_dedup_apply,
 }
 
 
@@ -1205,6 +1236,7 @@ QUERIES = {
     "dedup_keeper": q_dedup_keeper,
     "dedup_apply": q_dedup_apply,
     "semantic_dedup_keeper": q_semantic_dedup_keeper,
+    "semantic_dedup_apply": q_semantic_dedup_apply,
 }
 
 ORACLE = {
