@@ -1201,29 +1201,26 @@ GROUP BY doc_id
 DUP_SPAN_W = 8   # span width in tokens (production: ~50 BPE tokens)
 
 
-def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc duplicated-span coverage.
-
-    Plan: spans are built by the same explode-index + O(W) element_at
-    pattern as ``_shingle_df`` (a transform() lambda re-tokenizes per
-    span — O(tokens²)), hashed to 60-bit ints map-side so the
-    occurrence-count groupBy and the doc re-join move 8-byte longs.
-    Duplicated starts come back via a co-partitioned join on the span
-    hash (the duplicated-hash set scales with the corpus — never
-    broadcast). Coverage is the classic sorted-interval union: spans
-    all have width W, so covered = Σ min(W, next_start − start) under
-    a per-doc window over candidate starts only (a handful of rows
-    per doc, not the token stream). Three shuffles total at any
-    scale: span-hash agg, doc_id window, doc_id final join.
-    """
+def _doc_tokens_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    base = (
+    return (
         d.select("doc_id", norm_text(F.col("text")).alias("norm"))
         .withColumn("toks", F.split(F.col("norm"), " "))
         .withColumn("n", F.size(F.col("toks")))
     )
+
+
+def _dup_span_starts(base: DataFrame) -> DataFrame:
+    """(doc_id, i) start positions of W-token spans occurring ≥2
+    times in the corpus — shared by the coverage metric and the apply
+    step. Spans are built by the explode-index + O(W) element_at
+    pattern of ``_shingle_df`` (a transform() lambda re-tokenizes per
+    span — O(tokens²)), hashed to 60-bit ints map-side so the
+    occurrence-count groupBy and the doc re-join move 8-byte longs;
+    the duplicated-hash set scales with the corpus — co-partitioned
+    join, never broadcast."""
     starts = base.filter(F.col("n") >= DUP_SPAN_W).select(
         "doc_id", "toks",
         F.explode(F.sequence(F.lit(0), F.col("n") - DUP_SPAN_W)).alias("i"),
@@ -1241,7 +1238,20 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") >= 2)
         .select("sp_hash")
     )
-    dup_starts = spans.join(dup_hashes, "sp_hash").select("doc_id", "i")
+    return spans.join(dup_hashes, "sp_hash").select("doc_id", "i")
+
+
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span coverage.
+
+    Coverage is the classic sorted-interval union: spans all have
+    width W, so covered = Σ min(W, next_start − start) under a
+    per-doc window over candidate starts only (a handful of rows per
+    doc, not the token stream). Three shuffles total at any scale:
+    span-hash agg, doc_id window, doc_id final join.
+    """
+    base = _doc_tokens_base(spark, sf_dir)
+    dup_starts = _dup_span_starts(base)
     w = Window.partitionBy("doc_id").orderBy("i")
     covered = (
         dup_starts.withColumn("nxt", F.lead("i").over(w))
@@ -1294,6 +1304,94 @@ SELECT tk.doc_id, len(toks) AS n_tokens,
   COALESCE(dup_tokens, 0)::BIGINT AS dup_tokens,
   round(COALESCE(dup_tokens, 0) / len(toks), 6) + 0.0 AS dup_fraction
 FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+"""
+
+
+def q_dup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of substring-level dedup (Lee et al.): rewrite
+    each document with every duplicated-span position removed, and
+    fingerprint the result to prove the exact rewrite.
+
+    Plan: duplicated starts expand to covered positions with one
+    Generate (≤ W rows per start — dup-sized, not corpus-sized);
+    tokens leave via a co-partitioned (doc_id, pos) anti-join; the
+    cleaned text reassembles with the deterministic ordered-array
+    rebuild (array_sort over (pos, tok) structs — collect_list alone
+    is partition-arrival-ordered and NOT stable at scale). Everything
+    keys on doc_id after the span agg, so the anti-join, rebuild, and
+    final join share one partitioning.
+    """
+    base = _doc_tokens_base(spark, sf_dir)
+    covered = (
+        _dup_span_starts(base)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + DUP_SPAN_W - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks_pos = base.select(
+        "doc_id", F.posexplode(F.col("toks")).alias("pos", "tok")
+    )
+    kept = (
+        toks_pos.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ), " ",
+            ).alias("clean"),
+        )
+    )
+    return (
+        base.select("doc_id", F.col("n").cast("bigint").alias("n_tokens"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("bigint")
+            .alias("kept_tokens"),
+            stable_hash60(F.coalesce(F.col("clean"), F.lit("")))
+            .alias("clean_fp"),
+        )
+    )
+
+
+SQL_DUP_SPAN_APPLY = f"""
+WITH d AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+           FROM documents),
+tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d),
+sp AS (SELECT doc_id, i,
+         ('0x' || substr(md5(
+            array_to_string(toks[i+1 : i+{DUP_SPAN_W}], ' ')), 1, 15))::BIGINT
+           AS sp_hash
+       FROM (SELECT doc_id, toks,
+               unnest(range(0, len(toks) - {DUP_SPAN_W} + 1)) AS i
+             FROM tk WHERE len(toks) >= {DUP_SPAN_W})),
+fr AS (SELECT sp_hash FROM sp GROUP BY 1 HAVING COUNT(*) >= 2),
+ds AS (SELECT doc_id, i FROM sp
+       WHERE sp_hash IN (SELECT sp_hash FROM fr)),
+cov AS (SELECT DISTINCT doc_id, i + o AS pos
+        FROM ds, (SELECT unnest(range(0, {DUP_SPAN_W})) AS o)),
+tp AS (SELECT doc_id, pos, toks[pos + 1] AS tok
+       FROM (SELECT doc_id, toks,
+               unnest(range(0, len(toks))) AS pos
+             FROM tk)),
+kept AS (
+  SELECT tp.doc_id, COUNT(*) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY tp.pos) AS clean
+  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+  WHERE cov.doc_id IS NULL
+  GROUP BY tp.doc_id)
+SELECT tk.doc_id, len(toks) AS n_tokens,
+  COALESCE(kept_tokens, 0)::BIGINT AS kept_tokens,
+  ('0x' || substr(md5(COALESCE(clean, '')), 1, 15))::BIGINT AS clean_fp
+FROM tk LEFT JOIN kept ON tk.doc_id = kept.doc_id
 """
 
 
@@ -1750,6 +1848,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "chunk_dedup": q_chunk_dedup,
     "dup_span_fraction": q_dup_span_fraction,
+    "dup_span_apply": q_dup_span_apply,
     "sequence_pack": q_sequence_pack,
     "bpe_token_stats": q_bpe_token_stats,
     "char_fingerprints": q_char_fingerprints,
@@ -1777,6 +1876,7 @@ ORACLE = {
     "pii_redact": SQL_PII_REDACT,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "dup_span_fraction": SQL_DUP_SPAN_FRACTION,
+    "dup_span_apply": SQL_DUP_SPAN_APPLY,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "char_fingerprints": SQL_CHAR_FINGERPRINTS,
