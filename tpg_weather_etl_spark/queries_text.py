@@ -58,6 +58,61 @@ shn AS (SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id)
 """
 
 
+def shingles_from_docs(d: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sh_hash) distinct hashed k-shingles from an arbitrary
+    documents DataFrame (batch table, micro-batch, or test fixture) —
+    the reusable core of ``_shingle_df``; see there for the
+    physical-plan rationale."""
+    base = (
+        d.select("doc_id", norm_text(F.col("text")).alias("norm"))
+        .withColumn("toks", F.split(F.col("norm"), " "))
+        .withColumn("n", F.size(F.col("toks")))
+    )
+    exploded = base.select(
+        "doc_id", "norm", "toks", "n",
+        F.explode(
+            F.when(F.col("n") >= k, F.sequence(F.lit(0), F.col("n") - k))
+            .otherwise(F.sequence(F.lit(0), F.lit(0)))
+        ).alias("i"),
+    )
+    shingle = F.when(
+        F.col("n") >= k,
+        F.concat_ws(" ", *[
+            F.element_at(F.col("toks"), (F.col("i") + j + 1).cast("int"))
+            for j in range(k)
+        ]),
+    ).otherwise(F.col("norm"))
+    return exploded.select(
+        "doc_id", stable_hash60(shingle).alias("sh_hash")
+    ).distinct()
+
+
+def bands_from_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) MinHash-LSH band keys from a shingle
+    table — the signature is 16 aggregate expressions (map-side
+    partial min), not a 16× explode; shared by the batch gate query
+    and the streaming near-dup store."""
+    shh = sh.withColumn("h", F.col("sh_hash") % MH_P)
+    sig = shh.groupBy("doc_id").agg(
+        *[
+            F.min(((2 * i + 3) * F.col("h") + (104729 * i + 12345)) % MH_P)
+            .alias(f"s{i}")
+            for i in range(MH_NUM_HASHES)
+        ]
+    )
+    n_bands = MH_NUM_HASHES // MH_BAND_ROWS
+    band_keys = F.array(*[
+        F.concat_ws("_", *[
+            F.col(f"s{b * MH_BAND_ROWS + r}").cast("string")
+            for r in range(MH_BAND_ROWS)
+        ])
+        for b in range(n_bands)
+    ])
+    return sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    )
+
+
 def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """(doc_id, sh_hash) distinct 60-bit-hashed k-word shingles per doc.
 
@@ -81,31 +136,12 @@ def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
       to the hash in both engines (oracle does DISTINCT over the same
       md5-derived hash), so parity is exact even under collisions.
     """
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    return shingles_from_docs(
+        t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        k=k,
     )
-    base = (
-        d.select("doc_id", norm_text(F.col("text")).alias("norm"))
-        .withColumn("toks", F.split(F.col("norm"), " "))
-        .withColumn("n", F.size(F.col("toks")))
-    )
-    exploded = base.select(
-        "doc_id", "norm", "toks", "n",
-        F.explode(
-            F.when(F.col("n") >= k, F.sequence(F.lit(0), F.col("n") - k))
-            .otherwise(F.sequence(F.lit(0), F.lit(0)))
-        ).alias("i"),
-    )
-    shingle = F.when(
-        F.col("n") >= k,
-        F.concat_ws(" ", *[
-            F.element_at(F.col("toks"), (F.col("i") + j + 1).cast("int"))
-            for j in range(k)
-        ]),
-    ).otherwise(F.col("norm"))
-    return exploded.select(
-        "doc_id", stable_hash60(shingle).alias("sh_hash")
-    ).distinct()
 
 
 def _shingle_df_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,27 +575,8 @@ def _minhash_bands(spark: SparkSession, sf_dir: str,
     16× row explode — at 100 TB the explode version shuffles 16× the
     shingle volume for no reason. Band keys are then pure projection.
     """
-    sh = (shingles if shingles is not None
-          else _shingle_df(spark, sf_dir)).withColumn(
-        "h", F.col("sh_hash") % MH_P
-    )
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(((2 * i + 3) * F.col("h") + (104729 * i + 12345)) % MH_P)
-            .alias(f"s{i}")
-            for i in range(MH_NUM_HASHES)
-        ]
-    )
-    n_bands = MH_NUM_HASHES // MH_BAND_ROWS
-    band_keys = F.array(*[
-        F.concat_ws("_", *[
-            F.col(f"s{b * MH_BAND_ROWS + r}").cast("string")
-            for r in range(MH_BAND_ROWS)
-        ])
-        for b in range(n_bands)
-    ])
-    return sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    return bands_from_shingles(
+        shingles if shingles is not None else _shingle_df(spark, sf_dir)
     )
 
 

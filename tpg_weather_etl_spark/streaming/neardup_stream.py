@@ -1,0 +1,168 @@
+"""Incremental streaming NEAR-dup corpus dedup — the MinHash-LSH
+companion to ``streaming/corpus_dedup.py`` (which is exact-content
+only): a continuously-arriving document stream where each micro-batch
+admits only documents that are neither exact dups, nor near-dups of
+anything already in the corpus, nor near-dups of an earlier document
+in the same batch.
+
+Per batch:
+
+1. exact gate — anti-join the batch's content fingerprints against
+   the output store (idempotent replay: a re-run batch is fully
+   absorbed here and emits nothing);
+2. in-batch near-dups — banded-LSH candidates within the batch,
+   exact-Jaccard verify, connected components, keep the min-id member
+   per group (H2 tie rule);
+3. cross-corpus near-dups — the batch's band keys probe the BAND
+   STORE (one (doc_id, band, bkey) row per stored band, appended as
+   docs are admitted). Candidate store docs are re-shingled from the
+   output store ON DEMAND: a semi-join on the candidate ids prunes
+   the store scan to the handful of matched documents, so the corpus
+   text is never re-shingled wholesale;
+4. survivors append to the output store; their bands append to the
+   band store.
+
+100 TB shape: the only store-sized joins key on ``bkey`` (band
+probe) and ``doc_id`` (candidate semi-join) — both prunable/bucketed
+— and per-batch work scales with the batch plus its candidates, not
+the corpus. The band store is ~n_bands small rows per document:
+state lives in tables, never in executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tpg_weather_etl_spark.functions.text import doc_fingerprint
+from tpg_weather_etl_spark.streaming.corpus_dedup import _path_exists
+
+NEARDUP_TAU = 0.5
+
+
+def _novel_in_batch(batch: DataFrame) -> DataFrame:
+    """Exact + near-dup dedup WITHIN one micro-batch."""
+    from pyspark.sql import Window
+
+    from tpg_weather_etl_spark.operators.graph import (
+        connected_components_min_label,
+    )
+    from tpg_weather_etl_spark.queries_text import (
+        _pair_jaccard,
+        bands_from_shingles,
+        shingles_from_docs,
+    )
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact = (
+        batch.withColumn("fp", doc_fingerprint(F.col("text")))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    sh = shingles_from_docs(exact)
+    bands = bands_from_shingles(sh)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "bkey")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "bkey")
+    cand = (
+        a.join(b, "bkey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pairs = _pair_jaccard(sh, cand=cand).filter(
+        F.col("jaccard") >= NEARDUP_TAU
+    ).select("doc_a", "doc_b")
+    labels = connected_components_min_label(pairs)
+    losers = labels.filter(F.col("doc") != F.col("cluster")).select(
+        F.col("doc").alias("doc_id")
+    )
+    return exact.join(losers, "doc_id", "left_anti")
+
+
+def batch_novel_vs_store(batch: DataFrame, store_docs: DataFrame | None,
+                         store_bands: DataFrame | None) -> DataFrame:
+    """Drop batch docs that near-dup anything already stored.
+
+    Module-level so tests can drive it directly and assert the plan:
+    the candidate semi-join prunes the store scan to matched ids
+    before any re-shingling happens.
+    """
+    from tpg_weather_etl_spark.queries_text import (
+        _pair_jaccard,
+        bands_from_shingles,
+        shingles_from_docs,
+    )
+
+    novel = _novel_in_batch(batch)
+    if store_docs is None or store_bands is None:
+        return novel
+    # exact replay gate first (idempotent foreachBatch contract)
+    novel = novel.join(store_docs.select("fp"), "fp", "left_anti")
+    sh_new = shingles_from_docs(novel)
+    bands_new = bands_from_shingles(sh_new)
+    cand = (
+        bands_new.select(F.col("doc_id").alias("doc_a"), "bkey")
+        .join(store_bands.select(F.col("doc_id").alias("doc_b"), "bkey"),
+              "bkey")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # re-shingle ONLY the candidate store docs (semi-join-pruned scan)
+    cand_store_docs = store_docs.join(
+        cand.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id", "left_semi",
+    )
+    sh_store = shingles_from_docs(cand_store_docs)
+    dup_new = (
+        _pair_jaccard(sh_new.unionByName(sh_store), cand=cand)
+        .filter(F.col("jaccard") >= NEARDUP_TAU)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return novel.join(dup_new, "doc_id", "left_anti")
+
+
+def incremental_neardup(spark: SparkSession, input_dir: str,
+                        out_dir: str, bands_dir: str,
+                        checkpoint_dir: str):
+    """Start the stream: drop-directory JSONL in, near-dup-free
+    corpus out, band store maintained alongside."""
+    from tpg_weather_etl_spark.queries_text import (
+        bands_from_shingles,
+        shingles_from_docs,
+    )
+    from tpg_weather_etl_spark.streaming.corpus_dedup import (
+        stream_documents,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        store_docs = (spark_b.read.parquet(out_dir)
+                      if _path_exists(spark_b, out_dir) else None)
+        store_bands = (spark_b.read.parquet(bands_dir)
+                       if _path_exists(spark_b, bands_dir) else None)
+        # localCheckpoint, NOT persist: the survivor plan READS
+        # out_dir, and appending to out_dir triggers refreshByPath,
+        # which invalidates any cache entry depending on that path —
+        # the band write would then lazily RECOMPUTE survivors against
+        # a listing that includes their own freshly-appended rows, and
+        # the exact-fp gate would self-dedup them to empty (observed:
+        # corpus updated, band store silently not). Checkpointing
+        # truncates the lineage, so both writes read frozen data.
+        survivors = batch_novel_vs_store(
+            batch_df, store_docs, store_bands
+        ).localCheckpoint(eager=True)
+        if survivors.isEmpty():
+            return
+        survivors.write.mode("append").parquet(out_dir)
+        bands_from_shingles(shingles_from_docs(survivors)).write.mode(
+            "append").parquet(bands_dir)
+
+    return (
+        stream_documents(spark, input_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
