@@ -57,8 +57,18 @@ HEADLINE = [
     # round-5 additions
     "dedup_apply",
     "semantic_dedup_keeper",
+    "semantic_dedup_apply",
     "bm25_topk",
     "dup_span_fraction",
+    "dup_span_apply",
+    "trend_by_type",
+    "cube_revenue",
+    "gap_fill_interpolate",
+    "disjunctive_pred_revenue",
+    "idle_customer_balance",
+    "promo_revenue",
+    # prefix_jaccard_pairs stays gate-only: its exact uncapped verify
+    # is deliberately the expensive baseline-quality variant
 ]
 
 
