@@ -97,3 +97,44 @@ def test_cube_revenue_is_one_expand_one_agg(spark):
     plan = _plan(spark, "cube_revenue")
     assert plan.count("Expand") == 1
     assert plan.count("FileScan") == 1
+
+
+def test_runtime_bloom_filter_fires_on_selective_dim_join(spark):
+    """Spark's InjectRuntimeFilter builds a bloom filter from the
+    selective dim side and applies might_contain on the fact scan —
+    rows that cannot join die before the shuffle. At 100 TB the fact
+    side clears the 10GB applicationSideScanSizeThreshold naturally;
+    the test lowers it (and disables broadcast, since runtime filters
+    target shuffle joins) to pin that the rule fires on this join
+    shape at test scale."""
+    from pyspark.sql import functions as F
+
+    from tpg_weather_etl_spark.sources.tables import read_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None          # unset (e.g. adaptive threshold)
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = read_table(spark, SF_DIR, "lineitem")
+        p = read_table(spark, SF_DIR, "part").filter(
+            F.col("p_brand") == "Brand#12")
+        j = (l.join(p, l.l_partkey == p.p_partkey)
+             .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n")))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
