@@ -503,3 +503,27 @@ def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     # files the Morton key gives ~3 bits per dimension, so per-file
     # value spans shrink to ~1/8 of the range
     assert z_span < 0.3 * s_span, (z_span, s_span)
+
+
+def test_read_jsonl_documents_fixed_schema_and_corrupt_lines(spark, tmp_path):
+    """JSONL reader: explicit schema (no inference pre-scan), corrupt
+    lines become null rows instead of failures or type flips."""
+    import json
+
+    from tpg_weather_etl_spark.sources.readers import read_jsonl_documents
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join([
+        json.dumps({"doc_id": 1, "text": "alpha beta", "lang": "en",
+                    "source": "web", "n_chars": 10}),
+        "{ this is not json",
+        json.dumps({"doc_id": 2, "text": "gamma", "lang": "fr",
+                    "source": "books", "n_chars": 5}),
+    ]))
+    df = read_jsonl_documents(spark, p)
+    assert [f.name for f in df.schema.fields] == \
+        ["doc_id", "text", "lang", "source", "n_chars"]
+    rows = df.collect()
+    assert len(rows) == 3
+    good = {r.doc_id for r in rows if r.doc_id is not None}
+    assert good == {1, 2}
