@@ -222,3 +222,88 @@ def test_chunk_hashing_matches_python_reference(spark, texts):
     for i, cs in per_doc.items():
         want = (len(cs), sum(1 for c in cs if freq[c] >= 2))
         assert got[i] == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
+    min_size=2, max_size=10))
+def test_prefix_filter_candidates_are_complete(spark, docs):
+    """The prefix-filter lemma, pinned mechanically: every pair with
+    Jaccard ≥ τ over 3-shingles MUST appear among the prefix-index
+    candidate pairs — for arbitrary corpora, not just the oracle's
+    fixed testdata. (Exactness is the whole point of the PPJoin path
+    vs the df-capped and MinHash variants.)"""
+    from pyspark.sql import Window
+
+    from tpg_weather_etl_spark.queries_text import (
+        PJ_TAU,
+        shingles_from_docs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles_from_docs(d)
+    shingle_sets = {}
+    for r in sh.collect():
+        shingle_sets.setdefault(r.doc_id, set()).add(r.sh_hash)
+    want = set()
+    ids = sorted(shingle_sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = shingle_sets[ids[i]], shingle_sets[ids[j]]
+            if len(a & b) / len(a | b) >= PJ_TAU:
+                want.add((ids[i], ids[j]))
+    # rebuild the candidate set exactly as q_prefix_jaccard_pairs does
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_ = sh.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("df"))
+    ordered = sh.join(df_, "sh_hash").join(counts, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh_hash"))
+    pref = (ordered.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= F.col("n_sh")
+                    - F.ceil(F.lit(PJ_TAU) * F.col("n_sh")) + 1)
+            .select("doc_id", "sh_hash"))
+    pa = pref.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sh_hash").alias("sh_p"))
+    pb = pref.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sh_hash").alias("sh_p"))
+    cand = {(r.doc_a, r.doc_b) for r in
+            pa.join(pb, ["sh_p"]).filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct().collect()}
+    assert want <= cand, (sorted(want - cand), sorted(cand))
+
+
+def test_trend_by_type_recovers_exact_linear_fit(spark, tmp_path):
+    """On synthetic exactly-linear data the grouped OLS must recover
+    slope/intercept/r²=1 to rounding precision — a semantic check the
+    cross-engine oracle (which would happily agree on a wrong
+    formula) cannot provide."""
+    import datetime as _dt
+
+    from tpg_weather_etl_spark.queries_ml import (
+        TREND_X_ORIGIN,
+        q_trend_by_type,
+    )
+
+    origin = _dt.datetime.fromisoformat(TREND_X_ORIGIN)
+    rows = []
+    for i in range(50):
+        ts = origin + _dt.timedelta(days=i)
+        # y = 2.5 * days + 7  for type 'lin'; constant for 'flat'
+        rows.append((i, ts, 1, "lin", 2.5 * i + 7.0, None))
+        rows.append((1000 + i, ts, 2, "flat", 42.0, None))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_type: r
+           for r in q_trend_by_type(spark, str(tmp_path)).collect()}
+    lin = got["lin"]
+    assert abs(lin.slope - 2.5) < 1e-6
+    assert abs(lin.intercept - 7.0) < 1e-6
+    assert abs(lin.r2 - 1.0) < 1e-6
+    flat = got["flat"]
+    # zero variance in y → r2 guard nulls out; slope exactly 0
+    assert abs(flat.slope) < 1e-6
+    assert flat.r2 is None
