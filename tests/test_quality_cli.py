@@ -77,3 +77,30 @@ def test_cli_pipeline_end_to_end(spark, tmp_path):
     assert "delay_p90_min" in gold.columns
     tr = spark.read.parquet(str(root / "gold" / "feature_training_row"))
     assert tr.count() == 6
+
+
+def test_cli_curate_corpus_composes_quality_and_dedup(spark, tmp_path,
+                                                      capsys):
+    """End-to-end corpus curation: the curated set must be exactly
+    (quality-pass ∩ dedup-survivors) and strictly smaller than the
+    input (the sf0.001 corpus contains both low-quality docs and
+    near-dup clusters)."""
+    import json
+
+    from tpg_weather_etl_spark.cli import main
+    from tpg_weather_etl_spark.queries_ml import q_dedup_apply
+    from tpg_weather_etl_spark.queries_text import q_gopher_quality
+
+    rc = main(["curate-corpus", "--input", "/root/testdata/sf0.001",
+               "--out", str(tmp_path)])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "curated_documents")).collect()}
+    want_quality = {r.doc_id for r in q_gopher_quality(
+        spark, "/root/testdata/sf0.001").filter("keep").collect()}
+    want_dedup = {r.doc_id for r in q_dedup_apply(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert got == (want_quality & want_dedup)
+    assert 0 < stats["curated"] < stats["docs_in"]
+    assert stats["curated"] == len(got)

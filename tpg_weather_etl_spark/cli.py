@@ -53,6 +53,16 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("build-features-by-stop-line")
     sub.add_parser("build-training-rows")
 
+    c = sub.add_parser(
+        "curate-corpus",
+        help="documents table → Gopher-quality filter → near-dup "
+             "dedup (MinHash clusters, longest-doc keeper) → curated "
+             "corpus parquet + stage counts",
+    )
+    c.add_argument("--input", required=True,
+                   help="dir containing documents.parquet")
+    c.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
     root = Path(args.data_root)
     spark = _spark()
@@ -136,6 +146,38 @@ def main(argv: list[str] | None = None) -> int:
         write_parquet(rows, root / "gold" / "feature_training_row")
         print(f"feature_training_row: "
               f"{spark.read.parquet(str(root / 'gold' / 'feature_training_row')).count()} rows")
+
+    elif args.cmd == "curate-corpus":
+        # the end-to-end training-data curation pipeline, composed
+        # from the gate operators: quality gate (Gopher rules) and
+        # near-dup dedup (MinHash-LSH clusters, longest-doc keeper)
+        # reduce to doc_id sets, so the full documents only flow once
+        # — two left_semi joins over the scan, cluster-sized sides
+        import json as _json
+
+        from tpg_weather_etl_spark.queries_ml import q_dedup_apply
+        from tpg_weather_etl_spark.queries_text import q_gopher_quality
+        from tpg_weather_etl_spark.sources.tables import read_table
+        from tpg_weather_etl_spark.sources.writers import write_parquet
+
+        d = read_table(spark, args.input, "documents")
+        n_in = d.count()
+        quality_ids = (q_gopher_quality(spark, args.input)
+                       .filter(F.col("keep")).select("doc_id"))
+        dedup_ids = q_dedup_apply(spark, args.input).select("doc_id")
+        curated = (d.join(quality_ids, "doc_id", "left_semi")
+                    .join(dedup_ids, "doc_id", "left_semi"))
+        out_dir = Path(args.out)
+        write_parquet(curated, out_dir / "curated_documents")
+        n_out = spark.read.parquet(
+            str(out_dir / "curated_documents")).count()
+        stats = {
+            "docs_in": n_in,
+            "quality_pass": quality_ids.count(),
+            "dedup_survivors": dedup_ids.count(),
+            "curated": n_out,
+        }
+        print(_json.dumps(stats))
 
     return 0
 
