@@ -1024,10 +1024,80 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ACCURACY as a value-hash gate: the sketches themselves
+    are engine-specific (hence ``approx_stats`` stays rows-only), but
+    their error against the exact answers is checkable — Spark
+    computes |approx − exact| / exact per group and emits the
+    tolerance verdict alongside the exact values; the oracle computes
+    the same exact values with literal TRUE verdicts. A sketch
+    drifting past tolerance (HLL++ rsd 2% → 10% allowed here;
+    percentile rank error ≤ 0.05 → p90 bracketed by exact p85/p95)
+    flips a boolean and fails the hash — the strongest cross-engine
+    contract possible for approximate operators.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.9], 10000)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # exact discrete p85/p90/p95 via the engine-portable window rank
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = e.filter(F.col("value").isNotNull()).select(
+        "event_type", "value", F.row_number().over(w).alias("rk")
+    )
+    nn = ranked.groupBy("event_type").agg(F.max("rk").alias("nn"))
+    def _disc(p):
+        return F.min(F.when(
+            F.col("rk") == F.ceil(F.lit(p) * F.col("nn")), F.col("value")
+        ))
+    exact_q = ranked.join(nn, "event_type").groupBy("event_type").agg(
+        _disc(0.85).alias("p85"), _disc(0.90).alias("p90"),
+        _disc(0.95).alias("p95"),
+    )
+    approx = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.element_at(pcts, 1).alias("ap90"),
+    )
+    j = exact.join(exact_q, "event_type").join(approx, "event_type")
+    return j.select(
+        "event_type", "exact_users", "n", "p90",
+        (F.abs(F.col("au") - F.col("exact_users"))
+         / F.col("exact_users") <= 0.10).alias("hll_within_tol"),
+        ((F.col("ap90") >= F.col("p85"))
+         & (F.col("ap90") <= F.col("p95"))).alias("p90_within_tol"),
+    )
+
+
+SQL_APPROX_ACCURACY = """
+WITH exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+         COUNT(*) AS n
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk
+  FROM events WHERE value IS NOT NULL),
+nn AS (SELECT event_type, MAX(rk) AS nn FROM ranked GROUP BY 1),
+q AS (
+  SELECT r.event_type,
+    MIN(CASE WHEN rk = CAST(ceil(0.90 * nn) AS BIGINT)
+        THEN value END) AS p90
+  FROM ranked r JOIN nn USING (event_type) GROUP BY 1)
+SELECT event_type, exact_users, n, p90,
+  TRUE AS hll_within_tol, TRUE AS p90_within_tol
+FROM exact JOIN q USING (event_type)
+"""
+
+
 QUERIES = {
     "scalar_normalize": q_scalar_normalize,
     "array_agg_types": q_array_agg_types,
     "approx_stats": q_approx_stats,
+    "approx_accuracy": q_approx_accuracy,
     "session_window_agg": q_session_window_agg,
     "pattern_within": q_pattern_within,
     "numeric_profile": q_numeric_profile,
@@ -1053,6 +1123,7 @@ ORACLE = {
     "gap_fill_forward": SQL_GAP_FILL_FORWARD,
     "gap_fill_interpolate": SQL_GAP_FILL_INTERPOLATE,
     "array_agg_types": SQL_ARRAY_AGG_TYPES,
+    "approx_accuracy": SQL_APPROX_ACCURACY,
     "session_window_agg": SQL_SESSION_WINDOW_AGG,
     "pattern_within": SQL_PATTERN_WITHIN,
     "numeric_profile": SQL_NUMERIC_PROFILE,
