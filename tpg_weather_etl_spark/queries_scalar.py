@@ -1093,11 +1093,77 @@ FROM exact JOIN q USING (event_type)
 """
 
 
+def q_group_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust
+    dispersion statistic outlier pipelines threshold on (unlike
+    stddev, one wild point cannot move it).
+
+    Exact discrete medians via the engine-portable window-rank form
+    (H3: no percentile_approx near the gate), both passes + the
+    deviation join share the event_type hash partitioning; no
+    FP arithmetic beyond one subtraction, so no decimal routing or
+    rounding is needed for cross-engine parity.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value")
+    r1 = e.select("event_type", "value",
+                  F.row_number().over(w).alias("rk"))
+    n1 = r1.groupBy("event_type").agg(F.max("rk").alias("nn"))
+    med = (
+        r1.join(n1, "event_type")
+        .filter(F.col("rk") == F.ceil(F.lit(0.5) * F.col("nn")))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("med"), F.max("nn").alias("n"))
+    )
+    dev = e.join(med, "event_type").select(
+        "event_type", "med", "n",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    r2 = dev.select("event_type", "med", "n", "d",
+                    F.row_number().over(wd).alias("rk"))
+    return (
+        r2.filter(F.col("rk") == F.ceil(F.lit(0.5) * F.col("n")))
+        .groupBy("event_type")
+        .agg(F.max("n").cast("bigint").alias("n"),
+             F.max("med").alias("med"),
+             F.min("d").alias("mad"))
+    )
+
+
+SQL_GROUP_MAD = """
+WITH r1 AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk
+  FROM events WHERE value IS NOT NULL),
+n1 AS (SELECT event_type, MAX(rk) AS nn FROM r1 GROUP BY 1),
+med AS (
+  SELECT r1.event_type, MIN(value) AS med, MAX(nn) AS n
+  FROM r1 JOIN n1 USING (event_type)
+  WHERE rk = CAST(ceil(0.5 * nn) AS BIGINT)
+  GROUP BY 1),
+dev AS (
+  SELECT e.event_type, med, n, abs(e.value - med) AS d
+  FROM events e JOIN med USING (event_type)
+  WHERE e.value IS NOT NULL),
+r2 AS (
+  SELECT event_type, med, n, d,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rk
+  FROM dev)
+SELECT event_type, MAX(n) AS n, MAX(med) AS med, MIN(d) AS mad
+FROM r2 WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "scalar_normalize": q_scalar_normalize,
     "array_agg_types": q_array_agg_types,
     "approx_stats": q_approx_stats,
     "approx_accuracy": q_approx_accuracy,
+    "group_mad": q_group_mad,
     "session_window_agg": q_session_window_agg,
     "pattern_within": q_pattern_within,
     "numeric_profile": q_numeric_profile,
@@ -1124,6 +1190,7 @@ ORACLE = {
     "gap_fill_interpolate": SQL_GAP_FILL_INTERPOLATE,
     "array_agg_types": SQL_ARRAY_AGG_TYPES,
     "approx_accuracy": SQL_APPROX_ACCURACY,
+    "group_mad": SQL_GROUP_MAD,
     "session_window_agg": SQL_SESSION_WINDOW_AGG,
     "pattern_within": SQL_PATTERN_WITHIN,
     "numeric_profile": SQL_NUMERIC_PROFILE,

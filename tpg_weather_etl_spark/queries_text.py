@@ -841,6 +841,41 @@ JOIN pr ON pr.doc_id = t.doc_id
 """
 
 
+def q_source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality pass-rate per (source, lang) — the curation report that
+    decides which crawl sources are worth keeping. Composes the
+    Gopher gate: per-doc keep verdicts join the doc catalog
+    co-partitioned on doc_id, then one small hash-agg; output is
+    source×lang-sized regardless of corpus size."""
+    q = q_gopher_quality(spark, sf_dir).select("doc_id", "keep")
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return (
+        d.join(q, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        )
+        .select(
+            "source", "lang", "n_docs",
+            F.col("n_keep").cast("bigint").alias("n_keep"),
+            (F.round(F.col("n_keep") / F.col("n_docs"), 6) + F.lit(0.0))
+            .alias("keep_rate"),
+        )
+    )
+
+
+SQL_SOURCE_QUALITY_MATRIX = f"""
+WITH g AS ({SQL_GOPHER_QUALITY})
+SELECT source, lang, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  round(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / COUNT(*), 6) + 0.0
+    AS keep_rate
+FROM documents JOIN g USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination: corpus docs sharing n-gram shingles with a
 # held-out eval set (the GPT-3-style n-gram contamination check)
@@ -1883,6 +1918,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "length_buckets": q_length_buckets,
     "gopher_quality": q_gopher_quality,
+    "source_quality_matrix": q_source_quality_matrix,
     "source_mix_weights": q_source_mix_weights,
     "mixed_sample": q_mixed_sample,
 }
@@ -1911,6 +1947,7 @@ ORACLE = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "length_buckets": SQL_LENGTH_BUCKETS,
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "source_quality_matrix": SQL_SOURCE_QUALITY_MATRIX,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "mixed_sample": SQL_MIXED_SAMPLE,
 }
