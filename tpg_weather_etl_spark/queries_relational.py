@@ -1494,9 +1494,334 @@ GROUP BY CUBE(event_type, dow)
 """
 
 
+# ---------------------------------------------------------------------------
+# Nation-pair trade flow (TPC-H Q7 shape): two aliases of the same
+# dimension in one star join + a pair-symmetric disjunction
+# ---------------------------------------------------------------------------
+
+# pair chosen to be non-empty at every test SF (sf0.001 upward)
+VOLUME_NATIONS = ("NATION_12", "NATION_10")
+VOLUME_YEARS = ("1996-01-01", "1998-01-01")
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between two nations, per direction per year —
+    the Q7 shape: the nation dimension joins TWICE under different
+    roles (supplier side, customer side), and the pair predicate is a
+    symmetric disjunction that must not collapse the two aliases.
+
+    Scale shape: nation is broadcast twice (25 rows); the only large
+    shuffles are lineitem⋈orders on orderkey and ⋈customer on custkey.
+    The supplier join is broadcast-sized at every SF ratio (supplier
+    is 1/10th of customer in TPC-H). Each nation filter is pushed
+    through its own alias BEFORE the fact joins, so at 100 TB only
+    the two nations' suppliers/customers reach the shuffle."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    a, b = VOLUME_NATIONS
+    joined = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit(VOLUME_YEARS[0]).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(VOLUME_YEARS[1]).cast("timestamp")))
+        .join(F.broadcast(
+            s.join(F.broadcast(n1), s["s_nationkey"] == n1["s_nk"])
+             .select("s_suppkey", "supp_nation")
+             .filter(F.col("supp_nation").isin(a, b))),
+            on=[F.col("l_suppkey") == F.col("s_suppkey")])
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c.join(F.broadcast(n2), c["c_nationkey"] == n2["c_nk"])
+               .select("c_custkey", "cust_nation")
+               .filter(F.col("cust_nation").isin(a, b)),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a)))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+    )
+
+
+SQL_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+       AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE l_shipdate >= TIMESTAMP '{VOLUME_YEARS[0]}'
+  AND l_shipdate <  TIMESTAMP '{VOLUME_YEARS[1]}'
+  AND ((n1.n_name = '{VOLUME_NATIONS[0]}' AND n2.n_name = '{VOLUME_NATIONS[1]}')
+    OR (n1.n_name = '{VOLUME_NATIONS[1]}' AND n2.n_name = '{VOLUME_NATIONS[0]}'))
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conditional-share ratio (TPC-H Q8 shape): one nation's share of a
+# region's revenue in a part segment, per year
+# ---------------------------------------------------------------------------
+
+SHARE_NATION = "NATION_5"
+SHARE_REGION = "EUROPE"
+SHARE_PTYPE = "PROMO"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's share of PROMO-part revenue sold into one region,
+    per year — the Q8 shape: a five-table star where the numerator is
+    a conditional sum over the SAME joined rows as the denominator
+    (one pass, no second scan), and the grouping key is derived
+    (year) rather than stored.
+
+    Scale shape: part is filtered to one p_type before the join (the
+    most selective predicate reaches its scan); supplier→nation gives
+    the numerator flag via one broadcast; customer→nation→region
+    restricts the denominator rows. lineitem is scanned once."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == SHARE_PTYPE)
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == SHARE_REGION)
+    cust_in_region = (
+        c.join(F.broadcast(
+            n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+             .select("n_nationkey")),
+            c["c_nationkey"] == F.col("n_nationkey"))
+        .select("c_custkey"))
+    supp_nation = (
+        s.join(F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                                    F.col("n_name").alias("supp_nation"))),
+               s["s_nationkey"] == F.col("snk"))
+        .select("s_suppkey", "supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(F.broadcast(p.select("p_partkey")),
+               l["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation),
+              l["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(cust_in_region, o["o_custkey"] == F.col("c_custkey"),
+              "left_semi")
+        .select(F.year("o_orderdate").alias("o_year"),
+                vol.alias("volume"), "supp_nation")
+    )
+    agg = joined.groupBy("o_year").agg(
+        _dsum(F.when(F.col("supp_nation") == SHARE_NATION,
+                     F.col("volume")).otherwise(F.lit(0.0)))
+        .alias("nation_volume"),
+        _dsum(F.col("volume")).alias("total_volume"),
+    )
+    return agg.select(
+        "o_year", "nation_volume", "total_volume",
+        (F.round(F.col("nation_volume") / F.col("total_volume"), 6)
+         + F.lit(0.0)).alias("mkt_share"),
+    )
+
+
+SQL_MARKET_SHARE = f"""
+WITH joined AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n2.n_regionkey
+  WHERE p_type = '{SHARE_PTYPE}' AND r_name = '{SHARE_REGION}')
+SELECT o_year,
+  CAST(CAST(ROUND(SUM(CAST(CASE WHEN supp_nation = '{SHARE_NATION}'
+       THEN volume ELSE 0.0 END AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE) AS nation_volume,
+  CAST(CAST(ROUND(SUM(CAST(volume AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE) AS total_volume,
+  round(CAST(CAST(ROUND(SUM(CAST(CASE WHEN supp_nation = '{SHARE_NATION}'
+       THEN volume ELSE 0.0 END AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE)
+     / CAST(CAST(ROUND(SUM(CAST(volume AS DECIMAL(24,8))), 4)
+       AS DECIMAL(18,4)) AS DOUBLE), 6) + 0.0 AS mkt_share
+FROM joined GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Returned-item top customers (TPC-H Q10 shape): quarter-windowed
+# revenue ranking with a deterministic top-20
+# ---------------------------------------------------------------------------
+
+RETURN_QUARTER = ("1997-01-01", "1997-04-01")
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue lost to returns in one quarter —
+    the Q10 shape: a selective fact-side predicate (returnflag +
+    quarter), customer payload join AFTER the aggregation so only 20
+    rows fetch their enrichment columns, nation broadcast.
+
+    Determinism: ties broken by c_custkey so the LIMIT set is unique
+    in both engines. Scale shape: the orders quarter filter prunes
+    before the lineitem join; the post-agg top-k is
+    TakeOrderedAndProject (no global sort)."""
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(RETURN_QUARTER[0]).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(RETURN_QUARTER[1]).cast("timestamp")))
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    per_cust = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        .limit(20)
+    )
+    return (
+        per_cust.join(c, per_cust["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(F.col("c_custkey"), "c_name", "c_acctbal",
+                F.col("n_name").alias("nation"), "revenue")
+    )
+
+
+SQL_RETURNED_ITEMS = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+         AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{RETURN_QUARTER[0]}'
+    AND o_orderdate <  TIMESTAMP '{RETURN_QUARTER[1]}'
+  GROUP BY 1
+  ORDER BY revenue DESC, o_custkey
+  LIMIT 20)
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation, revenue
+FROM per_cust
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top supplier by scalar-subquery max (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+
+TOP_SUPPLIER_WINDOW = ("1997-01-01", "1997-04-01")
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) whose quarterly revenue equals the global maximum —
+    the Q15 shape: an aggregate compared against a scalar aggregate
+    OF ITSELF. Decorrelated Spark-side as: aggregate once, reduce the
+    1-row max, broadcast it back as an equi-ish filter join. The
+    revenue is decimal-exact in both engines, so the equality
+    predicate is safe cross-engine (the reason Q15 is notoriously
+    flaky on floats).
+
+    Scale shape: one lineitem agg (map-side combined), one 1-row
+    broadcast; no window over an unpartitioned set."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(TOP_SUPPLIER_WINDOW[0]).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(TOP_SUPPLIER_WINDOW[1]).cast("timestamp")))
+    s = t(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["mx"])
+        .join(s, rev["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+SQL_TOP_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+         AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_WINDOW[0]}'
+    AND l_shipdate <  TIMESTAMP '{TOP_SUPPLIER_WINDOW[1]}'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# EXISTS with residual non-equi predicate (TPC-H Q4 shape, adapted to
+# the available columns: "shipped late" instead of commit/receipt)
+# ---------------------------------------------------------------------------
+
+LATE_ORDER_WINDOW = ("1997-01-01", "1997-07-01")
+
+
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per priority where at least one lineitem shipped
+    more than 30 days after the order date — the Q4 shape: EXISTS
+    with a correlated NON-EQUI residual (l_shipdate > o_orderdate +
+    30d) on top of the orderkey equi-condition, planned as a
+    left-semi hash join with the residual evaluated post-probe.
+
+    Scale shape: the semi join deduplicates matches before the agg
+    (no COUNT(DISTINCT)); the orders window predicate prunes the
+    probe side first."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(LATE_ORDER_WINDOW[0]).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(LATE_ORDER_WINDOW[1]).cast("timestamp")))
+    l = t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_semi")
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"))
+
+
+SQL_PRIORITY_LATE_ORDERS = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{LATE_ORDER_WINDOW[0]}'
+  AND o_orderdate <  TIMESTAMP '{LATE_ORDER_WINDOW[1]}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cube_revenue": q_cube_revenue,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "returned_items": q_returned_items,
+    "top_supplier": q_top_supplier,
+    "priority_late_orders": q_priority_late_orders,
     "disjunctive_pred_revenue": q_disjunctive_pred_revenue,
     "idle_customer_balance": q_idle_customer_balance,
     "promo_revenue": q_promo_revenue,
@@ -1540,6 +1865,11 @@ QUERIES = {
 ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "cube_revenue": SQL_CUBE_REVENUE,
+    "volume_shipping": SQL_VOLUME_SHIPPING,
+    "market_share": SQL_MARKET_SHARE,
+    "returned_items": SQL_RETURNED_ITEMS,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "priority_late_orders": SQL_PRIORITY_LATE_ORDERS,
     "disjunctive_pred_revenue": SQL_DISJUNCTIVE_PRED_REVENUE,
     "idle_customer_balance": SQL_IDLE_CUSTOMER_BALANCE,
     "promo_revenue": SQL_PROMO_REVENUE,

@@ -162,6 +162,11 @@ _RUN_LAST = [
     # round-5 evidence, and the round-6 rotation fronts them.
     "dedup_apply",
     "semantic_dedup_keeper",
+    "volume_shipping",
+    "market_share",
+    "returned_items",
+    "top_supplier",
+    "priority_late_orders",
 ]
 
 
