@@ -1894,7 +1894,57 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-budget curation: greedy per-source fill up to a token budget
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET_PER_SOURCE = 800
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget curation: within each source, admit docs in
+    preference order (longest first, doc_id tiebreak) while the
+    running token total stays within ``TOKEN_BUDGET_PER_SOURCE`` —
+    the "fill each source's token quota" step of training-mix
+    construction, where the budget is in TOKENS (what the trainer
+    pays for), not documents.
+
+    Scale shape: one shuffle on source shared by the ordering window
+    and the running sum (same partitioning, single Window spec); the
+    filter on the cumulative is map-side after the window. Per-source
+    data volume bounds the window partition — at 100 TB with a
+    pathological mega-source, pre-aggregate candidates above the
+    budget away first (the budget itself caps useful depth), or salt
+    the order key into budget-sized chunks.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok"))
+    w = (Window.partitionBy("source")
+         .orderBy(F.col("n_tok").desc(), "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        d.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= TOKEN_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "n_tok", "cum_tok")
+    )
+
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+  FROM documents)
+SELECT doc_id, source, n_tok, cum_tok FROM (
+  SELECT doc_id, source, n_tok,
+    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+  FROM d)
+WHERE cum_tok <= {TOKEN_BUDGET_PER_SOURCE}
+"""
+
+
 QUERIES = {
+    "token_budget_sample": q_token_budget_sample,
     "containment_pairs": q_containment_pairs,
     "pipeline_funnel": q_pipeline_funnel,
     "pii_redact": q_pii_redact,
@@ -1924,6 +1974,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "pipeline_funnel": SQL_PIPELINE_FUNNEL,
     "pii_redact": SQL_PII_REDACT,

@@ -167,6 +167,7 @@ _RUN_LAST = [
     "returned_items",
     "top_supplier",
     "priority_late_orders",
+    "token_budget_sample",
 ]
 
 
