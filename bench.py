@@ -67,6 +67,10 @@ HEADLINE = [
     "disjunctive_pred_revenue",
     "idle_customer_balance",
     "promo_revenue",
+    "volume_shipping",
+    "market_share",
+    "returned_items",
+    "token_budget_sample",
     # prefix_jaccard_pairs stays gate-only: its exact uncapped verify
     # is deliberately the expensive baseline-quality variant
 ]

@@ -36,6 +36,8 @@ BNLJ_ALLOWED = {
     "mixed_sample": "single-row global total broadcast",
     # Q22 shape: single-row average-balance threshold broadcast
     "idle_customer_balance": "single-row scalar threshold broadcast",
+    # skew report: k-row top set × single-row (total, n_keys) broadcast
+    "key_skew_profile": "single-row global total broadcast",
 }
 
 

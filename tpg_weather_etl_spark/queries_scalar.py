@@ -1158,7 +1158,73 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Heavy-hitter key-skew profile: the diagnosis you run before choosing
+# a salting / AQE-skew-join strategy
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_K = 10
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``SKEW_TOP_K`` heaviest join keys with each key's share of
+    total rows and the running cumulative share — the skew report
+    that decides whether a key needs salting (one dominant key), AQE
+    skew-split (a few heavy keys), or nothing (flat tail).
+
+    Scale shape: per-key counts are one map-side-combined hash agg;
+    the top-k is TakeOrderedAndProject (never a global sort); the
+    total is a 1-row broadcast; shares and the cumulative are
+    computed on the k-row result only, so the single-partition window
+    touches exactly k rows regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    top = (per_key
+           .orderBy(F.col("n_rows").desc(), "user_id")
+           .limit(SKEW_TOP_K))
+    total = per_key.agg(F.sum("n_rows").alias("total_rows"),
+                        F.count(F.lit(1)).alias("n_keys"))
+    w = (Window.orderBy(F.col("n_rows").desc(), "user_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        top.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("n_rows").desc(), "user_id")))
+        .withColumn("pct_of_total",
+                    F.round(F.col("n_rows") / F.col("total_rows") * 100, 6)
+                    + F.lit(0.0))
+        .withColumn("cum_pct",
+                    F.round(F.sum("n_rows").over(w)
+                            / F.col("total_rows") * 100, 6) + F.lit(0.0))
+        .select("rank", "user_id", "n_rows", "n_keys",
+                "pct_of_total", "cum_pct")
+    )
+
+
+SQL_KEY_SKEW_PROFILE = f"""
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+               COUNT(*) AS n_keys FROM per_key),
+top AS (
+  SELECT user_id, n_rows FROM per_key
+  ORDER BY n_rows DESC, user_id LIMIT {SKEW_TOP_K})
+SELECT
+  CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS INT) AS rank,
+  user_id, n_rows, n_keys,
+  round(n_rows * 100.0 / total_rows, 6) + 0.0 AS pct_of_total,
+  round(CAST(SUM(n_rows) OVER (ORDER BY n_rows DESC, user_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) * 100.0 / total_rows, 6)
+    + 0.0 AS cum_pct
+FROM top, tot
+"""
+
+
 QUERIES = {
+    "key_skew_profile": q_key_skew_profile,
     "scalar_normalize": q_scalar_normalize,
     "array_agg_types": q_array_agg_types,
     "approx_stats": q_approx_stats,
@@ -1184,6 +1250,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "key_skew_profile": SQL_KEY_SKEW_PROFILE,
     "scalar_normalize": SQL_SCALAR_NORMALIZE,
     "json_extract": SQL_JSON_EXTRACT,
     "gap_fill_forward": SQL_GAP_FILL_FORWARD,

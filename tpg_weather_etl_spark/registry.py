@@ -168,6 +168,7 @@ _RUN_LAST = [
     "top_supplier",
     "priority_late_orders",
     "token_budget_sample",
+    "key_skew_profile",
 ]
 
 
