@@ -1814,9 +1814,50 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt): wide metric columns → long (metric, value) rows —
+# the inverse of pivot_event_values
+# ---------------------------------------------------------------------------
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly wide metrics (sum_qty / sum_price / n_rows as columns)
+    melted to long (month, metric, value) form via DataFrame.unpivot —
+    the reshape that feeds metric-agnostic dashboards and alerting.
+
+    Scale shape: the unpivot is a zero-shuffle Expand (×3 rows) over
+    the already-aggregated month-sized table; the only shuffle is the
+    upstream month agg, map-side combined."""
+    l = t(spark, sf_dir, "lineitem")
+    wide = l.groupBy(month_key(F.col("l_shipdate")).alias("month")).agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["month"], ["sum_qty", "sum_price", "n_rows"], "metric", "value")
+
+
+SQL_UNPIVOT_METRICS = """
+WITH wide AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+    CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(24,8))), 4)
+         AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+    CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,8))), 4)
+         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+    CAST(COUNT(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY 1)
+SELECT month, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL
+SELECT month, 'sum_price' AS metric, sum_price AS value FROM wide
+UNION ALL
+SELECT month, 'n_rows' AS metric, n_rows AS value FROM wide
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cube_revenue": q_cube_revenue,
+    "unpivot_metrics": q_unpivot_metrics,
     "volume_shipping": q_volume_shipping,
     "market_share": q_market_share,
     "returned_items": q_returned_items,
@@ -1865,6 +1906,7 @@ QUERIES = {
 ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "cube_revenue": SQL_CUBE_REVENUE,
+    "unpivot_metrics": SQL_UNPIVOT_METRICS,
     "volume_shipping": SQL_VOLUME_SHIPPING,
     "market_share": SQL_MARKET_SHARE,
     "returned_items": SQL_RETURNED_ITEMS,

@@ -169,6 +169,7 @@ _RUN_LAST = [
     "priority_late_orders",
     "token_budget_sample",
     "key_skew_profile",
+    "unpivot_metrics",
 ]
 
 
