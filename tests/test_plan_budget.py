@@ -1,0 +1,52 @@
+"""Shuffle-budget regression guard over the whole query registry.
+
+`plan_budgets.json` pins the shuffle-exchange count of every gate
+query's physical plan at sf0.001. A code change that adds an Exchange
+to any plan — a lost co-partitioning, a broadcast that fell back to
+shuffle, an accidental repartition — fails here mechanically instead
+of surfacing as a mystery slowdown at the next bench run (or worse,
+only at cluster scale, where one extra shuffle over 100 TB is hours).
+
+Plans are built only (analysis + physical planning); nothing executes.
+Fewer exchanges than budgeted passes — run
+`python tools/update_plan_budgets.py` to ratchet the budget down (or,
+after review, to accept a deliberate increase).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+BUDGETS = json.loads((Path(__file__).parent / "plan_budgets.json").read_text())
+
+
+def _names():
+    from tpg_weather_etl_spark.registry import all_queries
+    return sorted(all_queries())
+
+
+def test_every_query_has_a_budget():
+    missing = set(_names()) - set(BUDGETS)
+    assert not missing, (
+        f"queries with no shuffle budget: {sorted(missing)} — run "
+        "tools/update_plan_budgets.py and review+commit the diff"
+    )
+
+
+@pytest.mark.parametrize("name", _names())
+def test_shuffle_count_within_budget(spark, name):
+    if name not in BUDGETS:
+        pytest.skip("covered by test_every_query_has_a_budget")
+    from tpg_weather_etl_spark.plans.audit import count_exchanges
+    from tpg_weather_etl_spark.registry import all_queries
+
+    n = count_exchanges(all_queries()[name](spark, SF_DIR))
+    assert n <= BUDGETS[name], (
+        f"{name}: plan now has {n} shuffle exchanges, budget is "
+        f"{BUDGETS[name]} — a new shuffle appeared. If intentional, "
+        "rerun tools/update_plan_budgets.py and commit the diff."
+    )
