@@ -1223,7 +1223,54 @@ FROM top, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# Bitwise aggregates: per-user day-of-week activity bitmask — set
+# membership compressed to one BIGINT per key
+# ---------------------------------------------------------------------------
+
+def q_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: OR of ``1 << dow`` over their events — seven days of
+    membership in one BIGINT — plus the popcount (distinct active
+    weekdays) and the XOR fold (odd-occurrence parity mask). The
+    bitwise aggregate family: a COUNT(DISTINCT dow) that costs one
+    map-side-combinable integer per key instead of a distinct shuffle,
+    the trick behind bitmap indexes and roaring-bitmap rollups.
+
+    Scale shape: one hash agg with map-side combine (OR/XOR are
+    associative+commutative); no distinct expansion anywhere.
+    """
+    e = t(spark, sf_dir, "events")
+    # python shiftleft() only takes a literal shift; the SQL form
+    # accepts a column expression
+    mask = F.expr(
+        "CAST(shiftleft(1, (dayofweek(ts) + 5) % 7) AS BIGINT)")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.bit_or(mask).alias("dow_mask"),
+            F.bit_count(F.bit_or(mask)).cast("int").alias("n_active_dows"),
+            F.bit_xor(mask).alias("parity_mask"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_ACTIVITY_BITMASK = """
+WITH m AS (
+  SELECT user_id,
+    CAST(1 << ((isodow(ts) - 1)::INT) AS BIGINT) AS mask
+  FROM events)
+SELECT user_id,
+  bit_or(mask) AS dow_mask,
+  CAST(bit_count(bit_or(mask)) AS INT) AS n_active_dows,
+  bit_xor(mask) AS parity_mask,
+  COUNT(*) AS n_events
+FROM m GROUP BY 1
+"""
+
+
 QUERIES = {
+    "activity_bitmask": q_activity_bitmask,
     "key_skew_profile": q_key_skew_profile,
     "scalar_normalize": q_scalar_normalize,
     "array_agg_types": q_array_agg_types,
@@ -1250,6 +1297,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "activity_bitmask": SQL_ACTIVITY_BITMASK,
     "key_skew_profile": SQL_KEY_SKEW_PROFILE,
     "scalar_normalize": SQL_SCALAR_NORMALIZE,
     "json_extract": SQL_JSON_EXTRACT,

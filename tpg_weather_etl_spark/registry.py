@@ -170,6 +170,7 @@ _RUN_LAST = [
     "token_budget_sample",
     "key_skew_profile",
     "unpivot_metrics",
+    "activity_bitmask",
 ]
 
 
