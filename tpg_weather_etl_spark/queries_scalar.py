@@ -1269,8 +1269,53 @@ FROM m GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Bucketed-bitmap exact distinct: Spark's bitmap_construct_agg family
+# (the roaring-bitmap pattern) gated by a portable COUNT(DISTINCT)
+# oracle on the result
+# ---------------------------------------------------------------------------
+
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type computed the bitmap way:
+    ids bucket into 32k-bit bitmaps (``bitmap_bucket_number`` /
+    ``bitmap_bit_position``), each (type, bucket) group ORs its
+    bitmap with map-side combine, and the per-bucket popcounts sum —
+    COUNT(DISTINCT) without ever shuffling raw id rows, the pattern
+    warehouse engines use for incremental distinct rollups (the
+    per-bucket bitmaps are also mergeable across days, which a plain
+    distinct is not).
+
+    The bitmap machinery is Spark-specific, so the oracle pins the
+    RESULT: a plain COUNT(DISTINCT user_id) — if the bitmap path ever
+    drops or double-counts an id, the gate hash fails.
+
+    Scale shape: first agg keys on (type, bucket) — cardinality
+    |types| × |id-range|/32k, independent of row count — with bitmap
+    OR combining map-side; second agg reduces buckets per type.
+    """
+    e = t(spark, sf_dir, "events")
+    per_bucket = (
+        e.select("event_type",
+                 F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+                 F.bitmap_bit_position(F.col("user_id")).alias("pos"))
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_count(F.bitmap_construct_agg(F.col("pos")))
+             .alias("bucket_distinct"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("bucket_distinct").alias("n_distinct_users"))
+
+
+SQL_BITMAP_DISTINCT_USERS = """
+SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "activity_bitmask": q_activity_bitmask,
+    "bitmap_distinct_users": q_bitmap_distinct_users,
     "key_skew_profile": q_key_skew_profile,
     "scalar_normalize": q_scalar_normalize,
     "array_agg_types": q_array_agg_types,
@@ -1298,6 +1343,7 @@ QUERIES = {
 
 ORACLE = {
     "activity_bitmask": SQL_ACTIVITY_BITMASK,
+    "bitmap_distinct_users": SQL_BITMAP_DISTINCT_USERS,
     "key_skew_profile": SQL_KEY_SKEW_PROFILE,
     "scalar_normalize": SQL_SCALAR_NORMALIZE,
     "json_extract": SQL_JSON_EXTRACT,

@@ -171,6 +171,7 @@ _RUN_LAST = [
     "key_skew_profile",
     "unpivot_metrics",
     "activity_bitmask",
+    "bitmap_distinct_users",
 ]
 
 
