@@ -307,3 +307,39 @@ def test_trend_by_type_recovers_exact_linear_fit(spark, tmp_path):
     # zero variance in y → r2 guard nulls out; slope exactly 0
     assert abs(flat.slope) < 1e-6
     assert flat.r2 is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),      # group
+                  st.integers(min_value=0, max_value=50)),    # amount
+        min_size=1, max_size=50),
+    budget=st.integers(min_value=0, max_value=120),
+)
+@_settings
+def test_greedy_budget_fill_equals_python_reference(spark, rows, budget):
+    from tpg_weather_etl_spark.operators.budget import greedy_budget_fill
+
+    df = spark.createDataFrame(
+        [(i, g, a) for i, (g, a) in enumerate(rows)],
+        "row_id long, grp long, amount long")
+    got = {
+        (r.grp, r.row_id): r.cum_amount
+        for r in greedy_budget_fill(
+            df, ["grp"], [F.col("amount").desc(), "row_id"], "amount",
+            budget).collect()
+    }
+    # naive reference: per group, sort by (-amount, row_id), admit
+    # while the inclusive running total stays within budget
+    want = {}
+    bygrp: dict[int, list[tuple[int, int]]] = {}
+    for i, (g, a) in enumerate(rows):
+        bygrp.setdefault(g, []).append((i, a))
+    for g, items in bygrp.items():
+        acc = 0
+        for i, a in sorted(items, key=lambda t: (-t[1], t[0])):
+            acc += a
+            if acc > budget:
+                break
+            want[(g, i)] = acc
+    assert got == want

@@ -1917,16 +1917,14 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget away first (the budget itself caps useful depth), or salt
     the order key into budget-sized chunks.
     """
+    from tpg_weather_etl_spark.operators.budget import greedy_budget_fill
+
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "source", token_count(F.col("text")).alias("n_tok"))
-    w = (Window.partitionBy("source")
-         .orderBy(F.col("n_tok").desc(), "doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (
-        d.withColumn("cum_tok", F.sum("n_tok").over(w))
-        .filter(F.col("cum_tok") <= TOKEN_BUDGET_PER_SOURCE)
-        .select("doc_id", "source", "n_tok", "cum_tok")
-    )
+    return greedy_budget_fill(
+        d, ["source"], [F.col("n_tok").desc(), "doc_id"], "n_tok",
+        TOKEN_BUDGET_PER_SOURCE, cum_col="cum_tok",
+    ).select("doc_id", "source", "n_tok", "cum_tok")
 
 
 SQL_TOKEN_BUDGET_SAMPLE = f"""
