@@ -37,6 +37,20 @@ def test_every_query_has_a_budget():
     )
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clean_cache_baseline(spark):
+    # Budgets are recorded against a cache-free session. An earlier
+    # test that executed a gate query may have left a track()-ed
+    # persist alive; Catalyst would then substitute the
+    # InMemoryRelation into matching subtrees here and shift the
+    # exchange count (observed: test_lsh_ml's minhash run changing
+    # containment_pairs' plan). Clear both layers first.
+    from tpg_weather_etl_spark.caching import release_all
+    release_all()
+    spark.catalog.clearCache()
+    yield
+
+
 @pytest.mark.parametrize("name", _names())
 def test_shuffle_count_within_budget(spark, name):
     if name not in BUDGETS:

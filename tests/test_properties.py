@@ -343,3 +343,109 @@ def test_greedy_budget_fill_equals_python_reference(spark, rows, budget):
                 break
             want[(g, i)] = acc
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50),
+                  min_size=1, max_size=60),
+    nparts=st.integers(min_value=1, max_value=5),
+    inclusive=st.booleans(),
+)
+@_settings
+def test_global_running_max_equals_single_window(spark, vals, nparts,
+                                                 inclusive):
+    from tpg_weather_etl_spark.operators.prefix import global_running_max
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.running_max
+        for r in global_running_max(df, ["k"], "v", num_partitions=nparts,
+                                    inclusive=inclusive).collect()
+    }
+    want, best = {}, None
+    for i, v in enumerate(vals):
+        if inclusive:
+            best = v if best is None else max(best, v)
+            want[i] = best
+        else:
+            want[i] = best
+            best = v if best is None else max(best, v)
+    assert got == want
+
+
+@given(
+    pts=st.lists(st.tuples(st.integers(min_value=0, max_value=20),
+                           st.integers(min_value=0, max_value=20)),
+                 min_size=1, max_size=50),
+)
+@_settings
+def test_skyline_equals_dominance_definition(spark, pts):
+    # mirror of q_skyline_parts' derivation on arbitrary points:
+    # minimize x, maximize y; survivors = no dominator exists
+    from tpg_weather_etl_spark.operators.prefix import global_running_max
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    gm = df.groupBy("x").agg(F.max("y").alias("grp_max"))
+    pm = global_running_max(gm, ["x"], "grp_max",
+                            out_col="prev_max", inclusive=False)
+    got = {
+        r.id
+        for r in df.join(pm, "x")
+        .filter((F.col("y") == F.col("grp_max"))
+                & (F.col("prev_max").isNull()
+                   | (F.col("prev_max") < F.col("y"))))
+        .collect()
+    }
+    want = {
+        i for i, (x, y) in enumerate(pts)
+        if not any(
+            qx <= x and qy >= y and (qx < x or qy > y)
+            for qx, qy in pts)
+    }
+    assert got == want
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(min_value=0, max_value=12),
+                  st.integers(min_value=0, max_value=12)),
+        min_size=1, max_size=40),
+)
+@_settings
+def test_oriented_triangle_count_equals_brute_force(spark, edges):
+    # same degree-oriented enumeration as q_part_triangles, on an
+    # arbitrary graph; brute force counts canonical a<b<c triples
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    e = spark.createDataFrame(sorted(und), "u long, v long")
+    deg = (e.select(F.col("u").alias("x"))
+           .unionAll(e.select(F.col("v").alias("x")))
+           .groupBy("x").agg(F.count("*").alias("d")))
+    e2 = (e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")),
+                 "u")
+          .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")),
+                "v"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = e2.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"))
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = (w1.join(w2, (F.col("w1.src") == F.col("w2.src"))
+                      & (F.col("w1.dst") < F.col("w2.dst")))
+              .select(F.col("w1.dst").alias("lo"),
+                      F.col("w2.dst").alias("hi")))
+    got = wedges.join(
+        e, (wedges["lo"] == e["u"]) & (wedges["hi"] == e["v"])).count()
+    nodes = sorted({n for p in und for n in p})
+    want = sum(
+        1
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1:]
+        if (a, b) in und
+        for c in nodes
+        if c > b and (a, c) in und and (b, c) in und)
+    assert got == want

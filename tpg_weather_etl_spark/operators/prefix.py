@@ -76,3 +76,50 @@ def global_running_sum(
         .withColumn(out_col, F.col("__poff") + F.col("__cum_in"))
         .drop("__b", "__cum_in", "__poff")
     )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_max",
+    num_partitions: int | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Add ``out_col`` = running MAX of ``value_col`` over the global
+    ``order_cols`` order — same two-level shape as
+    :func:`global_running_sum` (range-partition, per-partition window,
+    P-row offsets broadcast back), so no row ever rides a
+    single-partition window.
+
+    ``inclusive=False`` gives the *exclusive* prefix (max over strictly
+    preceding rows; NULL for the global first row) — the form skyline /
+    Pareto-frontier pruning needs. Max is idempotent, so unlike the sum
+    the per-partition combine is ``greatest`` of the local prefix and
+    the prior partitions' total max (NULL-skipping, which is exactly
+    the semantics an exclusive first row needs).
+    """
+    n = (num_partitions
+         or df.sparkSession.sparkContext.defaultParallelism)
+    staged = df.repartitionByRange(n, *order_cols).withColumn(
+        "__b", F.spark_partition_id())
+    end = 0 if inclusive else -1
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    from tpg_weather_etl_spark.caching import track
+    local = track(staged.withColumn(
+        "__cum_in", F.max(value_col).over(w_in)
+    ).persist())
+    totals = local.groupBy("__b").agg(F.max(value_col).alias("__ptot"))
+    w_p = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__poff", F.max("__ptot").over(w_p)
+    ).select("__b", "__poff")
+    return (
+        local.join(F.broadcast(offsets), "__b")
+        .withColumn(out_col, F.greatest("__poff", "__cum_in"))
+        .drop("__b", "__cum_in", "__poff")
+    )

@@ -776,7 +776,93 @@ WHERE rank <= {IVF_TOPK}
     return sql
 
 
+# ---------------------------------------------------------------------------
+# Scalar (int8-style) quantization + quantized top-k — the memory-side
+# half of a FAISS-like ANN stack, as plain columnar arithmetic
+# ---------------------------------------------------------------------------
+
+INT8_N_QUERY = 3
+INT8_TOPK = 10
+
+
+def _int8_quantize(x, p):
+    """q = floor((x-lo)/(hi-lo)*255 + 0.5) ∈ [0,255]; 0 when the
+    dimension is degenerate (hi==lo). Pure IEEE double ops in an
+    identical tree on both engines, so the codes are bit-portable."""
+    lo, hi = p.getField("lo"), p.getField("hi")
+    return F.when(hi == lo, F.lit(0)).otherwise(
+        F.floor((x.cast("double") - lo) / (hi - lo) * F.lit(255)
+                + F.lit(0.5)).cast("int"))
+
+
+def q_int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbours by QUANTIZED dot product: per-dimension
+    min/max train a uint8 scalar quantizer (the SQ8 of FAISS /
+    Milvus), every vector is encoded once, and search runs entirely
+    in integer arithmetic — 4× less memory traffic than float32 and
+    exact cross-engine (integer dots have no summation-order issue,
+    so this needs none of the decimal machinery).
+
+    Scale shape: the trainer is ONE map-side-combined agg over
+    (dim, value) pairs with a dims-sized result; codes are produced by
+    a single broadcast of the 64-struct param array; search is the
+    same broadcast-probe top-k as embedding_topk. Nothing driver-side
+    except the dims-bounded param row.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    dims = (e.select(F.posexplode("embedding").alias("pos", "xf"))
+            .groupBy("pos")
+            .agg(F.min(F.col("xf").cast("double")).alias("lo"),
+                 F.max(F.col("xf").cast("double")).alias("hi")))
+    params = dims.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "lo", "hi")))
+        .alias("ps"))
+    qv = (e.crossJoin(F.broadcast(params))
+          .select("vec_id", F.transform(
+              F.col("embedding"),
+              lambda x, i: _int8_quantize(
+                  x, F.element_at(F.col("ps"), i + F.lit(1)))).alias("q")))
+    qs = (qv.filter(F.col("vec_id") < INT8_N_QUERY)
+          .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq")))
+    pairs = (
+        qv.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.aggregate(
+            F.zip_with("q", "qq", lambda x, y: (x * y).cast("bigint")),
+            F.lit(0).cast("bigint"), lambda acc, v: acc + v).alias("qdot")))
+    w = Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= INT8_TOPK))
+
+
+SQL_INT8_QUANT_TOPK = f"""
+WITH pe AS (
+  SELECT vec_id, pos, CAST(embedding[pos + 1] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(64)) AS pos)),
+dims AS (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM pe GROUP BY 1),
+qv AS (
+  SELECT vec_id, pos,
+         CASE WHEN hi = lo THEN 0
+              ELSE CAST(FLOOR((x - lo) / (hi - lo) * 255 + 0.5) AS INTEGER)
+         END AS q
+  FROM pe JOIN dims USING (pos)),
+dots AS (
+  SELECT b.vec_id AS qid, a.vec_id AS vec_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS qdot
+  FROM qv a JOIN qv b
+    ON a.pos = b.pos AND b.vec_id < {INT8_N_QUERY}
+   AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2)
+SELECT qid, vec_id, qdot, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY qdot DESC, vec_id ASC) AS rank
+      FROM dots)
+WHERE rank <= {INT8_TOPK}
+"""
+
+
 QUERIES = {
+    "int8_quant_topk": q_int8_quant_topk,
     "embedding_topk": q_embedding_topk,
     "ann_buckets": q_ann_buckets,
     "ann_topk": q_ann_topk,
@@ -794,6 +880,7 @@ ORACLE_DYNAMIC = {
 }
 
 ORACLE = {
+    "int8_quant_topk": SQL_INT8_QUANT_TOPK,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "ann_buckets": SQL_ANN_BUCKETS,
     "ann_topk": SQL_ANN_TOPK,

@@ -1212,6 +1212,84 @@ WHERE guard.ok = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting on the part co-purchase graph (degree-oriented)
+# ---------------------------------------------------------------------------
+
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-purchase graph (parts are adjacent iff
+    some order contains both). Edge construction is per-order pair
+    expansion — bounded by the max basket size (≤ ~13 parts/order in
+    this data and a constant at any SF), so it's a co-partitioned
+    self-join on l_orderkey, never quadratic in the table.
+
+    Counting uses the standard DEGREE ORIENTATION: every undirected
+    edge points from its lower-(degree, id) endpoint to the higher
+    one, so each wedge is enumerated exactly once at its lowest-degree
+    apex. That bounds the per-key wedge fan-out by the graph's
+    arboricity rather than its max degree — the difference between a
+    hot celebrity node exploding one task and an even spread, which is
+    the whole 100 TB story for triangle counting.
+
+    Oracle: the orientation-free canonical a<b<c three-way join — an
+    independent formulation, so the gate proves the oriented
+    enumeration counts every triangle exactly once.
+    """
+    from tpg_weather_etl_spark.caching import track
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct()
+    a, b = l.alias("a"), l.alias("b")
+    # The edge list feeds four consumers (both degree scans, the wedge
+    # self-join, and the closing-edge probe); without a persist each
+    # consumer replans the full co-purchase self-join (observed: a
+    # 49-exchange plan).
+    e = track(
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (e.select(F.col("u").alias("x"))
+           .unionAll(e.select(F.col("v").alias("x")))
+           .groupBy("x").agg(F.count("*").alias("d")))
+    e2 = (
+        e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")),
+               "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")),
+              "v"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = track(e2.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"))
+        .persist())
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = (
+        w1.join(w2, (F.col("w1.src") == F.col("w2.src"))
+                & (F.col("w1.dst") < F.col("w2.dst")))
+        .select(F.col("w1.dst").alias("lo"), F.col("w2.dst").alias("hi")))
+    tri = wedges.join(
+        e, (wedges["lo"] == e["u"]) & (wedges["hi"] == e["v"]))
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    return n_edges.crossJoin(n_tri)
+
+
+SQL_PART_TRIANGLES = """
+WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*)
+        FROM e e1
+        JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+"""
+
+
 ORACLE_DYNAMIC = {
     "semantic_dedup_keeper": sql_semantic_dedup_keeper,
     "semantic_dedup_apply": sql_semantic_dedup_apply,
@@ -1237,9 +1315,11 @@ QUERIES = {
     "dedup_apply": q_dedup_apply,
     "semantic_dedup_keeper": q_semantic_dedup_keeper,
     "semantic_dedup_apply": q_semantic_dedup_apply,
+    "part_triangles": q_part_triangles,
 }
 
 ORACLE = {
+    "part_triangles": SQL_PART_TRIANGLES,
     "source_lang_entropy": SQL_SOURCE_LANG_ENTROPY,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_topk": SQL_BM25_TOPK,

@@ -1854,8 +1854,416 @@ SELECT month, 'n_rows' AS metric, n_rows AS value FROM wide
 """
 
 
+# ---------------------------------------------------------------------------
+# Correlated per-group minimum join-back (TPC-H Q2 shape, adapted:
+# unit cost derived from lineitem instead of the absent partsupp)
+# ---------------------------------------------------------------------------
+
+MIN_COST_PART_TYPE = "LARGE"
+MIN_COST_MIN_SIZE = 45
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each qualifying part, the supplier(s) offering its minimum
+    unit cost — the Q2 shape: a correlated scalar-MIN subquery over the
+    (part, supplier) cost relation. Decorrelated Spark-side as ONE
+    grouped agg plus a per-part window-min filter, so the cost relation
+    is shuffled once on its own grouping key and never joined back to
+    itself.
+
+    Unit cost is a double division: IEEE-exact and identical in both
+    engines, so the MIN-equality predicate is safe (same reason the
+    as-of joins can compare doubles). The part filter is applied BEFORE
+    the lineitem join and broadcast, so at 100 TB the fact scan is
+    pruned by a build-side bloom/DPP, not post-filtered.
+
+    Oracle: the textbook correlated-subquery formulation — an
+    independent derivation of the same rows.
+    """
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == MIN_COST_PART_TYPE)
+        & (F.col("p_size") >= MIN_COST_MIN_SIZE))
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cost = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("unit_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    best = (cost.withColumn("best", F.min("unit_cost").over(w))
+            .filter(F.col("unit_cost") == F.col("best")))
+    return (
+        best.join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+    )
+
+
+SQL_MIN_COST_SUPPLIER = f"""
+WITH cost AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = '{MIN_COST_PART_TYPE}' AND p_size >= {MIN_COST_MIN_SIZE}
+  GROUP BY 1, 2, 3)
+SELECT p_partkey, p_name, s_name, n_name, unit_cost
+FROM cost c JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+                   WHERE c2.p_partkey = c.p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimension star join with derived profit (TPC-H Q9 shape,
+# adapted: cost proxy from p_retailprice instead of absent partsupp)
+# ---------------------------------------------------------------------------
+
+PROFIT_NAME_FRAGMENT = "bolt"
+
+
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per (supplier nation, order year) for parts whose name
+    contains a fragment — the Q9 shape: a four-dimension star join
+    (part, supplier, nation broadcast; orders the one real shuffle)
+    with a derived measure aggregated by attributes of two different
+    dimensions.
+
+    amount = revenue − 1% of retail-price-based cost; the expression
+    tree is written identically in both engines (left-associated
+    products) so the doubles entering the decimal-exact sum are
+    bit-identical.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(PROFIT_NAME_FRAGMENT))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.01) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(_dsum(amount).alias("sum_profit"))
+    )
+
+
+SQL_PROFIT_BY_NATION_YEAR = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(CAST(ROUND(SUM(CAST(
+         l_extendedprice * (1 - l_discount)
+         - 0.01 * p_retailprice * l_quantity AS DECIMAL(24,8))), 4)
+         AS DECIMAL(18,4)) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{PROFIT_NAME_FRAGMENT}%'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregate filtered by a fraction of its own grand total (TPC-H Q11
+# shape: the HAVING > scalar-subquery threshold)
+# ---------------------------------------------------------------------------
+
+IMPORTANT_AVG_MULTIPLE = 1.5
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose total traded value exceeds 1.5× the AVERAGE
+    per-part value — the Q11 shape: a grouped aggregate compared
+    against a scalar aggregate of itself. Decorrelated as: aggregate
+    once, reduce the 1-row (total, count), broadcast it back as a
+    filter. Both sums are decimal-exact, and the threshold expression
+    ((tot / n) * 1.5) is the same IEEE double tree in both engines,
+    so the > comparison can't straddle an ulp.
+
+    The threshold is a multiple of the MEAN, not a fixed fraction of
+    the grand total, so selectivity is scale-invariant (a fixed
+    fraction selects everything at small part counts and nothing at
+    large ones — the per-part share decays as 1/n).
+
+    Scale shape: one map-side-combined lineitem agg; the scalar
+    re-aggregates the (small) per-part relation, not the fact table.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    val = l.groupBy("l_partkey").agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_quantity"))
+        .alias("part_value"))
+    tot = val.agg(
+        F.sum(F.col("part_value").cast("decimal(24,8)"))
+        .cast("double").alias("tot"),
+        F.count("*").alias("n"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("part_value")
+                > (F.col("tot") / F.col("n"))
+                * F.lit(IMPORTANT_AVG_MULTIPLE))
+        .select("l_partkey", "part_value")
+    )
+
+
+SQL_IMPORTANT_PARTS = f"""
+WITH val AS (
+  SELECT l_partkey,
+    CAST(CAST(ROUND(SUM(CAST(l_extendedprice * l_quantity
+         AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS part_value
+  FROM lineitem GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(CAST(part_value AS DECIMAL(24,8))) AS DOUBLE) AS tot,
+         COUNT(*) AS n
+  FROM val)
+SELECT l_partkey, part_value
+FROM val, tot
+WHERE part_value > (tot / n) * {IMPORTANT_AVG_MULTIPLE}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count with NOT-IN exclusion (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+
+SUPPLIER_CNT_SIZES = (1, 5, 9, 14, 19, 23, 36, 45)
+
+
+def q_supplier_cnt_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier count per (brand, type, size) excluding a
+    NOT-IN supplier set — the Q16 shape. The NOT IN becomes a
+    broadcast left-anti join (the excluded set is tiny), and the
+    DISTINCT count is an explicit two-level aggregate — dedupe on
+    (group keys, suppkey) first, then count — so no COUNT(DISTINCT)
+    expand ever shuffles the fact table twice.
+    """
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(*SUPPLIER_CNT_SIZES)))
+    excl = (t(spark, sf_dir, "supplier")
+            .filter(F.col("s_name").like("%9"))
+            .select("s_suppkey"))
+    l = (t(spark, sf_dir, "lineitem")
+         .join(F.broadcast(excl),
+               F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"))
+    pairs = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct())
+    return (pairs.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count("*").alias("supplier_cnt")))
+
+
+SQL_SUPPLIER_CNT_BY_TYPE = f"""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN {SUPPLIER_CNT_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_name LIKE '%9')
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# EXISTS + NOT-EXISTS self-correlation (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+WAITING_LATE_DAYS = 30
+
+
+def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier, the number of finished multi-supplier orders where
+    they were the ONLY late supplier — the Q21 shape (EXISTS another
+    supplier on the order; NOT EXISTS another LATE supplier).
+
+    Spark-side the double self-correlation collapses into ONE grouped
+    pass over the order's lineitems: per order, count distinct
+    suppliers, count distinct late suppliers, and keep the sole late
+    supplier via MAX over the late branch. That replaces two
+    shuffled self-semi/anti-joins of the fact table with a single
+    orderkey shuffle — the difference between 1× and 3× fact-table
+    traffic at 100 TB.
+
+    Oracle: the textbook EXISTS / NOT EXISTS formulation — an
+    independent derivation, so the gate also proves the
+    decorrelation is semantics-preserving.
+    """
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {WAITING_LATE_DAYS} DAYS")
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey")))
+        .alias("n_late_supp"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"))
+    sole = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    res = sole.groupBy("late_supp").agg(F.count("*").alias("numwait"))
+    s = t(spark, sf_dir, "supplier")
+    return (res.join(F.broadcast(s),
+                     res["late_supp"] == s["s_suppkey"])
+            .select("s_name", "numwait"))
+
+
+SQL_WAITING_ORDERS = f"""
+WITH cand AS (
+  SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+  FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l1.l_shipdate > o_orderdate + INTERVAL {WAITING_LATE_DAYS} DAY
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o_orderdate
+                          + INTERVAL {WAITING_LATE_DAYS} DAY))
+SELECT s_name, COUNT(*) AS numwait
+FROM cand JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed 2-D skyline (Pareto frontier) via the two-level prefix
+# max — no single-partition window, no quadratic self-join
+# ---------------------------------------------------------------------------
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts: minimize p_retailprice, maximize p_size.
+    A part is dominated iff some part has (price ≤, size ≥) with one
+    strict. The classic sort-based skyline needs a GLOBAL running max
+    of size in price order — expressed here with the same two-level
+    prefix machinery as sequence packing (operators/prefix.py:
+    range-partition → per-partition window → P-row offsets broadcast
+    back), so the scan parallelism survives any SF.
+
+    Survivor condition, derived by splitting dominance at the price
+    tie: size == max size within its own price group AND exclusive
+    prefix max over strictly lower prices < size.
+
+    Oracle: the quadratic NOT-EXISTS dominance definition itself —
+    an independent formulation proving the prefix derivation.
+    """
+    from tpg_weather_etl_spark.operators.prefix import global_running_max
+    p = t(spark, sf_dir, "part")
+    gm = p.groupBy("p_retailprice").agg(F.max("p_size").alias("grp_max"))
+    pm = global_running_max(
+        gm, ["p_retailprice"], "grp_max",
+        out_col="prev_max", inclusive=False)
+    return (
+        p.join(pm, "p_retailprice")
+        .filter((F.col("p_size") == F.col("grp_max"))
+                & (F.col("prev_max").isNull()
+                   | (F.col("prev_max") < F.col("p_size"))))
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )
+
+
+SQL_SKYLINE_PARTS = """
+SELECT p_partkey, p_name, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact global decile bucketing — quantile boundaries from the
+# distributed prefix sum, then a broadcast bucket assignment
+# ---------------------------------------------------------------------------
+
+def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value decile report. NTILE(10) needs a single-partition
+    global sort; the scale-safe equivalent: value-frequency agg →
+    distributed running count (operators/prefix.py) → the nine exact
+    boundary values (rank ceil(k·n/10), 1-based, ties share a value)
+    reduce to ONE broadcast row → decile(v) = #boundaries ≤ v. Two
+    fact-table passes total, both map-side-combined; nothing global
+    ever sits in one task.
+    """
+    from tpg_weather_etl_spark.operators.prefix import global_running_sum
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_totalprice").agg(F.count("*").alias("cnt"))
+    run = global_running_sum(
+        counts, ["o_totalprice"], "cnt", out_col="cum")
+    tot = counts.agg(F.sum("cnt").alias("n"))
+    b = run.join(F.broadcast(tot)).agg(*[
+        F.min(F.when(
+            F.col("cum") >= F.ceil(F.col("n") * F.lit(k) / 10),
+            F.col("o_totalprice"))).alias(f"b{k}")
+        for k in range(1, 10)])
+    dec = o.join(F.broadcast(b)).withColumn(
+        "decile",
+        sum(F.when(F.col("o_totalprice") >= F.col(f"b{k}"), 1)
+            .otherwise(0) for k in range(1, 10)))
+    return (dec.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("sum_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price")))
+
+
+_DECILE_BOUNDS = ",\n         ".join(
+    f"MIN(CASE WHEN cum >= CEIL(n * {k} / 10.0) THEN o_totalprice END)"
+    f" AS b{k}" for k in range(1, 10))
+_DECILE_CASE = " + ".join(
+    f"(CASE WHEN o_totalprice >= b{k} THEN 1 ELSE 0 END)"
+    for k in range(1, 10))
+
+SQL_DECILE_STATS = f"""
+WITH counts AS (
+  SELECT o_totalprice, COUNT(*) AS cnt FROM orders GROUP BY 1),
+run AS (
+  SELECT o_totalprice, SUM(cnt) OVER (ORDER BY o_totalprice) AS cum
+  FROM counts),
+tot AS (SELECT COUNT(*) AS n FROM orders),
+b AS (
+  SELECT {_DECILE_BOUNDS}
+  FROM run, tot)
+SELECT ({_DECILE_CASE}) AS decile,
+       COUNT(*) AS n_orders,
+       CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 4)
+            AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders, b
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "min_cost_supplier": q_min_cost_supplier,
+    "profit_by_nation_year": q_profit_by_nation_year,
+    "important_parts": q_important_parts,
+    "supplier_cnt_by_type": q_supplier_cnt_by_type,
+    "waiting_orders": q_waiting_orders,
+    "skyline_parts": q_skyline_parts,
+    "decile_stats": q_decile_stats,
     "cube_revenue": q_cube_revenue,
     "unpivot_metrics": q_unpivot_metrics,
     "volume_shipping": q_volume_shipping,
@@ -1905,6 +2313,13 @@ QUERIES = {
 
 ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+    "profit_by_nation_year": SQL_PROFIT_BY_NATION_YEAR,
+    "important_parts": SQL_IMPORTANT_PARTS,
+    "supplier_cnt_by_type": SQL_SUPPLIER_CNT_BY_TYPE,
+    "waiting_orders": SQL_WAITING_ORDERS,
+    "skyline_parts": SQL_SKYLINE_PARTS,
+    "decile_stats": SQL_DECILE_STATS,
     "cube_revenue": SQL_CUBE_REVENUE,
     "unpivot_metrics": SQL_UNPIVOT_METRICS,
     "volume_shipping": SQL_VOLUME_SHIPPING,

@@ -172,6 +172,15 @@ _RUN_LAST = [
     "unpivot_metrics",
     "activity_bitmask",
     "bitmap_distinct_users",
+    "min_cost_supplier",
+    "profit_by_nation_year",
+    "important_parts",
+    "supplier_cnt_by_type",
+    "waiting_orders",
+    "skyline_parts",
+    "decile_stats",
+    "part_triangles",
+    "int8_quant_topk",
 ]
 
 
