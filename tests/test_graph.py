@@ -158,3 +158,59 @@ def test_cc_partitioned_matches_global_on_cell_bounded_graph(spark):
             edges, max_iter=40).collect()
     }
     assert got == want
+
+
+def test_pagerank_matches_python_power_iteration(spark, tmp_path):
+    # build a tiny synthetic lineitem with a known co-purchase graph,
+    # run the gate query, and check against a plain Python PageRank
+    # with the same fixed iteration count / damping
+    import itertools
+
+    from tpg_weather_etl_spark.queries_ml import (
+        PAGERANK_DAMPING,
+        PAGERANK_ITERS,
+        q_pagerank_parts,
+    )
+
+    baskets = [
+        [1, 2, 3],       # triangle 1-2-3
+        [3, 4],          # bridge
+        [4, 5], [5, 6],  # chain
+        [1, 6],          # cycle closure
+    ]
+    rows = []
+    for okey, parts in enumerate(baskets):
+        for i, p in enumerate(parts):
+            rows.append((okey, p, i, 1.0, 1.0, 0.0, 0.0,
+                         "N", "O", None))
+    df = spark.createDataFrame(rows, (
+        "l_orderkey long, l_partkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.coalesce(1).write.parquet(str(sf / "lineitem.parquet"))
+
+    got = {r.partkey: r.r
+           for r in q_pagerank_parts(spark, str(sf)).collect()}
+
+    und = set()
+    for parts in baskets:
+        for a, b in itertools.combinations(sorted(parts), 2):
+            und.add((a, b))
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    r = {v: 1.0 / n for v in adj}
+    for _ in range(PAGERANK_ITERS):
+        nxt = {}
+        for v in adj:
+            s = sum(r[u] / len(adj[u]) for u in adj[v])
+            nxt[v] = (1.0 - PAGERANK_DAMPING) / n + PAGERANK_DAMPING * s
+        r = nxt
+    for k, v in got.items():
+        assert abs(v - r[k]) < 1e-12, (k, v, r[k])
+    assert set(got) == set(adj)  # topk=25 covers all 6 nodes

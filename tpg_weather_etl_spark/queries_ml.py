@@ -1213,6 +1213,35 @@ WHERE guard.ok = 1
 
 
 # ---------------------------------------------------------------------------
+# Part co-purchase graph (shared by the triangle / PageRank / degree
+# queries): parts are adjacent iff some order contains both
+# ---------------------------------------------------------------------------
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) undirected edge list. Per-order pair
+    expansion — bounded by max basket size (a constant at any SF), a
+    co-partitioned self-join on l_orderkey, never quadratic."""
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct()
+    a, b = l.alias("a"), l.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+_SQL_COPURCHASE_EDGES = """
+pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting on the part co-purchase graph (degree-oriented)
 # ---------------------------------------------------------------------------
 
@@ -1236,21 +1265,11 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration counts every triangle exactly once.
     """
     from tpg_weather_etl_spark.caching import track
-    l = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey").distinct()
-    a, b = l.alias("a"), l.alias("b")
     # The edge list feeds four consumers (both degree scans, the wedge
     # self-join, and the closing-edge probe); without a persist each
     # consumer replans the full co-purchase self-join (observed: a
     # 49-exchange plan).
-    e = track(
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .select(F.col("a.l_partkey").alias("u"),
-                F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .persist()
-    )
+    e = track(_copurchase_edges(spark, sf_dir).persist())
     deg = (e.select(F.col("u").alias("x"))
            .unionAll(e.select(F.col("v").alias("x")))
            .groupBy("x").agg(F.count("*").alias("d")))
@@ -1277,16 +1296,270 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_edges.crossJoin(n_tri)
 
 
-SQL_PART_TRIANGLES = """
-WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM pr a JOIN pr b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SQL_PART_TRIANGLES = f"""
+WITH {_SQL_COPURCHASE_EDGES}
 SELECT (SELECT COUNT(*) FROM e) AS n_edges,
        (SELECT COUNT(*)
         FROM e e1
         JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
         JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank, fixed-iteration, decimal-exact — the canonical iterative
+# graph algorithm, with the iteration UNROLLED into the SQL oracle
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+PAGERANK_TOPK = 25
+
+
+def _pr_sum(col: F.Column) -> F.Column:
+    # rank mass is < 1 per node, so the rounded sum fits DECIMAL(16,15)
+    # with unscaled < 2^53 — the cast-to-double is then bit-identical
+    # in both engines (the _dsum hazard at high scales).
+    return (F.round(F.sum(col.cast("decimal(38,20)")), 15)
+            .cast("decimal(16,15)").cast("double"))
+
+
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 parts by PageRank over the co-purchase graph after a
+    FIXED 5 damped iterations (d=0.85).
+
+    Scale shape: the per-iteration job is one join of the (persisted,
+    degree-annotated) edge list against the current rank vector on
+    src, plus a groupBy dst — both co-partitionable; the edge list is
+    computed and cached ONCE across all iterations. The node count
+    (for the teleport term) is one bounded count() action, like the
+    CC convergence counter.
+
+    Cross-engine determinism by induction: contributions r/outdeg are
+    IEEE divisions of identical operands; their per-dst sum routes
+    through exact DECIMAL(38,20) (order-independent under AQE),
+    rounded to scale 15 and shrunk to DECIMAL(16,15) before the
+    double cast (unscaled < 2^53 since rank mass < 1, so both
+    engines' decimal→double agree); the update
+    base + 0.85·s is the same double tree. So every iteration's rank
+    vector is bit-identical to the oracle's, which UNROLLS the five
+    iterations as a WITH-chain — no recursive CTE.
+
+    No dangling-mass term: every node has out-edges by construction
+    (nodes are edge endpoints, edges are symmetrized).
+    """
+    from tpg_weather_etl_spark.operators.graph import (
+        _EDGE_ROWS_PER_PARTITION,
+        _MAX_LOOP_PARTITIONS,
+    )
+    und = _copurchase_edges(spark, sf_dir)
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Same loop discipline as connected components (operators/
+    # graph.py): truncate the co-purchase lineage BEFORE iterating,
+    # size the loop's parallelism from the measured edge count, and
+    # checkpoint each round so round k's plan doesn't replay 1..k-1.
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    n_edges = edges_deg.count()
+    parts = max(1, min(_MAX_LOOP_PARTITIONS,
+                       -(-n_edges // _EDGE_ROWS_PER_PARTITION)))
+    nodes = (edges_deg.select(F.col("src").alias("node"))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    base = (1.0 - PAGERANK_DAMPING) / n
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        for _ in range(PAGERANK_ITERS):
+            contrib = (edges_deg.join(
+                ranks, edges_deg["src"] == ranks["node"])
+                .select("dst",
+                        (F.col("r") / F.col("outdeg")).alias("c")))
+            s = contrib.groupBy("dst").agg(_pr_sum(F.col("c")).alias("s"))
+            ranks = (nodes.join(s, nodes["node"] == s["dst"], "left")
+                     .select("node",
+                             (F.lit(base)
+                              + F.lit(PAGERANK_DAMPING)
+                              * F.coalesce(F.col("s"), F.lit(0.0)))
+                             .alias("r"))
+                     .localCheckpoint(eager=True))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (ranks.orderBy(F.desc("r"), F.asc("node"))
+            .limit(PAGERANK_TOPK)
+            .select(F.col("node").alias("partkey"), "r"))
+
+
+def _sql_pagerank() -> str:
+    d = PAGERANK_DAMPING
+    its = [f"""
+r0 AS (SELECT node, 1.0 / n AS r FROM nodes, nn)"""]
+    for k in range(1, PAGERANK_ITERS + 1):
+        its.append(f"""
+s{k} AS (
+  SELECT dst,
+    CAST(CAST(ROUND(SUM(CAST(r / outdeg AS DECIMAL(38,20))), 15)
+         AS DECIMAL(16,15)) AS DOUBLE) AS s
+  FROM edges JOIN deg USING (src)
+  JOIN r{k - 1} ON r{k - 1}.node = edges.src
+  GROUP BY dst),
+r{k} AS (
+  SELECT node, (1.0 - {d}) / n + {d} * COALESCE(s, 0.0) AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN s{k} ON s{k}.dst = nodes.node)"""
+        )
+    return f"""
+WITH {_SQL_COPURCHASE_EDGES.strip().rstrip()},
+edges AS (SELECT u AS src, v AS dst FROM e
+          UNION ALL SELECT v AS src, u AS dst FROM e),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),{",".join(its)}
+SELECT node AS partkey, r
+FROM r{PAGERANK_ITERS}
+ORDER BY r DESC, node ASC
+LIMIT {PAGERANK_TOPK}
+"""
+
+
+SQL_PAGERANK_PARTS = _sql_pagerank()
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the co-purchase graph — bit-length buckets
+# (exact integer log2, no transcendental floor hazards)
+# ---------------------------------------------------------------------------
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree histogram. The bucket is
+    length(bin(degree)) = ⌊log2 d⌋+1 — pure integer/string ops, so no
+    floor(log2(x)) ulp hazard (log2(8) can evaluate to 2.999…96 and
+    floor to the wrong bucket). One groupBy over the node-degree
+    table; the skew-profile input for graph-algorithm planning.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (e.select(F.col("u").alias("x"))
+           .unionAll(e.select(F.col("v").alias("x")))
+           .groupBy("x").agg(F.count("*").alias("d")))
+    return (deg.groupBy(F.length(F.bin(F.col("d"))).cast("int")
+                        .alias("bucket"))
+            .agg(F.count("*").alias("n_nodes"),
+                 F.min("d").alias("min_degree"),
+                 F.max("d").alias("max_degree")))
+
+
+SQL_DEGREE_DISTRIBUTION = f"""
+WITH {_SQL_COPURCHASE_EDGES},
+deg AS (
+  SELECT x, COUNT(*) AS d
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+  GROUP BY 1)
+SELECT CAST(LENGTH(BIN(d)) AS INTEGER) AS bucket,
+       COUNT(*) AS n_nodes,
+       MIN(d) AS min_degree,
+       MAX(d) AS max_degree
+FROM deg
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the corpus vocabulary: distributed frequency rank
+# (no single-partition ROW_NUMBER) + closed-form OLS on log-log
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 200
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(freq) against ln(rank) over the top-200 terms —
+    the Zipf exponent of the corpus (a standard corpus-health
+    diagnostic: natural text sits near slope −1; templated/boilerplate
+    corpora flatten).
+
+    The frequency rank is row_number() over the WHOLE vocabulary —
+    computed with the distributed prefix sum (running count of 1 in
+    (−freq, term) order, operators/prefix.py), because a global
+    ROW_NUMBER window serializes the vocabulary through one task and
+    a 100 TB corpus has a vocabulary that won't fit there. The OLS
+    uses the same decimal-exact sufficient-statistic pattern as
+    trend_by_type (logs rounded to 6 first, so both engines feed
+    identical doubles in).
+
+    Oracle: plain ROW_NUMBER() — fine at oracle SF — proving the
+    prefix-rank derivation.
+    """
+    from tpg_weather_etl_spark.operators.prefix import global_running_sum
+
+    tf = (_tokens(spark, sf_dir)
+          .groupBy("tok").agg(F.count("*").alias("cnt")))
+    ranked = global_running_sum(
+        tf.withColumn("negf", -F.col("cnt")).withColumn("one", F.lit(1)),
+        ["negf", "tok"], "one", out_col="rank")
+    b = (ranked.filter(F.col("rank") <= ZIPF_TOP)
+         .select(
+             (F.round(F.log(F.col("rank").cast("double")), 6)
+              + F.lit(0.0)).alias("x"),
+             (F.round(F.log(F.col("cnt").cast("double")), 6)
+              + F.lit(0.0)).alias("y")))
+
+    def dsum38(col: F.Column) -> F.Column:
+        return (F.round(F.sum(col.cast("decimal(38,8)")), 4)
+                .cast("decimal(18,4)").cast("double"))
+
+    a = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum38(F.col("x")).alias("sx"),
+        dsum38(F.col("y")).alias("sy"),
+        dsum38(F.col("x") * F.col("y")).alias("sxy"),
+        dsum38(F.col("x") * F.col("x")).alias("sxx"),
+        dsum38(F.col("y") * F.col("y")).alias("syy"))
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.nullif(nd * F.col("sxx") - F.col("sx") * F.col("sx"),
+                     F.lit(0.0))
+    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return a.select(
+        "n",
+        (F.round(cov_n / var_x, 6) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round((F.col("sy") * F.col("sxx")
+                  - F.col("sx") * F.col("sxy")) / var_x, 6)
+         + F.lit(0.0)).alias("intercept"),
+        (F.round(cov_n * cov_n / F.nullif(
+            (nd * F.col("sxx") - F.col("sx") * F.col("sx")) * var_y,
+            F.lit(0.0)), 6) + F.lit(0.0)).alias("r2"))
+
+
+SQL_ZIPF_SLOPE = f"""
+WITH {_SQL_TOKENS},
+tf AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+  FROM tf),
+b AS (
+  SELECT round(ln(CAST(rank AS DOUBLE)), 6) + 0.0 AS x,
+         round(ln(CAST(cnt AS DOUBLE)), 6) + 0.0 AS y
+  FROM ranked WHERE rank <= {ZIPF_TOP}),
+a AS (
+  SELECT COUNT(*) AS n,
+    CAST(CAST(ROUND(SUM(CAST(x AS DECIMAL(38,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sx,
+    CAST(CAST(ROUND(SUM(CAST(y AS DECIMAL(38,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sy,
+    CAST(CAST(ROUND(SUM(CAST(x*y AS DECIMAL(38,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sxy,
+    CAST(CAST(ROUND(SUM(CAST(x*x AS DECIMAL(38,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sxx,
+    CAST(CAST(ROUND(SUM(CAST(y*y AS DECIMAL(38,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS syy
+  FROM b)
+SELECT n,
+  round((n::DOUBLE*sxy - sx*sy) / NULLIF(n::DOUBLE*sxx - sx*sx, 0.0), 6)
+    + 0.0 AS zipf_slope,
+  round((sy*sxx - sx*sxy) / NULLIF(n::DOUBLE*sxx - sx*sx, 0.0), 6)
+    + 0.0 AS intercept,
+  round((n::DOUBLE*sxy - sx*sy) * (n::DOUBLE*sxy - sx*sy)
+        / NULLIF((n::DOUBLE*sxx - sx*sx) * (n::DOUBLE*syy - sy*sy), 0.0), 6)
+    + 0.0 AS r2
+FROM a
 """
 
 
@@ -1316,10 +1589,16 @@ QUERIES = {
     "semantic_dedup_keeper": q_semantic_dedup_keeper,
     "semantic_dedup_apply": q_semantic_dedup_apply,
     "part_triangles": q_part_triangles,
+    "pagerank_parts": q_pagerank_parts,
+    "degree_distribution": q_degree_distribution,
+    "zipf_slope": q_zipf_slope,
 }
 
 ORACLE = {
     "part_triangles": SQL_PART_TRIANGLES,
+    "pagerank_parts": SQL_PAGERANK_PARTS,
+    "degree_distribution": SQL_DEGREE_DISTRIBUTION,
+    "zipf_slope": SQL_ZIPF_SLOPE,
     "source_lang_entropy": SQL_SOURCE_LANG_ENTROPY,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_topk": SQL_BM25_TOPK,

@@ -181,6 +181,9 @@ _RUN_LAST = [
     "decile_stats",
     "part_triangles",
     "int8_quant_topk",
+    "pagerank_parts",
+    "degree_distribution",
+    "zipf_slope",
 ]
 
 
