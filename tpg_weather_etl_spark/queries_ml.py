@@ -1466,6 +1466,79 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Market-basket lift: association strength of co-purchased part pairs
+# ---------------------------------------------------------------------------
+
+LIFT_MIN_SUPPORT = 2
+LIFT_TOPK = 20
+
+
+def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs by LIFT = P(ab) / (P(a)·P(b)) with minimum
+    pair support — the market-basket association measure, entirely in
+    integer counting: lift = (cnt_ab · n_orders) / (cnt_a · cnt_b) as
+    one double division of exact bigints (all products < 2⁶³ and the
+    operands < 2⁵³, so the conversion and division are bit-identical
+    cross-engine; rounded to 6 anyway for the display contract).
+
+    Scale shape: pair counts ride the same bounded per-order
+    self-join as the co-purchase graph; per-part counts are one
+    map-side agg broadcast back onto the (much smaller) pair table;
+    top-k is TakeOrderedAndProject, not a global sort.
+    """
+    pr = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct()
+    a, b = pr.alias("a"), pr.alias("b")
+    pair_cnt = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= LIFT_MIN_SUPPORT))
+    part_cnt = pr.groupBy(F.col("l_partkey").alias("x")).agg(
+        F.count("*").alias("cnt"))
+    n_orders = pr.agg(
+        F.countDistinct("l_orderkey").alias("n"))
+    lifted = (
+        pair_cnt
+        .join(part_cnt.select(F.col("x").alias("u"),
+                              F.col("cnt").alias("cnt_a")), "u")
+        .join(part_cnt.select(F.col("x").alias("v"),
+                              F.col("cnt").alias("cnt_b")), "v")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "u", "v", "cnt_ab",
+            (F.round((F.col("cnt_ab") * F.col("n")).cast("double")
+                     / (F.col("cnt_a") * F.col("cnt_b")).cast("double"),
+                     6) + F.lit(0.0)).alias("lift")))
+    return (lifted.orderBy(F.desc("lift"), F.asc("u"), F.asc("v"))
+            .limit(LIFT_TOPK))
+
+
+SQL_BASKET_LIFT_PAIRS = f"""
+WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair_cnt AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS cnt_ab
+  FROM pr a JOIN pr b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {LIFT_MIN_SUPPORT}),
+part_cnt AS (SELECT l_partkey AS x, COUNT(*) AS cnt FROM pr GROUP BY 1),
+nn AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM pr)
+SELECT u, v, cnt_ab,
+       round(CAST(cnt_ab * n AS DOUBLE)
+             / CAST(ca.cnt * cb.cnt AS DOUBLE), 6) + 0.0 AS lift
+FROM pair_cnt
+JOIN part_cnt ca ON ca.x = u
+JOIN part_cnt cb ON cb.x = v
+CROSS JOIN nn
+ORDER BY lift DESC, u ASC, v ASC
+LIMIT {LIFT_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Zipf-law fit over the corpus vocabulary: distributed frequency rank
 # (no single-partition ROW_NUMBER) + closed-form OLS on log-log
 # ---------------------------------------------------------------------------
@@ -1592,6 +1665,7 @@ QUERIES = {
     "pagerank_parts": q_pagerank_parts,
     "degree_distribution": q_degree_distribution,
     "zipf_slope": q_zipf_slope,
+    "basket_lift_pairs": q_basket_lift_pairs,
 }
 
 ORACLE = {
@@ -1599,6 +1673,7 @@ ORACLE = {
     "pagerank_parts": SQL_PAGERANK_PARTS,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "zipf_slope": SQL_ZIPF_SLOPE,
+    "basket_lift_pairs": SQL_BASKET_LIFT_PAIRS,
     "source_lang_entropy": SQL_SOURCE_LANG_ENTROPY,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_topk": SQL_BM25_TOPK,

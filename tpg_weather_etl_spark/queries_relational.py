@@ -2255,8 +2255,67 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the whole star schema
+# ---------------------------------------------------------------------------
+
+_FK_RELATIONSHIPS = [
+    # (label, fact table, fk col, dim table, pk col)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit of every foreign-key edge in the star schema: per
+    relationship, total fact rows and rows whose key has no match in
+    the dimension — the pre-flight data-quality gate any warehouse
+    load runs before publishing.
+
+    Each relationship is one left-anti join; dims broadcast, and the
+    fact-side scans prune to the single key column (ReadSchema shows
+    one field). The seven 1-row aggregates union into the report —
+    Spark runs them as independent stages, so the audit parallelizes
+    across relationships as well as within each scan.
+    """
+    out = None
+    for label, fact, fk, dim, pk in _FK_RELATIONSHIPS:
+        f = t(spark, sf_dir, fact).select(F.col(fk).alias("k"))
+        d = t(spark, sf_dir, dim).select(F.col(pk).alias("k"))
+        orphans = f.join(F.broadcast(d), "k", "left_anti").agg(
+            F.count("*").alias("n_orphans"))
+        totals = f.agg(F.count("*").alias("n_rows"))
+        row = (totals.crossJoin(orphans)
+               .select(F.lit(label).alias("relationship"),
+                       "n_rows", "n_orphans"))
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+SQL_FK_INTEGRITY = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS relationship,
+  (SELECT COUNT(*) FROM {fact}) AS n_rows,
+  (SELECT COUNT(*) FROM {fact}
+   WHERE NOT EXISTS (SELECT 1 FROM {dim} WHERE {pk} = {fk}))
+  AS n_orphans"""
+    for label, fact, fk, dim, pk in _FK_RELATIONSHIPS)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "fk_integrity": q_fk_integrity,
     "min_cost_supplier": q_min_cost_supplier,
     "profit_by_nation_year": q_profit_by_nation_year,
     "important_parts": q_important_parts,
@@ -2313,6 +2372,7 @@ QUERIES = {
 
 ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "fk_integrity": SQL_FK_INTEGRITY,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
     "profit_by_nation_year": SQL_PROFIT_BY_NATION_YEAR,
     "important_parts": SQL_IMPORTANT_PARTS,

@@ -184,6 +184,8 @@ _RUN_LAST = [
     "pagerank_parts",
     "degree_distribution",
     "zipf_slope",
+    "basket_lift_pairs",
+    "fk_integrity",
 ]
 
 
