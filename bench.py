@@ -71,6 +71,16 @@ HEADLINE = [
     "market_share",
     "returned_items",
     "token_budget_sample",
+    # round-5 fourth batch: basket analytics, skyline, quantized ANN.
+    # part_triangles / pagerank_parts stay gate-only: genuinely heavy
+    # graph jobs (1.2M edges at sf0.1, ~20s/10s) that would drown the
+    # per-query signal of everything else; their perf story is the
+    # plan-budget pin + the operators' own scaling tests.
+    "basket_lift_pairs",
+    "skyline_parts",
+    "decile_stats",
+    "waiting_orders",
+    "int8_quant_topk",
     # prefix_jaccard_pairs stays gate-only: its exact uncapped verify
     # is deliberately the expensive baseline-quality variant
 ]

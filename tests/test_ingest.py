@@ -527,3 +527,21 @@ def test_read_jsonl_documents_fixed_schema_and_corrupt_lines(spark, tmp_path):
     assert len(rows) == 3
     good = {r.doc_id for r in rows if r.doc_id is not None}
     assert good == {1, 2}
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from tpg_weather_etl_spark.sources.readers import read_orc
+    from tpg_weather_etl_spark.sources.tables import read_table
+    from tpg_weather_etl_spark.sources.writers import write_orc
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    out = tmp_path / "docs_orc"
+    write_orc(docs, out)
+    back = read_orc(spark, out)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    # predicate pushdown + column pruning reach the ORC scan
+    q = back.filter(F.col("doc_id") < 10).select("doc_id", "source")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,10)" in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan, plan

@@ -1313,7 +1313,115 @@ FROM events GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped 3-sigma outlier report — variance-form comparison, no sqrt
+# ---------------------------------------------------------------------------
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: how many values sit outside 3σ, and the
+    outlier value range. The test is the VARIANCE form
+    (v − mean)² > 9·var — algebraically identical to |z| > 3 but with
+    no square root, so both engines evaluate the same rational
+    arithmetic on identical doubles (mean and var come from exact
+    decimal sums; sample variance, n−1).
+
+    Scale shape: two passes over events — one map-side-combined
+    moments agg, then the filter with the tiny moments table
+    broadcast back. No window, no sort.
+    """
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mo = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(24,8)"))
+        .cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,8)"))
+        .cast("double").alias("sxx"))
+    nd = F.col("n").cast("double")
+    mo = mo.select(
+        "event_type", "n",
+        (F.col("sx") / nd).alias("mean"),
+        ((nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+         / (nd * (nd - 1))).alias("var"))
+    j = e.join(F.broadcast(mo), "event_type")
+    dev = F.col("value") - F.col("mean")
+    out = (dev * dev) > F.lit(9.0) * F.col("var")
+    return (j.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"),
+        F.sum(F.when(out, 1).otherwise(0)).alias("n_outliers"),
+        F.min(F.when(out, F.col("value"))).alias("min_outlier"),
+        F.max(F.when(out, F.col("value"))).alias("max_outlier")))
+
+
+SQL_VALUE_OUTLIERS = """
+WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+mo AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+  FROM e GROUP BY 1),
+m2 AS (
+  SELECT event_type, n, sx / CAST(n AS DOUBLE) AS mean,
+         (CAST(n AS DOUBLE) * sxx - sx * sx)
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var
+  FROM mo)
+SELECT event_type,
+       MAX(n) AS n_rows,
+       CAST(SUM(CASE WHEN (value - mean) * (value - mean) > 9.0 * var
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       MIN(CASE WHEN (value - mean) * (value - mean) > 9.0 * var
+                THEN value END) AS min_outlier,
+       MAX(CASE WHEN (value - mean) * (value - mean) > 9.0 * var
+                THEN value END) AS max_outlier
+FROM e JOIN m2 USING (event_type)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/test split report (portable LCG, no rand())
+# ---------------------------------------------------------------------------
+
+TRAIN_PCT = 80
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, split) document and character counts under the
+    engine-portable LCG 80/20 split keyed on doc_id — the
+    reproducible-split primitive every training pipeline needs
+    (rand(seed) is NOT portable across engines or even partitionings;
+    the LCG bucket of a stable key is).
+    """
+    from tpg_weather_etl_spark.operators.sampling import lcg_bucket
+
+    d = t(spark, sf_dir, "documents")
+    split = F.when(lcg_bucket(F.col("doc_id")) < TRAIN_PCT,
+                   F.lit("train")).otherwise(F.lit("test"))
+    return (d.groupBy("source", split.alias("split"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+def _sql_train_test_split() -> str:
+    from tpg_weather_etl_spark.operators.sampling import (
+        deterministic_sample_sql,
+    )
+    pred = deterministic_sample_sql("doc_id", TRAIN_PCT)
+    return f"""
+SELECT source,
+       CASE WHEN {pred} THEN 'train' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+SQL_TRAIN_TEST_SPLIT = _sql_train_test_split()
+
+
 QUERIES = {
+    "value_outliers": q_value_outliers,
+    "train_test_split": q_train_test_split,
     "activity_bitmask": q_activity_bitmask,
     "bitmap_distinct_users": q_bitmap_distinct_users,
     "key_skew_profile": q_key_skew_profile,
@@ -1342,6 +1450,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "value_outliers": SQL_VALUE_OUTLIERS,
+    "train_test_split": SQL_TRAIN_TEST_SPLIT,
     "activity_bitmask": SQL_ACTIVITY_BITMASK,
     "bitmap_distinct_users": SQL_BITMAP_DISTINCT_USERS,
     "key_skew_profile": SQL_KEY_SKEW_PROFILE,

@@ -186,6 +186,8 @@ _RUN_LAST = [
     "zipf_slope",
     "basket_lift_pairs",
     "fk_integrity",
+    "value_outliers",
+    "train_test_split",
 ]
 
 

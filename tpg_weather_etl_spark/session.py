@@ -26,6 +26,14 @@ from pyspark.sql import SparkSession
 #    runtime, so overprovisioning is cheap and skew is handled.
 #  - 128m maxPartitionBytes keeps scan tasks cache-friendly.
 _BASE_CONF: dict[str, str] = {
+    # Local mode hosts all executor threads in the driver JVM; the
+    # unset default (1g) gives 32 concurrent tasks ~30 MB each, which
+    # OOMs any honest multi-million-row shuffle (observed: the
+    # triangle wedge join at sf0.1) and silently spills everything
+    # else. Sized for the 128 GiB test rig; a cluster deployment
+    # overrides per-executor memory in its submit config, and the
+    # setting is inert when the session already exists.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

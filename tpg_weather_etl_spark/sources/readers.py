@@ -94,3 +94,8 @@ def read_jsonl_documents(spark: SparkSession, path: str | Path) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .json(str(path))
     )
+
+
+def read_orc(spark: SparkSession, path: str | Path) -> DataFrame:
+    """ORC scan — pushdown/pruning verified in tests/test_ingest."""
+    return spark.read.orc(str(path))

@@ -309,3 +309,12 @@ def refresh_months(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return sorted(months)
+
+
+def write_orc(df: DataFrame, path: str | Path, mode: str = "overwrite",
+              compression: str = "zlib") -> None:
+    """ORC sink — the second columnar format Spark writes natively.
+    Same role as the parquet gold sink (predicate pushdown, column
+    pruning, stripe-level min/max skipping) for warehouses
+    standardized on ORC/Hive."""
+    df.write.mode(mode).option("compression", compression).orc(str(path))
