@@ -449,3 +449,32 @@ def test_oriented_triangle_count_equals_brute_force(spark, edges):
         for c in nodes
         if c > b and (a, c) in und and (b, c) in und)
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=20),
+                  min_size=1, max_size=80),
+)
+@_settings
+def test_decile_boundaries_match_rank_definition(spark, vals):
+    # same derivation as q_decile_stats (distributed running count →
+    # value at 1-based rank ceil(k·n/10)), checked against a plain
+    # sorted-list reference on arbitrary multisets (heavy ties, tiny n)
+    import math
+
+    from tpg_weather_etl_spark.operators.prefix import global_running_sum
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    counts = df.groupBy("v").agg(F.count("*").alias("cnt"))
+    run = global_running_sum(counts, ["v"], "cnt", out_col="cum")
+    tot = counts.agg(F.sum("cnt").alias("n"))
+    b = run.join(F.broadcast(tot)).agg(*[
+        F.min(F.when(
+            F.col("cum") >= F.ceil(F.col("n") * F.lit(k) / 10),
+            F.col("v"))).alias(f"b{k}")
+        for k in range(1, 10)])
+    got = b.collect()[0].asDict()
+    s = sorted(vals)
+    n = len(s)
+    want = {f"b{k}": s[math.ceil(n * k / 10) - 1] for k in range(1, 10)}
+    assert got == want
