@@ -38,6 +38,20 @@ BNLJ_ALLOWED = {
     "idle_customer_balance": "single-row scalar threshold broadcast",
     # skew report: k-row top set × single-row (total, n_keys) broadcast
     "key_skew_profile": "single-row global total broadcast",
+    # Q11 shape: single-row grand-total threshold broadcast
+    "important_parts": "single-row scalar threshold broadcast",
+    # decile boundaries: single-row n + single-row 9-boundary broadcast
+    "decile_stats": "single-row boundary/total broadcasts",
+    # integrity report: seven (1-row totals × 1-row orphans) pairings
+    "fk_integrity": "1-row x 1-row per-relationship report rows",
+    # lift: single-row n_orders broadcast onto the pair table
+    "basket_lift_pairs": "single-row global total broadcast",
+    # SQ8: 1-row quantizer params + <=3-row query codes broadcast
+    # (the != self-pair filter makes the equi-less probe a BNLJ on
+    # purpose — same deliberate baseline as embedding_topk)
+    "int8_quant_topk": "dims-bounded params + query-side broadcast",
+    # triangle report: 1-row n_edges × 1-row n_triangles
+    "part_triangles": "1-row x 1-row final report join",
 }
 
 
