@@ -160,6 +160,10 @@ _RUN_LAST = [
     # (the head must finish covering the r4-unchecked half first);
     # pytest gate-parity + tools/check_oracle.py provide their
     # round-5 evidence, and the round-6 rotation fronts them.
+    # ROUND-6 ROTATION PLAN: front every name from here down (the
+    # round-5 additions, no driver row yet), then fill the head to 50
+    # with the oldest r4-green names above; push the r5-driver-checked
+    # _RUN_FIRST block to the tail.
     "dedup_apply",
     "semantic_dedup_keeper",
     "volume_shipping",
