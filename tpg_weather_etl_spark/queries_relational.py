@@ -2313,9 +2313,216 @@ SQL_FK_INTEGRITY = "\nUNION ALL\n".join(
     for label, fact, fk, dim, pk in _FK_RELATIONSHIPS)
 
 
+# ---------------------------------------------------------------------------
+# The last five TPC-H shapes (Q3/Q5/Q6/Q12/Q20 adapted to the
+# available columns) — with these the repo covers all 22
+# ---------------------------------------------------------------------------
+
+SHIP_PRIORITY_DATE = "1998-06-15"
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: top-10 unshipped-revenue orders for one market segment —
+    the classic filter-two-sides-then-join shape with a post-agg
+    TakeOrderedAndProject (never a global sort).
+
+    Both date predicates are applied BEFORE the join so each scan
+    prunes independently; the customer dim broadcasts."""
+    c = (t(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == "BUILDING")
+         .select("c_custkey"))
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(SHIP_PRIORITY_DATE).cast("timestamp"))
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(SHIP_PRIORITY_DATE).cast("timestamp"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                 F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+       AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{SHIP_PRIORITY_DATE}'
+  AND l_shipdate > TIMESTAMP '{SHIP_PRIORITY_DATE}'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+LOCAL_VOLUME_REGION = "ASIA"
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: revenue per nation where the supplier and the customer are
+    the SAME nation — the 6-table star with an extra equality BETWEEN
+    two dimension keys (c_nationkey = s_nationkey), which prunes the
+    join output far below the unconstrained star. All dims broadcast;
+    orders⋈lineitem is the only real shuffle."""
+    r = (t(spark, sf_dir, "region")
+         .filter(F.col("r_name") == LOCAL_VOLUME_REGION))
+    n = t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s),
+              (l["l_suppkey"] == s["s_suppkey"])
+              & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+       AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{LOCAL_VOLUME_REGION}'
+GROUP BY 1
+"""
+
+
+FORECAST_YEAR = 1997
+
+
+def q_forecast_revenue_change(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Q6: one-table scan-filter-aggregate with range predicates on
+    three columns — the purest predicate-pushdown probe in the suite
+    (the whole WHERE clause must reach the parquet scan; no join, no
+    shuffle beyond the 1-row reduce)."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter((F.year("l_shipdate") == FORECAST_YEAR)
+                 & (F.col("l_discount") >= 0.05)
+                 & (F.col("l_discount") <= 0.07)
+                 & (F.col("l_quantity") < 24))
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"))
+             .alias("revenue"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+SQL_FORECAST_REVENUE_CHANGE = f"""
+SELECT
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+       AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE EXTRACT(year FROM l_shipdate) = {FORECAST_YEAR}
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_returnflag_priority_counts(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Q12 (adapted: l_returnflag plays shipmode, late = shipped >30d
+    after order date): per flag, how many lines belong to
+    high-priority vs other orders — the join + CONDITIONAL-COUNT
+    shape where the classification happens in the aggregate, not a
+    pre-split."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+        + F.expr("INTERVAL 30 DAYS"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0))
+                 .cast("bigint").alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0))
+                 .cast("bigint").alias("low_line_count")))
+
+
+SQL_RETURNFLAG_PRIORITY_COUNTS = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY 1
+"""
+
+
+EXCESS_PART_FRAGMENT = "red"
+EXCESS_QTY_THRESHOLD = 90.0
+
+
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 (adapted: shipped quantity plays availqty): suppliers who
+    shipped more than a threshold quantity of some name-filtered part
+    — a semi-join against an AGGREGATED subquery (the nesting TPC-H
+    uses to stress decorrelation). The aggregate runs first at
+    (supplier, part) grain; the distinct supplier set then semi-joins
+    the supplier dim."""
+    p = (t(spark, sf_dir, "part")
+         .filter(F.col("p_name").contains(EXCESS_PART_FRAGMENT))
+         .select("p_partkey"))
+    l = t(spark, sf_dir, "lineitem")
+    heavy = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > EXCESS_QTY_THRESHOLD)
+        .select("l_suppkey").distinct())
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+SQL_EXCESS_SUPPLIERS = f"""
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%{EXCESS_PART_FRAGMENT}%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > {EXCESS_QTY_THRESHOLD})
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "fk_integrity": q_fk_integrity,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "returnflag_priority_counts": q_returnflag_priority_counts,
+    "excess_suppliers": q_excess_suppliers,
     "min_cost_supplier": q_min_cost_supplier,
     "profit_by_nation_year": q_profit_by_nation_year,
     "important_parts": q_important_parts,
@@ -2373,6 +2580,11 @@ QUERIES = {
 ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "fk_integrity": SQL_FK_INTEGRITY,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "forecast_revenue_change": SQL_FORECAST_REVENUE_CHANGE,
+    "returnflag_priority_counts": SQL_RETURNFLAG_PRIORITY_COUNTS,
+    "excess_suppliers": SQL_EXCESS_SUPPLIERS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
     "profit_by_nation_year": SQL_PROFIT_BY_NATION_YEAR,
     "important_parts": SQL_IMPORTANT_PARTS,

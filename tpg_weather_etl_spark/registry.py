@@ -192,6 +192,11 @@ _RUN_LAST = [
     "fk_integrity",
     "value_outliers",
     "train_test_split",
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "returnflag_priority_counts",
+    "excess_suppliers",
 ]
 
 
