@@ -1941,7 +1941,54 @@ WHERE cum_tok <= {TOKEN_BUDGET_PER_SOURCE}
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-document n-gram novelty (first-occurrence share in doc_id order)
+# ---------------------------------------------------------------------------
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each document's shingles that appear for the FIRST
+    time at that document (in doc_id order) — the curation signal for
+    incremental corpus growth ("how much genuinely new content does
+    this doc add"), the streaming-dedup question asked of a static
+    corpus.
+
+    Scale shape: first-occurrence is one MIN agg over the shared
+    shingle table; the join back is co-partitioned on sh_hash (same
+    key both sides); the per-doc ratio is a second map-side-combined
+    agg. No windows, no distinct-count expand.
+    """
+    sh = _shingle_df_shared(spark, sf_dir)
+    first = sh.groupBy("sh_hash").agg(F.min("doc_id").alias("first_doc"))
+    per = (sh.join(first, "sh_hash")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_shingles"),
+                F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                      .otherwise(0)).cast("bigint").alias("n_novel")))
+    return per.select(
+        "doc_id", "n_shingles", "n_novel",
+        (F.round(F.col("n_novel").cast("double")
+                 / F.col("n_shingles").cast("double"), 6)
+         + F.lit(0.0)).alias("novelty"))
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH {_SQL_SHINGLES},
+first AS (SELECT sh_hash, MIN(doc_id) AS first_doc FROM shx GROUP BY 1),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM shx JOIN first USING (sh_hash)
+  GROUP BY 1)
+SELECT doc_id, n_shingles, n_novel,
+       round(CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+         + 0.0 AS novelty
+FROM per
+"""
+
+
 QUERIES = {
+    "ngram_novelty": q_ngram_novelty,
     "token_budget_sample": q_token_budget_sample,
     "containment_pairs": q_containment_pairs,
     "pipeline_funnel": q_pipeline_funnel,
@@ -1972,6 +2019,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "pipeline_funnel": SQL_PIPELINE_FUNNEL,

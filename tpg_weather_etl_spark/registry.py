@@ -197,6 +197,7 @@ _RUN_LAST = [
     "forecast_revenue_change",
     "returnflag_priority_counts",
     "excess_suppliers",
+    "ngram_novelty",
 ]
 
 
