@@ -67,3 +67,21 @@ def test_doc_chunk_udtf_sql(spark):
     chunks = {(r.chunk_idx, r.chunk_text, r.n_tokens) for r in out}
     assert chunks == {(0, "a b c", 3), (1, "d e f", 3), (2, "g", 1)}
     assert all(r.doc_id == 7 for r in out)
+
+
+def test_arrow_affine_matches_column_expr(spark):
+    from pyspark.sql import functions as F
+
+    from tpg_weather_etl_spark.operators.pandas_ops import arrow_affine
+    from tpg_weather_etl_spark.sources.tables import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "value").filter(F.col("value").isNotNull()).limit(200)
+    got = {r.event_id: r.scaled
+           for r in arrow_affine(e, "value", 2.5, -1.0,
+                                 out_col="scaled").collect()}
+    want = {r.event_id: r.scaled
+            for r in e.withColumn(
+                "scaled",
+                F.col("value").cast("double") * 2.5 - 1.0).collect()}
+    assert got == want  # bit-identical IEEE, not approx

@@ -111,3 +111,32 @@ def register_doc_chunk_udtf(spark, name: str = "doc_chunks",
 
     spark.udtf.register(name, DocChunks)
     return DocChunks
+
+
+def arrow_affine(df: DataFrame, col: str, scale: float, offset: float,
+                 out_col: str = "affine") -> DataFrame:
+    """Level 4 of the escalation: ``mapInArrow`` — whole RecordBatches
+    transformed with pyarrow.compute, never converted to pandas (no
+    index building, no object boxing). The right tier when the Python
+    work is itself columnar (rescaling, casting, dictionary ops) and
+    pandas semantics would only add overhead.
+
+    Appends ``out_col`` = col·scale + offset as float64. Bit-identical
+    to the JVM Column expression (both are IEEE multiply-add on the
+    same doubles) — pinned by the pytest parity check.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())])
+    idx = df.schema.names.index(col)
+    s, o = float(scale), float(offset)
+
+    def fn(batches):
+        for b in batches:
+            x = pc.cast(b.column(idx), pa.float64())
+            y = pc.add(pc.multiply(x, pa.scalar(s)), pa.scalar(o))
+            yield b.append_column(out_col, y)
+
+    return df.mapInArrow(fn, out_schema)

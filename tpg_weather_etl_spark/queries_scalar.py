@@ -1419,7 +1419,48 @@ GROUP BY 1, 2
 SQL_TRAIN_TEST_SPLIT = _sql_train_test_split()
 
 
+# ---------------------------------------------------------------------------
+# VARIANT ingestion (Spark 4 semi-structured type)
+# ---------------------------------------------------------------------------
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type:
+    ``parse_json`` decodes the payload once into the binary variant
+    encoding, ``variant_get`` probes it with a typed JSONPath — the
+    schema-on-read path for payloads too irregular for a fixed
+    ``from_json`` schema (the sibling `json_extract` covers the
+    schema-full path). The gate proves the VARIANT decode agrees
+    with the oracle's plain json_extract_string.
+
+    Scale shape: per-row JVM decode inside codegen, then a ~10-key
+    map-side-combined hash agg; nothing grows with the corpus except
+    the scan.
+    """
+    e = t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (e.select(k.alias("k"), "value", "event_type")
+            .groupBy(F.expr("k DIV 10").cast("int").alias("k_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("event_type").alias("n_types"),
+                 _dsum(F.col("value")).alias("value_sum")))
+
+
+SQL_VARIANT_EXTRACT = """
+WITH p AS (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                  value, event_type
+           FROM events)
+SELECT CAST(k // 10 AS INTEGER) AS k_bucket,
+       COUNT(*) AS n,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 4)
+            AS DECIMAL(18,4)) AS DOUBLE) AS value_sum
+FROM p
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "variant_extract": q_variant_extract,
     "value_outliers": q_value_outliers,
     "train_test_split": q_train_test_split,
     "activity_bitmask": q_activity_bitmask,
@@ -1450,6 +1491,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "variant_extract": SQL_VARIANT_EXTRACT,
     "value_outliers": SQL_VALUE_OUTLIERS,
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
     "activity_bitmask": SQL_ACTIVITY_BITMASK,

@@ -198,6 +198,7 @@ _RUN_LAST = [
     "returnflag_priority_counts",
     "excess_suppliers",
     "ngram_novelty",
+    "variant_extract",
 ]
 
 
