@@ -207,3 +207,45 @@ def test_stream_rerun_same_checkpoint_is_exactly_once(spark, tmp_path):
     # second run, same checkpoint, no new input → no duplicate output
     n2 = run()
     assert n2 == n1
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    # stream side: a small file-source stream; static side: a dim
+    # table. The streaming result must equal the batch join, and the
+    # plan must not create a state store (no stateful operator).
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from tpg_weather_etl_spark.streaming.istdaten_stream import (
+        stream_enrich_dim,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batch = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "id long, k string, v double")
+    batch.coalesce(1).write.json(str(src / "f1"))
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "k string, name string")
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    stream = spark.readStream.schema(schema).json(str(src / "f1"))
+    out = stream_enrich_dim(stream, dim, "k")
+    q = (out.writeStream.format("memory").queryName("enriched")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = {tuple(r) for r in spark.sql(
+        "SELECT id, k, v, name FROM enriched").collect()}
+    want = {tuple(r) for r in
+            batch.join(F.broadcast(dim), "k", "left")
+            .select("id", "k", "v", "name").collect()}
+    assert got == want
+    # stateless: no state-store operator in the last progress
+    prog = q.lastProgress
+    assert prog is None or not prog.get("stateOperators"), prog

@@ -145,6 +145,20 @@ def stream_join_weather(
     return ev.join(wx, cond, "inner").drop("w_station", "ts_utc")
 
 
+def stream_enrich_dim(events: DataFrame, dim: DataFrame,
+                      key: str) -> DataFrame:
+    """Stream-STATIC broadcast enrichment — the third streaming join
+    form next to the stream-stream weather join and the foreachBatch
+    upsert. The static side is broadcast to every micro-batch task
+    (re-resolved per batch, so a refreshed dim snapshot is picked up
+    on the next trigger); no state store is involved at all, which is
+    what makes this the right plan for dimension enrichment — a
+    stream-stream join would build pointless watermark state for a
+    table that never expires.
+    """
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def write_stream_to_parquet(df: DataFrame, out_dir: str,
                             checkpoint_dir: str):
     """Append sink with checkpointing (exactly-once per file batch)."""
