@@ -51,6 +51,9 @@ def apply_scd2_batch(spark: SparkSession, batch_df: DataFrame,
     table at ``out_dir``. Deterministic and idempotent: replaying a
     batch leaves the table unchanged."""
     changes = batch_df.select("key", "attr", "changed_at").distinct()
+    if changes.isEmpty():
+        # a replayed/empty trigger must not rewrite the whole table
+        return
     w_tie = Window.partitionBy("key", "changed_at").orderBy("attr")
     changes = (changes.withColumn("rn", F.row_number().over(w_tie))
                .filter(F.col("rn") == 1).drop("rn"))
