@@ -1459,7 +1459,60 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov estimate)
+# ---------------------------------------------------------------------------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(next event type | current type) per user-ordered event
+    stream — the first-order Markov behavioural profile (funnel
+    analysis's continuous cousin). LEAD over the per-user order gives
+    the bigram; the probability is each bigram count over its row
+    total, computed as one double division of exact bigints and
+    rounded to 6.
+
+    Scale shape: the lead window and nothing else shuffles the events
+    (by user_id); the bigram agg map-side combines into a
+    type²-bounded table, and the per-from total joins broadcast.
+    """
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bi = (e.select("event_type",
+                   F.lead("event_type").over(w).alias("next_type"))
+          .filter(F.col("next_type").isNotNull()))
+    counts = (bi.groupBy("event_type", "next_type")
+              .agg(F.count("*").alias("n")))
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n").alias("tot"))
+    return (counts.join(F.broadcast(totals), "event_type")
+            .select("event_type", "next_type", "n",
+                    (F.round(F.col("n").cast("double")
+                             / F.col("tot").cast("double"), 6)
+                     + F.lit(0.0)).alias("p")))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH bi AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+counts AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM bi WHERE next_type IS NOT NULL
+  GROUP BY 1, 2),
+totals AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+  FROM counts GROUP BY 1)
+SELECT event_type, next_type, n,
+       round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0 AS p
+FROM counts JOIN totals USING (event_type)
+"""
+
+
 QUERIES = {
+    "event_transitions": q_event_transitions,
     "variant_extract": q_variant_extract,
     "value_outliers": q_value_outliers,
     "train_test_split": q_train_test_split,
@@ -1491,6 +1544,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     "variant_extract": SQL_VARIANT_EXTRACT,
     "value_outliers": SQL_VALUE_OUTLIERS,
     "train_test_split": SQL_TRAIN_TEST_SPLIT,

@@ -199,6 +199,7 @@ _RUN_LAST = [
     "excess_suppliers",
     "ngram_novelty",
     "variant_extract",
+    "event_transitions",
 ]
 
 
