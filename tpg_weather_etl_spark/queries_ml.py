@@ -1548,6 +1548,139 @@ LIMIT {LIFT_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# Multinomial Naive Bayes trained AND applied as a query — per-source
+# token log-probabilities with Laplace smoothing, decimal-exact
+# scoring, argmax classification, confusion matrix
+# ---------------------------------------------------------------------------
+
+NB_MIN_TOKEN_COUNT = 5
+
+
+def q_nb_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-classification confusion matrix of a multinomial Naive
+    Bayes source classifier — model TRAINING as a declarative plan:
+    the "fit" is two grouped counts, the "predict" is a broadcast
+    join + decimal-exact log-likelihood sum + per-doc argmax. No
+    driver-side state, no iterations, no UDFs.
+
+    Determinism: every log-prob is ln of an exact-integer ratio
+    ((cnt+1)/(tot+V), identical doubles both engines) rounded to 6;
+    per-doc scores sum those in DECIMAL(38,8) (order-independent
+    under AQE) and the argmax orders by the DECIMAL score itself with
+    a source-name tiebreak, so classification never hinges on a
+    float ulp.
+
+    Scale shape: vocab = tokens above a count floor (one map-side
+    agg; the floor is the 100 TB guard — the smoothed model table is
+    V×S rows, broadcastable because V is capped by the floor, not
+    corpus size); scoring fans each token occurrence out by S
+    sources map-side against the broadcast model; the only shuffles
+    are the (doc, source) score agg and the S²-sized confusion agg.
+    """
+    from tpg_weather_etl_spark.caching import track
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens(spark, sf_dir)
+    # vocab feeds four consumers (dt, the model grid, V, pair counts)
+    # and dt three — persist both reuse points or every branch
+    # replans the tokenizer subtree (23 exchanges without).
+    vocab = track(
+        toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= NB_MIN_TOKEN_COUNT)
+        .select("tok").persist())
+    dt = track(toks.join(F.broadcast(vocab), "tok").persist())
+    labeled = dt.join(d.select("doc_id", "source"), "doc_id")
+
+    pair_cnt = labeled.groupBy("source", "tok").agg(
+        F.count("*").alias("cnt"))
+    tot = pair_cnt.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    v_size = vocab.agg(F.count("*").alias("v"))
+    sources = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    n_total = d.agg(F.count("*").alias("n_all"))
+
+    # smoothed model: every (source, vocab-token) cell, absent = 0
+    model = (
+        vocab.crossJoin(tot)
+        .join(pair_cnt, ["source", "tok"], "left")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "source", "tok",
+            (F.round(F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+                .cast("double")
+                / (F.col("tot") + F.col("v")).cast("double")), 6))
+            .alias("lp")))
+    prior = (sources.crossJoin(F.broadcast(n_total))
+             .select("source",
+                     F.round(F.log(F.col("n_docs").cast("double")
+                                   / F.col("n_all").cast("double")), 6)
+                     .alias("lprior")))
+
+    scores = (
+        dt.join(F.broadcast(model), "tok")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("lp").cast("decimal(38,8)")).alias("llsum"))
+        .join(F.broadcast(prior), "source")
+        .select("doc_id", "source",
+                (F.col("llsum")
+                 + F.col("lprior").cast("decimal(38,8)"))
+                .alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("source"))
+    pred = (scores.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("source").alias("predicted")))
+    return (d.select("doc_id", F.col("source").alias("actual"))
+            .join(pred, "doc_id")
+            .groupBy("actual", "predicted")
+            .agg(F.count("*").alias("n_docs")))
+
+
+SQL_NB_SOURCE_CONFUSION = f"""
+WITH {_SQL_TOKENS},
+vocab AS (SELECT tok FROM tok GROUP BY tok
+          HAVING COUNT(*) >= {NB_MIN_TOKEN_COUNT}),
+dt AS (SELECT doc_id, tok.tok FROM tok JOIN vocab USING (tok)),
+labeled AS (SELECT dt.doc_id, dt.tok, d.source
+            FROM dt JOIN documents d ON d.doc_id = dt.doc_id),
+pair_cnt AS (SELECT source, tok, COUNT(*) AS cnt
+             FROM labeled GROUP BY 1, 2),
+tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot
+        FROM pair_cnt GROUP BY 1),
+v_size AS (SELECT COUNT(*) AS v FROM vocab),
+model AS (
+  SELECT tot.source, vocab.tok,
+         round(ln(CAST(COALESCE(pair_cnt.cnt, 0) + 1 AS DOUBLE)
+                  / CAST(tot.tot + v_size.v AS DOUBLE)), 6) AS lp
+  FROM vocab CROSS JOIN tot CROSS JOIN v_size
+  LEFT JOIN pair_cnt ON pair_cnt.source = tot.source
+                    AND pair_cnt.tok = vocab.tok),
+prior AS (
+  SELECT source,
+         round(ln(CAST(COUNT(*) AS DOUBLE)
+                  / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)),
+               6) AS lprior
+  FROM documents GROUP BY 1),
+scores AS (
+  SELECT dt.doc_id, model.source,
+         SUM(CAST(model.lp AS DECIMAL(38,8)))
+           + CAST(ANY_VALUE(prior.lprior) AS DECIMAL(38,8)) AS score
+  FROM dt JOIN model USING (tok)
+  JOIN prior ON prior.source = model.source
+  GROUP BY 1, 2),
+pred AS (
+  SELECT doc_id, source AS predicted
+  FROM (SELECT doc_id, source,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, source ASC) AS rn
+        FROM scores)
+  WHERE rn = 1)
+SELECT d.source AS actual, pred.predicted, COUNT(*) AS n_docs
+FROM documents d JOIN pred ON pred.doc_id = d.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Zipf-law fit over the corpus vocabulary: distributed frequency rank
 # (no single-partition ROW_NUMBER) + closed-form OLS on log-log
 # ---------------------------------------------------------------------------
@@ -1675,6 +1808,7 @@ QUERIES = {
     "degree_distribution": q_degree_distribution,
     "zipf_slope": q_zipf_slope,
     "basket_lift_pairs": q_basket_lift_pairs,
+    "nb_source_confusion": q_nb_source_confusion,
 }
 
 ORACLE = {
@@ -1683,6 +1817,7 @@ ORACLE = {
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "zipf_slope": SQL_ZIPF_SLOPE,
     "basket_lift_pairs": SQL_BASKET_LIFT_PAIRS,
+    "nb_source_confusion": SQL_NB_SOURCE_CONFUSION,
     "source_lang_entropy": SQL_SOURCE_LANG_ENTROPY,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_topk": SQL_BM25_TOPK,

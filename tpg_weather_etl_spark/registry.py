@@ -200,6 +200,7 @@ _RUN_LAST = [
     "ngram_novelty",
     "variant_extract",
     "event_transitions",
+    "nb_source_confusion",
 ]
 
 
