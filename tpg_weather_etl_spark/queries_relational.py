@@ -1007,6 +1007,34 @@ GROUP BY o.o_orderpriority
 """
 
 
+SQL_LATERAL_TOP_ITEMS = """
+SELECT o.o_orderkey, li.l_linenumber, li.l_extendedprice
+FROM orders o,
+LATERAL (SELECT l_linenumber, l_extendedprice
+         FROM lineitem
+         WHERE l_orderkey = o.o_orderkey
+         ORDER BY l_extendedprice DESC, l_linenumber ASC
+         LIMIT 3) li
+WHERE o.o_totalprice > 450000
+"""
+
+
+def q_lateral_top_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table with ORDER BY + LIMIT — the
+    per-row top-k join shape SQL users reach for before discovering
+    window functions. Catalyst decorrelates it into a join +
+    per-group limit; the dialect-portable statement runs verbatim on
+    both engines (the text IS the oracle), proving the lateral
+    decorrelation agrees with DuckDB's.
+
+    Deterministic: the inner ORDER BY carries the linenumber
+    tiebreak, so the LIMIT boundary can't flap.
+    """
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_LATERAL_TOP_ITEMS)
+
+
 def q_sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-text front door: register temp views, run one
     dialect-portable statement (correlated EXISTS → Catalyst plans a
@@ -2548,6 +2576,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "null_safe_join": q_null_safe_join,
     "sql_api_revenue": q_sql_api_revenue,
+    "lateral_top_items": q_lateral_top_items,
     "order_count_distribution": q_order_count_distribution,
     "big_orders": q_big_orders,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -2610,6 +2639,7 @@ ORACLE = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "null_safe_join": SQL_NULL_SAFE_JOIN,
     "sql_api_revenue": SQL_API_STATEMENT,
+    "lateral_top_items": SQL_LATERAL_TOP_ITEMS,
     "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
     "big_orders": SQL_BIG_ORDERS,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,

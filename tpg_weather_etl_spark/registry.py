@@ -201,6 +201,7 @@ _RUN_LAST = [
     "variant_extract",
     "event_transitions",
     "nb_source_confusion",
+    "lateral_top_items",
 ]
 
 
