@@ -52,6 +52,9 @@ BNLJ_ALLOWED = {
     "int8_quant_topk": "dims-bounded params + query-side broadcast",
     # triangle report: 1-row n_edges × 1-row n_triangles
     "part_triangles": "1-row x 1-row final report join",
+    # NB model grid: vocab × S-source totals (bounded by the vocab
+    # count-floor) plus two 1-row scalars (V, corpus size)
+    "nb_source_confusion": "count-floor-bounded model grid broadcast",
 }
 
 
