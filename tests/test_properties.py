@@ -478,3 +478,24 @@ def test_decile_boundaries_match_rank_definition(spark, vals):
     n = len(s)
     want = {f"b{k}": s[math.ceil(n * k / 10) - 1] for k in range(1, 10)}
     assert got == want
+
+
+@given(
+    vals=st.sets(st.integers(min_value=0, max_value=300),
+                 min_size=1, max_size=80),
+    nparts=st.integers(min_value=1, max_value=6),
+)
+@_settings
+def test_global_lead_equals_single_window(spark, vals, nparts):
+    from tpg_weather_etl_spark.operators.prefix import global_lead
+
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    got = {
+        r.k: r.lead_val
+        for r in global_lead(df, ["k"], "k",
+                             num_partitions=nparts).collect()
+    }
+    s = sorted(vals)
+    want = {v: (s[i + 1] if i + 1 < len(s) else None)
+            for i, v in enumerate(s)}
+    assert got == want

@@ -123,3 +123,50 @@ def global_running_max(
         .withColumn(out_col, F.greatest("__poff", "__cum_in"))
         .drop("__b", "__cum_in", "__poff")
     )
+
+
+def global_lead(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "lead_val",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = next row's ``value_col`` in the global
+    ``order_cols`` order — LEAD(1) without the single-partition
+    window, completing the distributed-window family (sum, max,
+    lead).
+
+    Two-level shape: range-partition, per-partition LEAD, then stitch
+    partition boundaries — each non-empty partition's FIRST value
+    (min of the order-struct) becomes the lead of the PREVIOUS
+    non-empty partition's last row, via a lead over the P-row heads
+    table broadcast back. Range partitions can be empty under heavy
+    ties; ordering the heads by partition id and taking THEIR lead
+    skips empties correctly. The global last row stays NULL.
+    """
+    n = (num_partitions
+         or df.sparkSession.sparkContext.defaultParallelism)
+    staged = df.repartitionByRange(n, *order_cols).withColumn(
+        "__b", F.spark_partition_id())
+    w_in = Window.partitionBy("__b").orderBy(*order_cols)
+    from tpg_weather_etl_spark.caching import track
+    local = track(staged.withColumn(
+        "__ld", F.lead(value_col).over(w_in)
+    ).persist())
+    # struct fields aliased positionally: value_col may BE an order
+    # column (lead over the key itself), which would duplicate names
+    heads = local.groupBy("__b").agg(
+        F.min(F.struct(
+            *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+            F.col(value_col).alias("__v"))).alias("__h"))
+    w_b = Window.orderBy("__b")
+    nxt = heads.select(
+        "__b",
+        F.lead(F.col("__h").getField("__v")).over(w_b)
+        .alias("__next_head"))
+    return (
+        local.join(F.broadcast(nxt), "__b", "left")
+        .withColumn(out_col, F.coalesce("__ld", "__next_head"))
+        .drop("__b", "__ld", "__next_head")
+    )

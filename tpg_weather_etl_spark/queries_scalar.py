@@ -1511,7 +1511,57 @@ FROM counts JOIN totals USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence-completeness audit: missing-id ranges via distributed LEAD
+# ---------------------------------------------------------------------------
+
+GAP_DROP_MODULUS = 97
+
+
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-id ranges in the event_id sequence — the
+    "did-we-lose-records" audit every CDC/ingest pipeline runs. Every
+    id divisible by 97 is dropped first (the testdata sequence is
+    complete; the deterministic drop simulates loss), then each
+    surviving id's successor comes from ``global_lead``
+    (operators/prefix.py) — LEAD(1) over a global order WITHOUT the
+    single-partition window a plain ``LEAD() OVER (ORDER BY ...)``
+    forces, so the audit runs at any id-space size.
+
+    Oracle: the plain single-window LEAD — proving the two-level
+    boundary stitch exactly.
+    """
+    from tpg_weather_etl_spark.operators.prefix import global_lead
+
+    ids = (t(spark, sf_dir, "events")
+           .filter(F.col("event_id") % GAP_DROP_MODULUS != 0)
+           .select("event_id").distinct())
+    led = global_lead(ids, ["event_id"], "event_id", out_col="next_id")
+    return (led.filter((F.col("next_id") - F.col("event_id")) > 1)
+            .select((F.col("event_id") + 1).alias("gap_start"),
+                    (F.col("next_id") - 1).alias("gap_end"),
+                    (F.col("next_id") - F.col("event_id") - 1)
+                    .alias("n_missing")))
+
+
+SQL_SEQUENCE_GAPS = f"""
+WITH ids AS (
+  SELECT DISTINCT event_id FROM events
+  WHERE event_id % {GAP_DROP_MODULUS} <> 0),
+led AS (
+  SELECT event_id,
+         lead(event_id) OVER (ORDER BY event_id) AS next_id
+  FROM ids)
+SELECT event_id + 1 AS gap_start,
+       next_id - 1 AS gap_end,
+       next_id - event_id - 1 AS n_missing
+FROM led
+WHERE next_id - event_id > 1
+"""
+
+
 QUERIES = {
+    "sequence_gaps": q_sequence_gaps,
     "event_transitions": q_event_transitions,
     "variant_extract": q_variant_extract,
     "value_outliers": q_value_outliers,
@@ -1544,6 +1594,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sequence_gaps": SQL_SEQUENCE_GAPS,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "variant_extract": SQL_VARIANT_EXTRACT,
     "value_outliers": SQL_VALUE_OUTLIERS,

@@ -202,6 +202,7 @@ _RUN_LAST = [
     "event_transitions",
     "nb_source_confusion",
     "lateral_top_items",
+    "sequence_gaps",
 ]
 
 
