@@ -1007,6 +1007,69 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its region's revenue and of the grand
+    total — the RATIO_TO_REPORT pattern: window sums over an ALREADY
+    AGGREGATED table. The two windows (per-region, global) run over
+    the nation-count-sized aggregate, so the "unpartitioned window"
+    is bounded by the dimension, not the fact table — the one place
+    that plan shape is legitimate, called out explicitly because
+    everywhere else this repo replaces it with the two-level prefix
+    operators.
+
+    Shares are ratios of decimal-exact revenues rounded to 6.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    rev = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue")))
+    w_reg = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+
+    def wsum(w):
+        # window sums routed through decimal: a double window-sum is
+        # summation-order-dependent and the engines order differently
+        return (F.sum(F.col("revenue").cast("decimal(24,8)"))
+                .over(w).cast("double"))
+
+    return rev.select(
+        "r_name", "n_name", "revenue",
+        (F.round(F.col("revenue") / wsum(w_reg), 6) + F.lit(0.0))
+        .alias("region_share"),
+        (F.round(F.col("revenue") / wsum(w_all), 6) + F.lit(0.0))
+        .alias("global_share"))
+
+
+SQL_REVENUE_SHARE = """
+WITH rev AS (
+  SELECT r_name, n_name,
+    CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+         AS DECIMAL(24,8))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2)
+SELECT r_name, n_name, revenue,
+  round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(24,8)))
+                       OVER (PARTITION BY r_name) AS DOUBLE), 6)
+    + 0.0 AS region_share,
+  round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(24,8)))
+                       OVER () AS DOUBLE), 6) + 0.0 AS global_share
+FROM rev
+"""
+
+
 SQL_LATERAL_TOP_ITEMS = """
 SELECT o.o_orderkey, li.l_linenumber, li.l_extendedprice
 FROM orders o,
@@ -2577,6 +2640,7 @@ QUERIES = {
     "null_safe_join": q_null_safe_join,
     "sql_api_revenue": q_sql_api_revenue,
     "lateral_top_items": q_lateral_top_items,
+    "revenue_share": q_revenue_share,
     "order_count_distribution": q_order_count_distribution,
     "big_orders": q_big_orders,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -2640,6 +2704,7 @@ ORACLE = {
     "null_safe_join": SQL_NULL_SAFE_JOIN,
     "sql_api_revenue": SQL_API_STATEMENT,
     "lateral_top_items": SQL_LATERAL_TOP_ITEMS,
+    "revenue_share": SQL_REVENUE_SHARE,
     "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
     "big_orders": SQL_BIG_ORDERS,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,

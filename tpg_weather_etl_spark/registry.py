@@ -203,6 +203,7 @@ _RUN_LAST = [
     "nb_source_confusion",
     "lateral_top_items",
     "sequence_gaps",
+    "revenue_share",
 ]
 
 
