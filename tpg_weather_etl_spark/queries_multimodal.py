@@ -1,6 +1,8 @@
-"""Multimodal gate entry — rows-only check (no SQL oracle by design:
-``mapInPandas`` feature extraction is not ANSI-SQL-expressible, so the
-driver records the weaker ≥0-rows + stable-schema check for it).
+"""Multimodal gate entries — both value-hash oracled since round 6.
+
+``multimodal_features`` drives the Arrow-batched ``mapInPandas``
+decode; its stub decoder's byte fold is replayed exactly in DuckDB
+(hex-byte extraction + list_reduce), closing the former rows-only gap.
 
 The testdata ships no binary media table, so the query synthesizes one
 from ``documents`` (payload = utf-8 bytes of the text, kind cycled from
@@ -45,15 +47,28 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-kind feature profile after Arrow-batched extraction."""
+    """Per-kind feature profile after Arrow-batched extraction.
+
+    Hash-oracled since round 6: the stub decoder's per-lane byte fold
+    ``acc = (acc*31 + byte) % 997`` is integer-valued before the final
+    /997 normalization, so summing ``round(feature[k] * 997)`` recovers
+    the exact integer accumulators (float32 error ~1e-4 « 0.5) and the
+    DuckDB oracle replays the same fold via hex-byte extraction +
+    ``list_reduce`` — order-dependent float averaging never enters the
+    compared columns. Codec-backed decoding (JPEG/MP3/H.264) remains
+    the only unverified surface, behind the same ``decode_fn`` seam.
+    """
     feats = extract_features(synth_media(spark, sf_dir))
+    lane = (lambda k: F.round(F.element_at(F.col("feature"), k)
+                              * 997).cast("long"))
     return (
         feats.groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
             F.sum(F.col("feature").isNull().cast("int")).alias("n_failed"),
             F.avg(F.col("n_bytes").cast("double")).alias("avg_bytes"),
-            F.avg(F.element_at(F.col("feature"), 1)).alias("avg_f0"),
+            F.sum(lane(1)).alias("f0_units"),
+            F.sum(lane(8)).alias("f7_units"),
         )
         .orderBy("kind")
     )
@@ -65,6 +80,44 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     this one IS SQL-expressible and gets a full value-hash oracle."""
     from tpg_weather_etl_spark.operators.multimodal import metadata_stats
     return metadata_stats(synth_media(spark, sf_dir)).orderBy("kind")
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT doc_id,
+    (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+    text
+  FROM documents),
+b AS (
+  SELECT kind, text,
+    octet_length(encode(text)) AS nb,
+    hex(encode(text)) AS hx
+  FROM m),
+f AS (
+  SELECT kind, nb, text,
+    CASE WHEN text IS NULL THEN NULL
+         WHEN nb <= 0 THEN 0
+         ELSE list_reduce(
+           list_transform(range(0, CAST(ceil(nb / 8.0) AS BIGINT)),
+             i -> CAST('0x' || substr(hx, CAST(16*i + 1 AS BIGINT), 2)
+                       AS BIGINT)),
+           (a, x) -> (a * 31 + x) % 997) END AS f0_units,
+    CASE WHEN text IS NULL THEN NULL
+         WHEN nb <= 7 THEN 0
+         ELSE list_reduce(
+           list_transform(range(0, CAST(ceil((nb - 7) / 8.0) AS BIGINT)),
+             i -> CAST('0x' || substr(hx, CAST(16*i + 15 AS BIGINT), 2)
+                       AS BIGINT)),
+           (a, x) -> (a * 31 + x) % 997) END AS f7_units
+  FROM b)
+SELECT kind,
+  COUNT(*) AS n_media,
+  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+  AVG(CAST(nb AS DOUBLE)) AS avg_bytes,
+  CAST(SUM(f0_units) AS BIGINT) AS f0_units,
+  CAST(SUM(f7_units) AS BIGINT) AS f7_units
+FROM f GROUP BY kind ORDER BY kind
+"""
 
 
 SQL_MULTIMODAL_METADATA = """
@@ -93,5 +146,6 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_metadata": SQL_MULTIMODAL_METADATA,
 }

@@ -42,17 +42,85 @@ except ImportError:
     _IMPORT_FAILURES.append("queries_multimodal")
 
 
-# The driver caps each round at 50 checked queries of the 100-query
-# registry, walking it in order. Rotate per round so every query's
-# latest green row is ≤1 round old: round 4 checked the then-head 50,
-# so round 5 fronts the other half — led by containment_pairs and
-# dedup_keeper (added in r4, never driver-checked) and the r3-green
-# tail. The 50 queries green in CORRECTNESS_r04 go to the tail.
+# The driver caps each round at 50 checked queries of the 154-query
+# registry, walking it in order. ROUND-6 ROTATION (the plan staged in
+# round 5): front all 54 queries that have never had a driver
+# CORRECTNESS row (every round-5 addition plus the rotation-capped
+# middle). The cap is 50, so positions 51-54 are the four deferred
+# names — each chosen because a driver-checked close relative already
+# pins the same operator family (variant_extract~json_extract,
+# lateral_top_items~topk_latest, sequence_gaps~sessionize/
+# gap_fill_forward, revenue_share~rollup_revenue); they front round 7.
+# The 50 r4-green names sit in the unordered middle; the 50 r5-green
+# names (round-5's _RUN_FIRST) go to the tail.
 _RUN_FIRST = [
-    # added in round 4 — zero driver evidence in any round yet
+    # never driver-checked before round 6
+    "dedup_apply",
+    "semantic_dedup_keeper",
+    "semantic_dedup_apply",
+    "bm25_topk",
+    "dup_span_fraction",
+    "dup_span_apply",
+    "prefix_jaccard_pairs",
+    "part_triangles",
+    "pagerank_parts",
+    "degree_distribution",
+    "zipf_slope",
+    "basket_lift_pairs",
+    "ngram_novelty",
+    "nb_source_confusion",
+    "event_transitions",
+    "token_budget_sample",
+    "train_test_split",
+    "key_skew_profile",
+    "source_quality_matrix",
+    "approx_accuracy",
+    "group_mad",
+    "gap_fill_interpolate",
+    "trend_by_type",
+    "value_outliers",
+    "fk_integrity",
+    "cube_revenue",
+    "disjunctive_pred_revenue",
+    "idle_customer_balance",
+    "promo_revenue",
+    "volume_shipping",
+    "market_share",
+    "returned_items",
+    "top_supplier",
+    "priority_late_orders",
+    "min_cost_supplier",
+    "profit_by_nation_year",
+    "important_parts",
+    "supplier_cnt_by_type",
+    "waiting_orders",
+    "skyline_parts",
+    "decile_stats",
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "returnflag_priority_counts",
+    "excess_suppliers",
+    "unpivot_metrics",
+    "activity_bitmask",
+    "bitmap_distinct_users",
+    "int8_quant_topk",
+    # deferred past the 50-cap to round 7 (driver-checked relatives named above)
+    "variant_extract",
+    "lateral_top_items",
+    "sequence_gaps",
+    "revenue_share",
+]
+
+# The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
+# are intentionally unlisted: they land in the unordered middle,
+# after _RUN_FIRST and before _RUN_LAST.
+
+# Green in round 5 (CORRECTNESS_r05) — the freshest rows, last to
+# lose to the 50-query cap.
+_RUN_LAST = [
     "containment_pairs",
     "dedup_keeper",
-    # last driver-green row is round 3
     "minhash_pairs",
     "dedup_clusters",
     "kmeans_ivf_topk",
@@ -101,109 +169,6 @@ _RUN_FIRST = [
     "repetition_stats",
     "unigram_logprob",
     "pipeline_funnel",
-]
-
-# Green in round 4 (CORRECTNESS_r04) — the least-information rows to
-# lose to the 50-query cap.
-_RUN_LAST = [
-    "rolling_7d",
-    "sessionize",
-    "interval_join",
-    "pattern_within",
-    "asof_join",
-    "lag_grid",
-    "pricing_summary",
-    "top_orders",
-    "region_revenue",
-    "semi_join_parts",
-    "anti_join_customers",
-    "left_join_enrich",
-    "dedupe_exact",
-    "dedupe_priority",
-    "group_median",
-    "agg_by_bin",
-    "latest_per_user",
-    "scalar_bins",
-    "time_features",
-    "text_stats",
-    "lang_quality",
-    "fingerprint_dedup",
-    "simhash",
-    "simhash_pairs",
-    "contamination_ngrams",
-    "stratified_sample",
-    "length_buckets",
-    "gopher_quality",
-    "source_mix_weights",
-    "mixed_sample",
-    "embedding_topk",
-    "ann_buckets",
-    "ann_topk",
-    "embedding_neardup",
-    "ivf_topk",
-    "scalar_normalize",
-    "heatmap_hour_dow",
-    "kpi_summary",
-    "cohort_retention",
-    "funnel_steps",
-    "tfidf_top_terms",
-    "bigram_topk",
-    "dominant_event_type",
-    "distinct_months",
-    "minmax_bounds",
-    "null_profile",
-    "topk_latest",
-    "deterministic_sample",
-    "contains_filter",
-    "union_shards",
-    # new in round 5 — behind the 50-query rotation head on purpose
-    # (the head must finish covering the r4-unchecked half first);
-    # pytest gate-parity + tools/check_oracle.py provide their
-    # round-5 evidence, and the round-6 rotation fronts them.
-    # ROUND-6 ROTATION PLAN: front every name from here down (the
-    # round-5 additions, no driver row yet), then fill the head to 50
-    # with the oldest r4-green names above; push the r5-driver-checked
-    # _RUN_FIRST block to the tail.
-    "dedup_apply",
-    "semantic_dedup_keeper",
-    "volume_shipping",
-    "market_share",
-    "returned_items",
-    "top_supplier",
-    "priority_late_orders",
-    "token_budget_sample",
-    "key_skew_profile",
-    "unpivot_metrics",
-    "activity_bitmask",
-    "bitmap_distinct_users",
-    "min_cost_supplier",
-    "profit_by_nation_year",
-    "important_parts",
-    "supplier_cnt_by_type",
-    "waiting_orders",
-    "skyline_parts",
-    "decile_stats",
-    "part_triangles",
-    "int8_quant_topk",
-    "pagerank_parts",
-    "degree_distribution",
-    "zipf_slope",
-    "basket_lift_pairs",
-    "fk_integrity",
-    "value_outliers",
-    "train_test_split",
-    "shipping_priority",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "returnflag_priority_counts",
-    "excess_suppliers",
-    "ngram_novelty",
-    "variant_extract",
-    "event_transitions",
-    "nb_source_confusion",
-    "lateral_top_items",
-    "sequence_gaps",
-    "revenue_share",
 ]
 
 
