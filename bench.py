@@ -95,6 +95,14 @@ def main() -> None:
 
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
+    # A/B instrumentation (round-6 drift investigation): run only a
+    # comma-separated subset, preserving HEADLINE order. The driver
+    # never sets this, so recorded BENCH_r* runs are always the full
+    # headline.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
 
     # Warm the JVM + parquet footers with the cheapest query once.
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
