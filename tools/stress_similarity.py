@@ -1,0 +1,301 @@
+"""Skew + scale stress for the similarity family (VERDICT r5 item 5).
+
+Generates a synthetic near-dup-heavy, hot-boilerplate corpus 10x the
+sf0.1 document count (50,000 docs vs 5,000), runs the real registry
+queries end-to-end against it, and measures the recall floors the
+100 TB design claims rest on — so the df-cap / prefix-filter / LSH
+guards are *tested* beyond the gate SFs, not argued:
+
+- 30% of docs open with an identical 15-word boilerplate header
+  (df ~15,000 per header shingle — 300x over NGRAM_DF_CAP), the
+  classic template-page skew that melts naive inverted indexes;
+- 5,000 planted 3-doc near-dup clusters (1- and 2-word mutations,
+  true shingle Jaccard ~0.75-0.95);
+- 2,500 planted containment pairs (60-word doc + its 36-word prefix
+  truncation, true containment 1.0);
+- 27,500 unique filler docs.
+
+Ground truth is computed exactly in Python over the same k=3 word
+shingles (raw strings — hash collisions are negligible and identical
+in both engines anyway), including the df-capped variants, so every
+query is scored against the semantics it implements AND against the
+uncapped truth (the cap's recall cost).
+
+Floors asserted (exit 1 on breach):
+- prefix_jaccard_pairs: recall 1.0 vs uncapped J>=0.5 (PPJoin's
+  pigeonhole guarantee — ZERO recall cost is the design claim);
+- ngram_jaccard_pairs / containment_pairs: recall 1.0 vs their own
+  capped semantics, >=0.8 vs uncapped truth (the documented cap cost);
+- minhash_pairs: recall >=0.85 vs uncapped J>=0.8 (16 hashes / 4
+  bands: theoretical detection ~0.88 at J=0.8, ~0.99 at J=0.9);
+- dedup_clusters: >=0.78 of planted clusters fully connected
+  (>=0.88 over clusters whose base-mutant pairs are both J>=0.8 —
+  the unconditional number includes J~0.7 mutant-mutant pairs where
+  4-band LSH detection is ~60% by design);
+- wall-clock: total under 900s on local[32] (record the actuals).
+
+Writes STRESS_similarity.json at the repo root.
+
+Usage: python tools/stress_similarity.py [--docs 50000] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from collections import Counter
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+BOILER = [f"hdr{i:02d}" for i in range(15)]
+VOCAB = [f"w{i:03d}" for i in range(500)]
+K = 3
+DF_CAP = 50          # mirror queries_text.NGRAM_DF_CAP
+TAU = 0.5
+CONT_MIN = 0.9
+MH_HI_J = 0.8
+
+
+def gen_corpus(n_docs: int, rng: np.random.Generator):
+    """Returns (rows, planted) where rows = [(doc_id, words)] and
+    planted = [(ida, idb, kind)] with kind in {cluster, subset}."""
+    n_clusters = n_docs // 10          # x3 docs
+    n_subsets = n_docs // 20           # x2 docs
+    n_unique = n_docs - 3 * n_clusters - 2 * n_subsets
+
+    def draw(n):
+        return [VOCAB[i] for i in rng.integers(0, len(VOCAB), n)]
+
+    rows: list[tuple[int, list[str]]] = []
+    planted: list[tuple[int, int, str]] = []
+    next_id = 0
+
+    def add(words, boiler):
+        nonlocal next_id
+        rows.append((next_id, (BOILER + words) if boiler else words))
+        next_id += 1
+        return next_id - 1
+
+    for g in range(n_clusters):
+        boiler = g % 10 < 3
+        base = draw(50)
+        m1 = list(base)
+        m1[int(rng.integers(5, 45))] = VOCAB[int(rng.integers(0, 500))]
+        m2 = list(base)
+        for p in rng.choice(np.arange(5, 45), size=2, replace=False):
+            m2[int(p)] = VOCAB[int(rng.integers(0, 500))]
+        ids = [add(base, boiler), add(m1, boiler), add(m2, boiler)]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                planted.append((ids[i], ids[j], "cluster"))
+
+    for g in range(n_subsets):
+        boiler = g % 10 < 3
+        long = draw(60)
+        short = long[:36]
+        a, b = add(long, boiler), add(short, boiler)
+        planted.append((a, b, "subset"))
+
+    for g in range(n_unique):
+        add(draw(50), g % 10 < 3)
+
+    return rows, planted
+
+
+def shingle_set(words: list[str]) -> frozenset:
+    if len(words) < K:
+        return frozenset({" ".join(words)})
+    return frozenset(
+        " ".join(words[i:i + K]) for i in range(len(words) - K + 1))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50000)
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the generated parquet dir")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(7)
+    t0 = time.perf_counter()
+    rows, planted = gen_corpus(args.docs, rng)
+    print(f"corpus: {len(rows)} docs, {len(planted)} planted pairs "
+          f"({time.perf_counter() - t0:.1f}s)")
+
+    # ---- exact ground truth (uncapped + df-capped) ----
+    t0 = time.perf_counter()
+    sets = {d: shingle_set(w) for d, w in rows}
+    df = Counter()
+    for s in sets.values():
+        df.update(s)
+    hot = {sh for sh, c in df.items() if c > DF_CAP}
+    csets = {d: s - hot for d, s in sets.items()}
+    truth = []
+    for a, b, kind in planted:
+        sa, sb, ca, cb = sets[a], sets[b], csets[a], csets[b]
+        inter, cinter = len(sa & sb), len(ca & cb)
+        j = inter / len(sa | sb)
+        cj = cinter / len(ca | cb) if ca | cb else 0.0
+        cont = max(inter / len(sa), inter / len(sb))
+        ccont = max(
+            cinter / len(ca) if ca else 0.0,
+            cinter / len(cb) if cb else 0.0)
+        truth.append((min(a, b), max(a, b), kind, j, cj, cont, ccont))
+    n_hot = len(hot)
+    print(f"truth: {n_hot} hot shingles (df>{DF_CAP}), "
+          f"max df {max(df.values())} "
+          f"({time.perf_counter() - t0:.1f}s)")
+
+    # ---- write corpus parquet ----
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    out_dir = Path("/tmp/spark_graft_stress")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir.mkdir(parents=True)
+    texts = [" ".join(w) for _, w in rows]
+    tbl = pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array([f"src{d % 20}" for d, _ in rows]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, out_dir / "documents.parquet")
+
+    # ---- run the registry queries end-to-end ----
+    from tpg_weather_etl_spark.caching import release_all
+    from tpg_weather_etl_spark.registry import all_queries
+    from tpg_weather_etl_spark.session import get_spark
+    spark = get_spark(app_name="stress_similarity")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    timings: dict[str, float] = {}
+    results: dict[str, set] = {}
+
+    def run(name, pair_cols=("doc_a", "doc_b")):
+        t0 = time.perf_counter()
+        out = qs[name](spark, str(out_dir)).select(*pair_cols).collect()
+        timings[name] = round(time.perf_counter() - t0, 1)
+        results[name] = {(min(r[0], r[1]), max(r[0], r[1])) for r in out}
+        print(f"  {name}: {len(results[name])} pairs, {timings[name]}s")
+
+    run("minhash_pairs")
+    # dedup_clusters reuses the persisted minhash edges (by design)
+    t0 = time.perf_counter()
+    n_clusters_out = qs["dedup_clusters"](spark, str(out_dir)).count()
+    timings["dedup_clusters"] = round(time.perf_counter() - t0, 1)
+    print(f"  dedup_clusters: {n_clusters_out} clusters, "
+          f"{timings['dedup_clusters']}s")
+    mh_edges = results["minhash_pairs"]
+    release_all()
+    run("ngram_jaccard_pairs")
+    release_all()
+    run("containment_pairs")
+    release_all()
+    run("prefix_jaccard_pairs")
+    release_all()
+
+    # ---- recall scoring ----
+    def recall(found: set, want: list) -> tuple[float, int]:
+        if not want:
+            return 1.0, 0
+        hit = sum(1 for p in want if p in found)
+        return hit / len(want), len(want)
+
+    cl = [t for t in truth if t[2] == "cluster"]
+    su = [t for t in truth if t[2] == "subset"]
+
+    floors: list[tuple[str, float, float, int]] = []  # name, got, floor, n
+
+    want_pj = [(a, b) for a, b, k, j, cj, c, cc in truth if j >= TAU]
+    r, n = recall(results["prefix_jaccard_pairs"], want_pj)
+    floors.append(("prefix_jaccard_uncapped_tau", r, 0.999, n))
+
+    want_ng_c = [(a, b) for a, b, k, j, cj, c, cc in truth if cj >= TAU]
+    r, n = recall(results["ngram_jaccard_pairs"], want_ng_c)
+    floors.append(("ngram_capped_self", r, 0.999, n))
+    want_ng_u = [(a, b) for a, b, k, j, cj, c, cc in truth if j >= TAU]
+    r, n = recall(results["ngram_jaccard_pairs"], want_ng_u)
+    floors.append(("ngram_uncapped_cost", r, 0.8, n))
+
+    want_co_c = [(a, b) for a, b, k, j, cj, c, cc in su if cc >= CONT_MIN]
+    r, n = recall(results["containment_pairs"], want_co_c)
+    floors.append(("containment_capped_self", r, 0.999, n))
+    want_co_u = [(a, b) for a, b, k, j, cj, c, cc in su if c >= CONT_MIN]
+    r, n = recall(results["containment_pairs"], want_co_u)
+    floors.append(("containment_uncapped_cost", r, 0.8, n))
+
+    want_mh = [(a, b) for a, b, k, j, cj, c, cc in cl if j >= MH_HI_J]
+    r, n = recall(results["minhash_pairs"], want_mh)
+    floors.append(("minhash_recall_at_J0.8", r, 0.85, n))
+
+    # planted-cluster connectivity under the found minhash edges
+    # (planted clusters are consecutive id triples: base, m1, m2)
+    pl_pairs = {(min(a, b), max(a, b)) for a, b, k, *_ in cl}
+    jmap = {(min(a, b), max(a, b)): j for a, b, k, j, *_ in cl}
+    bases = sorted(x for x, y in pl_pairs
+                   if y == x + 1 and (x, x + 2) in pl_pairs)
+    n_conn = n_conn_hi = n_hi = 0
+    for base in bases:
+        ids = {base, base + 1, base + 2}
+        edges = [(x, y) for x in ids for y in ids
+                 if x < y and (x, y) in mh_edges]
+        nodes = {v for e in edges for v in e}
+        # 3 nodes connect iff >=2 edges touch all 3 of them
+        conn = int(len(edges) >= 2 and len(nodes) == 3)
+        n_conn += conn
+        # conditioned variant: both base-mutant pairs are in LSH's
+        # design band (J>=0.8, ~97% per-edge detection) — this is the
+        # regression tripwire; the unconditional number includes
+        # mutant-mutant pairs down at J~0.7 where 4-band LSH is
+        # probabilistically ~60% by design.
+        if jmap[(base, base + 1)] >= MH_HI_J \
+                and jmap[(base, base + 2)] >= MH_HI_J:
+            n_hi += 1
+            n_conn_hi += conn
+    floors.append(("cluster_connectivity", n_conn / max(len(bases), 1),
+                   0.78, len(bases)))
+    floors.append(("cluster_connectivity_at_J0.8",
+                   n_conn_hi / max(n_hi, 1), 0.88, n_hi))
+
+    total = round(sum(timings.values()), 1)
+    floors_out = [
+        {"check": nm, "recall": round(got, 4), "floor": fl, "n_pairs": n}
+        for nm, got, fl, n in floors
+    ]
+    rec = {
+        "docs": len(rows),
+        "hot_shingles": n_hot,
+        "max_shingle_df": max(df.values()),
+        "planted_pairs": len(planted),
+        "timings_sec": timings,
+        "total_sec": total,
+        "floors": floors_out,
+        "dedup_clusters_rows": n_clusters_out,
+    }
+    (ROOT / "STRESS_similarity.json").write_text(
+        json.dumps(rec, indent=2) + "\n")
+    print(json.dumps(rec["floors"], indent=1))
+    print(f"total {total}s")
+
+    if not args.keep:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    bad = [f for f in floors_out if f["recall"] < f["floor"]]
+    if bad or total > 900:
+        print("STRESS FAIL:", bad or f"wall-clock {total}s > 900s")
+        return 1
+    print("STRESS OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
