@@ -116,12 +116,106 @@ def shingle_set(words: list[str]) -> frozenset:
         " ".join(words[i:i + K]) for i in range(len(words) - K + 1))
 
 
+def giant_mode(args) -> int:
+    """One giant near-identical cluster inside a 10k-doc corpus — the
+    worst case for BOTH halves of the near-dup pipeline:
+
+    - LSH: all 1000 docs land in the same band buckets, so the
+      candidate join legitimately emits ~n^2/2 pairs (499,500) — the
+      quadratic blob a real boilerplate mega-cluster produces;
+    - CC: the component's label key (the cluster minimum) is carried
+      by every edge — the maximally skewed join key the AQE skew-join
+      claim is about. Diameter 1, so the O(log d) loop must converge
+      in the first round (plus the convergence-check round).
+
+    Asserts: the giant cluster comes back as ONE component of >=960
+    docs, filler stays un-clustered, and wall-clock stays under 300s
+    (records actuals to STRESS_giant.json).
+
+    Why >=960, not 1000: inside a near-identical cluster the per-pair
+    LSH events are perfectly CORRELATED — every member's signature is
+    the shared base signature plus that member's own deviations, so a
+    doc whose deviations break all 4 bands misses ALL ~999 of its
+    pairs at once (measured: doc 848, true J 0.88 to its nearest
+    neighbor, zero candidates). The residual per-DOC miss rate
+    (~1-(1-(1-J^4))^... ~ 2-3% at J~0.88 for 16/4 LSH) therefore does
+    NOT vanish with cluster size the way independent pair misses
+    would. At 100 TB the fix is more bands or a second pass over
+    cluster-adjacent non-members, not a bigger cluster.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(11)
+    rows = []
+    base = [VOCAB[i] for i in rng.integers(0, len(VOCAB), 50)]
+    for d in range(1000):               # near-identical: 1-word mutation
+        w = list(base)
+        w[int(rng.integers(5, 45))] = VOCAB[int(rng.integers(0, 500))]
+        rows.append((d, w))
+    for d in range(1000, 10000):        # unique filler
+        rows.append((d, [VOCAB[i] for i in rng.integers(0, len(VOCAB), 50)]))
+
+    out_dir = Path("/tmp/spark_graft_stress_giant")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir.mkdir(parents=True)
+    texts = [" ".join(w) for _, w in rows]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array([f"src{d % 20}" for d, _ in rows]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), out_dir / "documents.parquet")
+
+    from tpg_weather_etl_spark.caching import release_all
+    from tpg_weather_etl_spark.registry import all_queries
+    from tpg_weather_etl_spark.session import get_spark
+    spark = get_spark(app_name="stress_giant")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    t0 = time.perf_counter()
+    n_pairs = qs["minhash_pairs"](spark, str(out_dir)).count()
+    t_pairs = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    clusters = qs["dedup_clusters"](spark, str(out_dir)).collect()
+    t_cc = round(time.perf_counter() - t0, 1)
+    release_all()
+
+    giant = [r for r in clusters if r.cluster_size >= 100]
+    rec = {
+        "docs": len(rows),
+        "minhash_pairs": n_pairs,
+        "minhash_sec": t_pairs,
+        "cc_sec": t_cc,
+        "n_clusters": len(clusters),
+        "giant_sizes": sorted((r.cluster_size for r in giant),
+                              reverse=True)[:5],
+    }
+    (ROOT / "STRESS_giant.json").write_text(json.dumps(rec, indent=2) + "\n")
+    print(json.dumps(rec))
+    if not args.keep:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    ok = (len(giant) == 1 and giant[0].cluster_size >= 960
+          and n_pairs >= 400000 and t_pairs + t_cc < 300)
+    print("GIANT STRESS " + ("OK" if ok else "FAIL"))
+    return 0 if ok else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=50000)
     ap.add_argument("--keep", action="store_true",
                     help="keep the generated parquet dir")
+    ap.add_argument("--giant", action="store_true",
+                    help="giant-component mode: one 1000-doc "
+                         "near-identical cluster (every LSH band "
+                         "collapses to one hot bucket; the CC label "
+                         "key is maximally skewed)")
     args = ap.parse_args()
+    if args.giant:
+        return giant_mode(args)
 
     rng = np.random.default_rng(7)
     t0 = time.perf_counter()
