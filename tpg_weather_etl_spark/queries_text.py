@@ -1987,7 +1987,117 @@ FROM per
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge learning: the iterative half of tokenizer training
+# (bpe_token_stats covers pre-tokenization; this learns the merges)
+# ---------------------------------------------------------------------------
+
+BPE_MERGE_ROUNDS = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first ``BPE_MERGE_ROUNDS`` byte-pair-encoding merges
+    over the corpus — the distributed word-count formulation every
+    tokenizer trainer uses (count words once, then iterate on the
+    word VOCABULARY, never the corpus).
+
+    Scale design: the only corpus-sized shuffle is the initial word
+    count. Each round then (1) explodes adjacent symbol pairs from
+    the vocab table (bounded by |V|, not corpus size) with map-side
+    partial sums, (2) takes the argmax pair — a ONE-row collect with a
+    deterministic (count DESC, lhs, rhs) tie-break, and (3) applies
+    the merge as a pure Column fold (greedy left-to-right non-overlap,
+    the aggregate() accumulator replacing its own last element).
+    ``localCheckpoint`` per round keeps the loop's plan flat (same
+    discipline as operators/graph.py). Returns the learned merge
+    table: 8 rows from the driver's bounded per-round argmaxes.
+    """
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(norm_text(F.col("text")), " "))
+                 .alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.expr("filter(split(word, ''), x -> x <> '')"))
+    )
+    vocab = words.localCheckpoint(eager=False)
+    pair_expr = F.expr(
+        "CASE WHEN size(syms) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(syms)-1), "
+        "i -> struct(element_at(syms, i) AS lhs, "
+        "element_at(syms, i+1) AS rhs)) END")
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        top = (
+            vocab.select("freq", F.explode(pair_expr).alias("p"))
+            .groupBy("p.lhs", "p.rhs").agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "lhs", "rhs").limit(1).collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0].lhs, top[0].rhs, int(top[0].cnt)
+        merged = lhs + rhs
+        merges.append((rnd, lhs, rhs, merged, cnt))
+        # symbols match ^[a-z0-9]+$ so inlining them in the expression
+        # is injection-safe by construction
+        vocab = vocab.withColumn("syms", F.expr(
+            f"aggregate(syms, cast(array() as array<string>), "
+            f"(acc, x) -> CASE WHEN size(acc) > 0 "
+            f"AND element_at(acc, -1) = '{lhs}' AND x = '{rhs}' "
+            f"THEN concat(slice(acc, 1, size(acc)-1), array('{merged}')) "
+            f"ELSE concat(acc, array(x)) END)"
+        )).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, "
+                "pair_count bigint")
+
+
+def _sql_bpe_merges(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """Unrolled DuckDB replay of the merge loop. Words are encoded as
+    ``|sym||sym|...`` — the doubled separator lets a plain RE2 global
+    regexp_replace perform the same greedy left-to-right non-overlap
+    merge (``|a||a||a||a|`` → ``|aa||aa|``) without lookahead, which
+    RE2 does not support. Symbols are ^[a-z0-9]+$ so no escaping."""
+    parts = [r"""w0 AS (
+  SELECT word, freq,
+    array_to_string(list_transform(range(1, length(word)+1),
+      i -> '|' || substr(word, CAST(i AS INT), 1) || '|'), '') AS enc
+  FROM (
+    SELECT word, COUNT(*) AS freq FROM (
+      SELECT unnest(string_split(
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+      FROM documents)
+    WHERE regexp_matches(word, '^[a-z0-9]+$')
+    GROUP BY 1))"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""m{r} AS (
+  SELECT p AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+      i -> syms[i] || ' ' || syms[i+1])) AS p
+    FROM (SELECT freq,
+            list_filter(string_split(enc, '|'), x -> x <> '') AS syms
+          FROM w{r - 1}))
+  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)""")
+        parts.append(f"""w{r} AS (
+  SELECT word, freq,
+    regexp_replace(enc,
+      '\\|' || split_part(pair, ' ', 1) || '\\|\\|'
+            || split_part(pair, ' ', 2) || '\\|',
+      '|' || replace(pair, ' ', '') || '|', 'g') AS enc
+  FROM w{r - 1} CROSS JOIN m{r})""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, split_part(pair, ' ', 1) AS lhs, "
+        f"split_part(pair, ' ', 2) AS rhs, "
+        f"replace(pair, ' ', '') AS merged, cnt AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+SQL_BPE_MERGES = _sql_bpe_merges()
+
+
 QUERIES = {
+    "bpe_merges": q_bpe_merges,
     "ngram_novelty": q_ngram_novelty,
     "token_budget_sample": q_token_budget_sample,
     "containment_pairs": q_containment_pairs,
@@ -2019,6 +2129,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bpe_merges": SQL_BPE_MERGES,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,

@@ -106,10 +106,12 @@ _RUN_FIRST = [
     "bitmap_distinct_users",
     "int8_quant_topk",
     # deferred past the 50-cap to round 7 (driver-checked relatives named above)
+    # plus the round-6 additions below them — they front round 7 too
     "variant_extract",
     "lateral_top_items",
     "sequence_gaps",
     "revenue_share",
+    "bpe_merges",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
