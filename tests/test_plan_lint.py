@@ -46,6 +46,8 @@ BNLJ_ALLOWED = {
     "fk_integrity": "1-row x 1-row per-relationship report rows",
     # lift: single-row n_orders broadcast onto the pair table
     "basket_lift_pairs": "single-row global total broadcast",
+    # MG heavy hitters: candidate recount × single-row corpus total
+    "heavy_hitters": "single-row global total broadcast",
     # SQ8: 1-row quantizer params + <=3-row query codes broadcast
     # (the != self-pair filter makes the equi-less probe a BNLJ on
     # purpose — same deliberate baseline as embedding_topk)

@@ -2096,8 +2096,47 @@ def _sql_bpe_merges(rounds: int = BPE_MERGE_ROUNDS) -> str:
 SQL_BPE_MERGES = _sql_bpe_merges()
 
 
+HH_K = 100
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus words with count·K > N via two-phase Misra-Gries
+    (operators/heavy.py): per-partition bounded-memory summaries →
+    candidate-only exact recount. The answer is exact (the oracle is a
+    plain GROUP BY ... HAVING), but the plan never shuffles the
+    vocabulary long tail — ≤ P·K candidate rows move, then a broadcast
+    semi-join recount."""
+    from tpg_weather_etl_spark.operators.heavy import heavy_hitters
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(norm_text(F.col("text")), " "))
+                 .alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+    )
+    return (heavy_hitters(words, "word", HH_K)
+            .withColumnRenamed("value", "word")
+            .orderBy(F.desc("cnt"), "word"))
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH wds AS (
+  SELECT word FROM (
+    SELECT unnest(string_split(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents)
+  WHERE regexp_matches(word, '^[a-z0-9]+$')),
+tot AS (SELECT COUNT(*) AS n FROM wds)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM wds CROSS JOIN tot
+GROUP BY word, n
+HAVING COUNT(*) * {HH_K} > n
+ORDER BY cnt DESC, word
+"""
+
+
 QUERIES = {
     "bpe_merges": q_bpe_merges,
+    "heavy_hitters": q_heavy_hitters,
     "ngram_novelty": q_ngram_novelty,
     "token_budget_sample": q_token_budget_sample,
     "containment_pairs": q_containment_pairs,
@@ -2130,6 +2169,7 @@ QUERIES = {
 
 ORACLE = {
     "bpe_merges": SQL_BPE_MERGES,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,

@@ -112,6 +112,7 @@ _RUN_FIRST = [
     "sequence_gaps",
     "revenue_share",
     "bpe_merges",
+    "heavy_hitters",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
