@@ -179,3 +179,52 @@ def test_resize_ppm_downsamples_and_passes_through(spark):
     assert not got[3].resized and got[3].width is None
     assert bytes(got[3].content) == b"GIF89a not ppm"
     assert not got[4].resized and got[4].content is None
+
+
+def test_read_media_dir_binary_source_to_decode(spark, tmp_path):
+    """binaryFile ingestion edge: files on disk → MEDIA_SCHEMA →
+    stdlib decode, end-to-end. Glob pruning keeps junk out at listing
+    time and the poison payload flows to a NULL feature, not a task
+    failure."""
+    import struct
+    import wave as wave_mod
+    import io
+
+    from tpg_weather_etl_spark.operators.multimodal import (
+        extract_features,
+        stdlib_decode_features,
+    )
+    from tpg_weather_etl_spark.sources.readers import read_media_dir
+
+    (tmp_path / "nested").mkdir()
+    # a valid 8-frame mono WAV
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<8h", *([1000, -1000] * 4)))
+    (tmp_path / "nested" / "a.wav").write_bytes(buf.getvalue())
+    # a valid 2x2 PPM
+    (tmp_path / "b.ppm").write_bytes(b"P6\n2 2\n255\n" + bytes(12))
+    # a poison payload with a media extension, and junk to glob away
+    (tmp_path / "c.wav").write_bytes(b"not really audio")
+    (tmp_path / "notes.txt").write_bytes(b"ignore me")
+
+    media = read_media_dir(spark, tmp_path, pattern="*.{wav,ppm}")
+    rows = {r.kind: r for r in media.collect()}
+    assert set(rows) == {"audio", "image"}
+    assert media.count() == 3  # txt pruned at listing time
+
+    feats = extract_features(media, decode_fn=stdlib_decode_features)
+    out = feats.collect()
+    ok = [r for r in out if r.feature is not None]
+    bad = [r for r in out if r.feature is None]
+    assert len(ok) == 2 and len(bad) == 1  # poison → NULL, no crash
+    kinds = {r.kind: r.feature for r in ok}
+    assert kinds["audio"][0] == 1.0 and kinds["audio"][1] == 1.0
+    assert kinds["image"][0] == 2.0
+    # media_id is stable across re-reads of the same paths
+    again = {r.media_id for r in
+             read_media_dir(spark, tmp_path, "*.{wav,ppm}").collect()}
+    assert again == {r.media_id for r in media.collect()}

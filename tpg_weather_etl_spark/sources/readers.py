@@ -99,3 +99,45 @@ def read_jsonl_documents(spark: SparkSession, path: str | Path) -> DataFrame:
 def read_orc(spark: SparkSession, path: str | Path) -> DataFrame:
     """ORC scan — pushdown/pruning verified in tests/test_ingest."""
     return spark.read.orc(str(path))
+
+
+def read_media_dir(spark: SparkSession, path: str | Path,
+                   pattern: str = "*") -> DataFrame:
+    """Raw media files → MEDIA_SCHEMA rows via Spark's binaryFile
+    source (the ingestion edge of the multimodal pipeline).
+
+    binaryFile gives (path, modificationTime, length, content) with
+    the payload read lazily per task — files are NOT concatenated into
+    driver memory, and pathGlobFilter prunes at listing time.
+    ``media_id`` is a 60-bit hash of the file path (stable across
+    re-ingests), ``kind`` is derived from the extension, and the typed
+    metadata columns arrive NULL — they are filled by the decode pass
+    (operators/multimodal.extract_features), which is where a real
+    pipeline learns width/duration anyway. recursiveFileLookup handles
+    the nested layouts object stores produce.
+    """
+    from pyspark.sql import functions as F
+
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    kind = (
+        F.when(ext.isin("jpg", "jpeg", "png", "ppm", "gif", "bmp"), "image")
+        .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+        .when(ext.isin("mp4", "mkv", "webm", "avi", "rawv"), "video")
+        .otherwise("other")
+    )
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(str(path))
+        .select(
+            F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
+            .cast("long").alias("media_id"),
+            kind.alias("kind"),
+            F.col("content"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        )
+    )
