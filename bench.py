@@ -83,6 +83,9 @@ HEADLINE = [
     "int8_quant_topk",
     # prefix_jaccard_pairs stays gate-only: its exact uncapped verify
     # is deliberately the expensive baseline-quality variant
+    # round-6 additions
+    "bpe_merges",
+    "heavy_hitters",
 ]
 
 
