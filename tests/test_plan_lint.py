@@ -48,6 +48,8 @@ BNLJ_ALLOWED = {
     "basket_lift_pairs": "single-row global total broadcast",
     # MG heavy hitters: candidate recount × single-row corpus total
     "heavy_hitters": "single-row global total broadcast",
+    # KL drift: ~20-source dictionary × top-50 vocab grid + 1-row total
+    "source_kl_drift": "bounded dictionary x top-T grid",
     # SQ8: 1-row quantizer params + <=3-row query codes broadcast
     # (the != self-pair filter makes the equi-less probe a BNLJ on
     # purpose — same deliberate baseline as embedding_topk)

@@ -1778,6 +1778,92 @@ FROM a
 """
 
 
+KL_TOP = 50
+
+
+def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: smoothed KL divergence of each
+    source's unigram distribution from the corpus distribution, over
+    the top-``KL_TOP`` corpus words — the data-mixing monitor that
+    catches a source going off-distribution (template flood, language
+    shift, scraper breakage) before it poisons a training mix.
+
+    Restricting to the deterministic top-T corpus vocabulary makes the
+    metric well-defined in both engines without summing an unbounded
+    unseen-word tail: add-one smoothing inside the T-word simplex,
+    P_s(w) = (c_sw+1)/(n_s+T) vs Q(w) = (c_w+1)/(N+T). Scale shape:
+    ONE corpus-sized shuffle — the (source, tok) count, persisted as
+    the shared reuse point (|S|x|V| rows, far below corpus size) —
+    then every consumer (corpus top-T, per-source counts, the source
+    dictionary) is a small aggregate over it; the 20x50 grid is a
+    bounded dictionary cross. The ln() terms are rounded to 6dp before
+    a decimal-routed sum, the house pattern for transcendental parity
+    (see q_zipf_slope)."""
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    toks = d.select(
+        "source",
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok"))
+    stc = track(
+        toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    top = (stc.groupBy("tok").agg(F.sum("c").alias("cw"))
+           .orderBy(F.desc("cw"), "tok").limit(KL_TOP))
+    tot = top.agg(F.sum("cw").alias("n_corpus"))
+    sw = stc.join(F.broadcast(top.select("tok")), "tok")
+    grid = (stc.select("source").distinct()
+            .crossJoin(F.broadcast(top))
+            .join(sw, ["source", "tok"], "left")
+            .fillna({"c": 0}))
+    ns = grid.groupBy("source").agg(F.sum("c").alias("n_s"))
+    p = (F.col("c") + 1.0) / (F.col("n_s") + float(KL_TOP))
+    q = (F.col("cw") + 1.0) / (F.col("n_corpus") + float(KL_TOP))
+    term = F.round(p * F.log(p / q), 6) + F.lit(0.0)
+    return (
+        grid.join(ns, "source").crossJoin(F.broadcast(tot))
+        .select("source", F.col("c"), term.alias("term"))
+        .groupBy("source")
+        .agg(F.sum("c").alias("n_top_tokens"),
+             (F.round(F.sum(F.col("term").cast("decimal(38,8)")), 6)
+              .cast("double") + F.lit(0.0)).alias("kl"))
+        .orderBy(F.desc("kl"), "source")
+    )
+
+
+SQL_SOURCE_KL_DRIFT = f"""
+WITH toks AS (
+  SELECT source,
+    unnest(string_split(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+top AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cw FROM toks
+        GROUP BY 1 ORDER BY cw DESC, tok LIMIT {KL_TOP}),
+tot AS (SELECT SUM(cw) AS n_corpus FROM top),
+sw AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+       FROM toks JOIN top USING (tok) GROUP BY 1, 2),
+grid AS (
+  SELECT s.source, t.tok, t.cw, COALESCE(sw.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM toks) s
+  CROSS JOIN top t
+  LEFT JOIN sw ON sw.source = s.source AND sw.tok = t.tok),
+ns AS (SELECT source, SUM(c) AS n_s FROM grid GROUP BY 1),
+terms AS (
+  SELECT g.source, g.c,
+    round(((g.c + 1.0) / (ns.n_s + {KL_TOP}.0))
+          * ln(((g.c + 1.0) / (ns.n_s + {KL_TOP}.0))
+               / ((g.cw + 1.0) / (tot.n_corpus + {KL_TOP}.0))), 6) + 0.0
+      AS term
+  FROM grid g JOIN ns USING (source) CROSS JOIN tot)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_top_tokens,
+  CAST(ROUND(SUM(CAST(term AS DECIMAL(38,8))), 6) AS DOUBLE) + 0.0 AS kl
+FROM terms GROUP BY source ORDER BY kl DESC, source
+"""
+
+
 ORACLE_DYNAMIC = {
     "semantic_dedup_keeper": sql_semantic_dedup_keeper,
     "semantic_dedup_apply": sql_semantic_dedup_apply,
@@ -1785,6 +1871,7 @@ ORACLE_DYNAMIC = {
 
 
 QUERIES = {
+    "source_kl_drift": q_source_kl_drift,
     "source_lang_entropy": q_source_lang_entropy,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_topk": q_bm25_topk,
@@ -1812,6 +1899,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "source_kl_drift": SQL_SOURCE_KL_DRIFT,
     "part_triangles": SQL_PART_TRIANGLES,
     "pagerank_parts": SQL_PAGERANK_PARTS,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,

@@ -113,6 +113,7 @@ _RUN_FIRST = [
     "revenue_share",
     "bpe_merges",
     "heavy_hitters",
+    "source_kl_drift",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
