@@ -86,6 +86,7 @@ HEADLINE = [
     # round-6 additions
     "bpe_merges",
     "heavy_hitters",
+    "source_kl_drift",
 ]
 
 
