@@ -2096,6 +2096,64 @@ def _sql_bpe_merges(rounds: int = BPE_MERGE_ROUNDS) -> str:
 SQL_BPE_MERGES = _sql_bpe_merges()
 
 
+CHUNK_SIZE = 40
+CHUNK_STRIDE = 30   # = size − overlap(10)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunks per document — the
+    RAG/pretraining chunker: windows of ``CHUNK_SIZE`` tokens every
+    ``CHUNK_STRIDE`` (10-token overlap so no span is split across a
+    boundary without context).
+
+    Pure Catalyst row expansion: sequence() of starts → transform →
+    explode, all inside codegen — zero shuffle, the chunker is
+    embarrassingly parallel and must stay map-side at corpus scale.
+    The trailing window keeps whatever tokens remain (standard
+    chunker behavior; a short tail still carries its overlap
+    context)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(norm_text(F.col("text")), " ")
+    base = d.select("doc_id", toks.alias("toks"),
+                    F.size(toks).alias("n"))
+    starts = F.expr(
+        f"sequence(0, greatest(0, n - 1), {CHUNK_STRIDE})")
+    chunk = F.expr(
+        f"array_join(slice(toks, start + 1, {CHUNK_SIZE}), ' ')")
+    return (
+        base.filter(F.col("n") > 0)
+        .select("doc_id", "toks", "n",
+                F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id", "chunk_idx", "start",
+            F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("start"))
+            .cast("int").alias("n_tokens"),
+            chunk.alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH b AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS toks
+  FROM documents),
+e AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+  FROM b WHERE len(toks) > 0)
+SELECT doc_id,
+  CAST(start / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+  CAST(start AS INT) AS start,
+  CAST(least({CHUNK_SIZE}, n - start) AS INT) AS n_tokens,
+  array_to_string(list_slice(toks, start + 1, start + {CHUNK_SIZE}), ' ')
+    AS chunk_text
+FROM e ORDER BY doc_id, chunk_idx
+"""
+
+
 HH_K = 100
 
 
@@ -2136,6 +2194,7 @@ ORDER BY cnt DESC, word
 
 QUERIES = {
     "bpe_merges": q_bpe_merges,
+    "doc_chunks": q_doc_chunks,
     "heavy_hitters": q_heavy_hitters,
     "ngram_novelty": q_ngram_novelty,
     "token_budget_sample": q_token_budget_sample,
@@ -2170,6 +2229,7 @@ QUERIES = {
 ORACLE = {
     "bpe_merges": SQL_BPE_MERGES,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "doc_chunks": SQL_DOC_CHUNKS,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,

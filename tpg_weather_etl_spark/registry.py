@@ -114,6 +114,7 @@ _RUN_FIRST = [
     "bpe_merges",
     "heavy_hitters",
     "source_kl_drift",
+    "doc_chunks",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
