@@ -499,3 +499,93 @@ def test_global_lead_equals_single_window(spark, vals, nparts):
     want = {v: (s[i + 1] if i + 1 < len(s) else None)
             for i, v in enumerate(s)}
     assert got == want
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1, max_size=25),
+    rounds=st.integers(min_value=1, max_value=4),
+)
+@_settings
+def test_bpe_merge_fold_equals_python_reference(spark, words, rounds):
+    """The aggregate() merge fold and the driver-side argmax loop
+    reproduce the classic sequential BPE trainer exactly — greedy
+    left-to-right non-overlapping application, (count desc, lhs, rhs)
+    tie-break — on adversarial two-letter words where every pair
+    collides with every other."""
+    from collections import Counter
+
+    # python reference on the word multiset
+    freq = Counter(words)
+    vocab = {w: list(w) for w in freq}
+    expected = []
+    for _ in range(rounds):
+        pc: Counter = Counter()
+        for w, f in freq.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (lhs, rhs), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expected.append((lhs, rhs, lhs + rhs, cnt))
+        for w in vocab:
+            syms, out = vocab[w], []
+            for x in syms:
+                if out and out[-1] == lhs and x == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(x)
+            vocab[w] = out
+
+    # engine path: same loop over a DataFrame vocab
+    df = spark.createDataFrame(
+        [(w, int(f)) for w, f in freq.items()], "word string, freq long"
+    ).withColumn("syms", F.expr("filter(split(word, ''), x -> x <> '')"))
+    got = []
+    pair_expr = F.expr(
+        "CASE WHEN size(syms) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(syms)-1), "
+        "i -> struct(element_at(syms, i) AS lhs, "
+        "element_at(syms, i+1) AS rhs)) END")
+    for _ in range(rounds):
+        top = (df.select("freq", F.explode(pair_expr).alias("p"))
+               .groupBy("p.lhs", "p.rhs").agg(F.sum("freq").alias("cnt"))
+               .orderBy(F.desc("cnt"), "lhs", "rhs").limit(1).collect())
+        if not top:
+            break
+        lhs, rhs, cnt = top[0].lhs, top[0].rhs, int(top[0].cnt)
+        got.append((lhs, rhs, lhs + rhs, cnt))
+        df = df.withColumn("syms", F.expr(
+            f"aggregate(syms, cast(array() as array<string>), "
+            f"(acc, x) -> CASE WHEN size(acc) > 0 "
+            f"AND element_at(acc, -1) = '{lhs}' AND x = '{rhs}' "
+            f"THEN concat(slice(acc, 1, size(acc)-1), "
+            f"array('{lhs + rhs}')) "
+            f"ELSE concat(acc, array(x)) END)"))
+    assert got == expected
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40),
+                    min_size=1, max_size=20),
+    k=st.integers(min_value=2, max_value=12),
+    nparts=st.integers(min_value=1, max_value=6),
+)
+@_settings
+def test_heavy_hitters_exact_on_any_distribution(spark, counts, k,
+                                                 nparts):
+    """MG candidate pruning + exact recount equals the full GROUP BY
+    answer for every distribution and partitioning — including when
+    every value is heavy, none is, and k exceeds the domain."""
+    from tpg_weather_etl_spark.operators.heavy import heavy_hitters
+
+    rows = [(f"v{i}",) for i, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "v string").repartition(nparts)
+    n = len(rows)
+    want = {(f"v{i}", c) for i, c in enumerate(counts) if c * k > n}
+    got = {(r.value, r.cnt)
+           for r in heavy_hitters(df, "v", k).collect()}
+    assert got == want
