@@ -50,6 +50,9 @@ BNLJ_ALLOWED = {
     "heavy_hitters": "single-row global total broadcast",
     # KL drift: ~20-source dictionary × top-50 vocab grid + 1-row total
     "source_kl_drift": "bounded dictionary x top-T grid",
+    # detector self-eval: four 1-row count aggregates crossed into the
+    # single report row
+    "neardup_eval": "1-row x 1-row report aggregates",
     # SQ8: 1-row quantizer params + <=3-row query codes broadcast
     # (the != self-pair filter makes the equi-less probe a BNLJ on
     # purpose — same deliberate baseline as embedding_topk)

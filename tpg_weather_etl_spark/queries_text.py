@@ -2096,6 +2096,120 @@ def _sql_bpe_merges(rounds: int = BPE_MERGE_ROUNDS) -> str:
 SQL_BPE_MERGES = _sql_bpe_merges()
 
 
+EVAL_SAMPLE_PCT = 20
+
+
+def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the MinHash-LSH near-dup detector: on a
+    deterministic ``EVAL_SAMPLE_PCT``% document sample, run the exact
+    exhaustive Jaccard join AND the banded-LSH pipeline, and report
+    the detector's measured recall and candidate precision — the
+    "measure, don't guess" hook every production dedup needs before
+    trusting the approximate path on a new corpus.
+
+    The quadratic exact join is bounded by the sample (pct²·n²), the
+    knob that keeps the evaluator feasible at any corpus size; the
+    LSH half is the very pipeline the real query runs. The verify
+    step filters to true J≥0.5 on both paths, so detected ⊆ exact and
+    recall is the one number that can degrade — precision here is
+    candidate-level (verified / LSH candidates), the cost metric of
+    the band join."""
+    from tpg_weather_etl_spark.operators.sampling import (
+        deterministic_sample,
+    )
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+
+    docs = deterministic_sample(
+        t(spark, sf_dir, "documents"), "doc_id", EVAL_SAMPLE_PCT
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # both halves of the evaluation branch over the sample's shingle
+    # table 4x (counts, exact join sides, signatures, verify) — the
+    # same reuse point the production pipeline persists
+    sh = track(shingles_from_docs(docs)
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    exact = _pair_jaccard(sh, counts).filter(F.col("jaccard") >= 0.5)
+
+    bands = bands_from_shingles(sh)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("band").alias("band_b"),
+                     F.col("bkey").alias("bkey_b"))
+    cand = (a.join(b, (F.col("band") == F.col("band_b"))
+                   & (F.col("bkey") == F.col("bkey_b"))
+                   & (F.col("doc_a") < F.col("doc_b")))
+            .select("doc_a", "doc_b").distinct())
+    cand = track(cand.persist(StorageLevel.MEMORY_AND_DISK))
+    detected = _pair_jaccard(sh, cand=cand).filter(F.col("jaccard") >= 0.5)
+
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(detected.agg(F.count(F.lit(1)).alias("n_detected")))
+        .select(
+            "n_docs", "n_exact", "n_candidates", "n_detected",
+            r6(F.col("n_detected")
+               / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0)))
+            .alias("recall"),
+            r6(F.col("n_detected")
+               / F.nullif(F.col("n_candidates").cast("double"),
+                          F.lit(0.0)))
+            .alias("candidate_precision"),
+        )
+    )
+
+
+def _sql_neardup_eval() -> str:
+    from tpg_weather_etl_spark.operators.sampling import (
+        deterministic_sample_sql,
+    )
+    shingles_sampled = _SQL_SHINGLES.replace(
+        "FROM documents",
+        "FROM documents WHERE "
+        + deterministic_sample_sql("doc_id", EVAL_SAMPLE_PCT))
+    return f"""
+WITH {shingles_sampled},
+exact AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shx a JOIN shx b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+exactp AS (
+  SELECT doc_a, doc_b FROM exact
+  JOIN shn na ON na.doc_id = doc_a
+  JOIN shn nb ON nb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.5),
+hv AS (SELECT doc_id, sh_hash % {MH_P} AS h FROM shx),
+sig AS (SELECT doc_id, i,
+          MIN(((2*i+3)*h + (104729*i+12345)) % {MH_P}) AS s
+        FROM hv CROSS JOIN range(0, {MH_NUM_HASHES}) t(i)
+        GROUP BY doc_id, i),
+bands AS (SELECT doc_id, i // {MH_BAND_ROWS} AS band,
+            string_agg(s::VARCHAR, '_' ORDER BY i) AS bkey
+          FROM sig GROUP BY doc_id, band),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+det AS (
+  SELECT e.doc_a, e.doc_b FROM exactp e
+  JOIN cand c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b),
+m AS (SELECT
+  (SELECT COUNT(*) FROM shn) AS n_docs,
+  (SELECT COUNT(*) FROM exactp) AS n_exact,
+  (SELECT COUNT(*) FROM cand) AS n_candidates,
+  (SELECT COUNT(*) FROM det) AS n_detected)
+SELECT n_docs, n_exact, n_candidates, n_detected,
+  round(n_detected / NULLIF(CAST(n_exact AS DOUBLE), 0.0), 6) + 0.0
+    AS recall,
+  round(n_detected / NULLIF(CAST(n_candidates AS DOUBLE), 0.0), 6) + 0.0
+    AS candidate_precision
+FROM m
+"""
+
+
 CHUNK_SIZE = 40
 CHUNK_STRIDE = 30   # = size − overlap(10)
 
@@ -2194,6 +2308,7 @@ ORDER BY cnt DESC, word
 
 QUERIES = {
     "bpe_merges": q_bpe_merges,
+    "neardup_eval": q_neardup_eval,
     "doc_chunks": q_doc_chunks,
     "heavy_hitters": q_heavy_hitters,
     "ngram_novelty": q_ngram_novelty,
@@ -2230,6 +2345,7 @@ ORACLE = {
     "bpe_merges": SQL_BPE_MERGES,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "doc_chunks": SQL_DOC_CHUNKS,
+    "neardup_eval": _sql_neardup_eval(),
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,

@@ -115,6 +115,7 @@ _RUN_FIRST = [
     "heavy_hitters",
     "source_kl_drift",
     "doc_chunks",
+    "neardup_eval",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
