@@ -37,14 +37,17 @@ def test_every_query_has_a_budget():
     )
 
 
-@pytest.fixture(scope="module", autouse=True)
+@pytest.fixture(autouse=True)
 def _clean_cache_baseline(spark):
-    # Budgets are recorded against a cache-free session. An earlier
-    # test that executed a gate query may have left a track()-ed
-    # persist alive; Catalyst would then substitute the
-    # InMemoryRelation into matching subtrees here and shift the
-    # exchange count (observed: test_lsh_ml's minhash run changing
-    # containment_pairs' plan). Clear both layers first.
+    # Budgets are recorded against a cache-free session, per query. A
+    # persist left by an earlier test OR by an earlier budget test's
+    # query CONSTRUCTION (e.g. cluster_split building the minhash
+    # edge cache) would substitute InMemoryRelations into matching
+    # subtrees and shift exchange counts with registry order
+    # (observed: test_lsh_ml's minhash run changing
+    # containment_pairs' plan; round 6: cluster_split doing the same
+    # to every alphabetically-later shingle query). Clear both layers
+    # before every single budget check so budgets are canonical.
     from tpg_weather_etl_spark.caching import release_all
     release_all()
     spark.catalog.clearCache()

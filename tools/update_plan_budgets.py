@@ -39,8 +39,16 @@ def main() -> int:
     if BUDGET_PATH.exists():
         old = json.loads(BUDGET_PATH.read_text())
 
+    from tpg_weather_etl_spark.caching import release_all
+
     budgets: dict[str, int] = {}
     for name, fn in sorted(all_queries().items()):
+        # cache-free baseline per query: a persist created while an
+        # earlier query was CONSTRUCTED (e.g. the shared shingle
+        # table) would otherwise substitute InMemoryRelations into
+        # later plans and make budgets registry-order-dependent
+        release_all()
+        spark.catalog.clearCache()
         df = fn(spark, args.sf)
         n = count_exchanges(df)
         budgets[name] = n

@@ -1778,6 +1778,60 @@ FROM a
 """
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-leakage-safe train/test split: the split unit is the
+    MinHash dedup CLUSTER, not the document — every member of a
+    near-dup cluster lands on the same side, so no test document has a
+    near-duplicate in train (the contamination mode a per-doc split
+    like ``train_test_split`` cannot prevent). Singleton docs are
+    their own cluster; the 80/20 assignment is the portable LCG on the
+    cluster id, so the split is reproducible across engines and
+    partitionings."""
+    from tpg_weather_etl_spark.operators.graph import (
+        connected_components_min_label,
+    )
+    from tpg_weather_etl_spark.operators.sampling import lcg_bucket
+
+    labels = connected_components_min_label(_edges(spark, sf_dir))
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    out = (
+        d.join(labels, d.doc_id == labels.doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster"), F.col("doc_id"))
+            .alias("cluster_id"),
+        )
+    )
+    return out.select(
+        "doc_id", "cluster_id",
+        F.when(lcg_bucket(F.col("cluster_id")) < 80, "train")
+        .otherwise("test").alias("split"),
+    ).orderBy("doc_id")
+
+
+def _cluster_split_oracle() -> str:
+    from tpg_weather_etl_spark.operators.sampling import (
+        LCG_A,
+        LCG_C,
+        LCG_M,
+    )
+    from tpg_weather_etl_spark.queries_text import SQL_MINHASH_PAIRS
+    inner = SQL_MINHASH_PAIRS.strip().rstrip(";")
+    ctes, prev = _cc_label_ctes(f"SELECT doc_a, doc_b FROM ({inner})")
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+asn AS (
+  SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN {prev} l ON l.node = d.doc_id)
+SELECT doc_id, cluster_id,
+  CASE WHEN ((cluster_id * {LCG_A} + {LCG_C}) % {LCG_M}) % 100 < 80
+       THEN 'train' ELSE 'test' END AS split
+FROM asn, guard WHERE guard.ok = 1
+ORDER BY doc_id
+"""
+    )
+
+
 KL_TOP = 50
 
 
@@ -1865,12 +1919,14 @@ FROM terms GROUP BY source ORDER BY kl DESC, source
 
 
 ORACLE_DYNAMIC = {
+    "cluster_split": _cluster_split_oracle,
     "semantic_dedup_keeper": sql_semantic_dedup_keeper,
     "semantic_dedup_apply": sql_semantic_dedup_apply,
 }
 
 
 QUERIES = {
+    "cluster_split": q_cluster_split,
     "source_kl_drift": q_source_kl_drift,
     "source_lang_entropy": q_source_lang_entropy,
     "tfidf_top_terms": q_tfidf_top_terms,

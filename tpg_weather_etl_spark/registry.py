@@ -116,6 +116,7 @@ _RUN_FIRST = [
     "source_kl_drift",
     "doc_chunks",
     "neardup_eval",
+    "cluster_split",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
