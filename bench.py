@@ -87,6 +87,9 @@ HEADLINE = [
     "bpe_merges",
     "heavy_hitters",
     "source_kl_drift",
+    "doc_chunks",
+    "neardup_eval",
+    "cluster_split",
 ]
 
 

@@ -1995,23 +1995,10 @@ FROM per
 BPE_MERGE_ROUNDS = 8
 
 
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first ``BPE_MERGE_ROUNDS`` byte-pair-encoding merges
-    over the corpus — the distributed word-count formulation every
-    tokenizer trainer uses (count words once, then iterate on the
-    word VOCABULARY, never the corpus).
-
-    Scale design: the only corpus-sized shuffle is the initial word
-    count. Each round then (1) explodes adjacent symbol pairs from
-    the vocab table (bounded by |V|, not corpus size) with map-side
-    partial sums, (2) takes the argmax pair — a ONE-row collect with a
-    deterministic (count DESC, lhs, rhs) tie-break, and (3) applies
-    the merge as a pure Column fold (greedy left-to-right non-overlap,
-    the aggregate() accumulator replacing its own last element).
-    ``localCheckpoint`` per round keeps the loop's plan flat (same
-    discipline as operators/graph.py). Returns the learned merge
-    table: 8 rows from the driver's bounded per-round argmaxes.
-    """
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop → (final vocab DataFrame with merged
+    symbol arrays, learned merge list). See q_bpe_merges for the
+    scale rationale."""
     d = t(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(norm_text(F.col("text")), " "))
@@ -2047,9 +2034,67 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"THEN concat(slice(acc, 1, size(acc)-1), array('{merged}')) "
             f"ELSE concat(acc, array(x)) END)"
         )).localCheckpoint(eager=False)
+    return vocab, merges
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first ``BPE_MERGE_ROUNDS`` byte-pair-encoding merges
+    over the corpus — the distributed word-count formulation every
+    tokenizer trainer uses (count words once, then iterate on the
+    word VOCABULARY, never the corpus).
+
+    Scale design: the only corpus-sized shuffle is the initial word
+    count. Each round then (1) explodes adjacent symbol pairs from
+    the vocab table (bounded by |V|, not corpus size) with map-side
+    partial sums, (2) takes the argmax pair — a ONE-row collect with a
+    deterministic (count DESC, lhs, rhs) tie-break, and (3) applies
+    the merge as a pure Column fold (greedy left-to-right non-overlap,
+    the aggregate() accumulator replacing its own last element).
+    ``localCheckpoint`` per round keeps the loop's plan flat (same
+    discipline as operators/graph.py). Returns the learned merge
+    table: 8 rows from the driver's bounded per-round argmaxes.
+    """
+    _, merges = _bpe_learn(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, merged string, "
                 "pair_count bigint")
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges back to the corpus: every document's
+    alphanumeric words re-segmented under the trained BPE vocabulary —
+    the train→apply pair of tokenizer land (same pattern as
+    dedup detect→apply and substring-dup detect→apply).
+
+    Scale shape: the trained word→symbols table is vocabulary-sized,
+    so the application is one corpus-sized equi-join on the word plus
+    the ordered-array rebuild (sorted collect_list of (pos, subpos)
+    structs — the tokenized_docs pattern). No per-round work touches
+    the corpus; only the final segmentation does."""
+    vocab, _ = _bpe_learn(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id",
+                 F.posexplode(F.split(norm_text(F.col("text")), " "))
+                 .alias("pos", "word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+    )
+    toks = (
+        words.join(vocab.select("word", "syms"), "word")
+        .select("doc_id", "pos",
+                F.posexplode(F.col("syms")).alias("subpos", "sym"))
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(F.expr(
+                "transform(array_sort(collect_list("
+                "struct(pos, subpos, sym))), x -> x.sym)"), " ")
+            .alias("tokens"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _sql_bpe_merges(rounds: int = BPE_MERGE_ROUNDS) -> str:
@@ -2093,7 +2138,44 @@ def _sql_bpe_merges(rounds: int = BPE_MERGE_ROUNDS) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + selects
 
 
+def _sql_bpe_encode(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """Replay the learned merges onto every document: the same
+    unrolled w0..wN chain yields each word's final segmentation; the
+    corpus join + ordered string_agg rebuilds per-doc token streams."""
+    chain = _sql_bpe_merges(rounds)
+    # everything before the final UNION-ALL block is the CTE chain
+    # (the selects block always starts with "SELECT 1 AS rank")
+    ctes = chain[len("WITH "):chain.index("SELECT 1 AS rank")].rstrip()
+    return f"""
+WITH {ctes},
+enc_final AS (
+  SELECT word,
+    list_filter(string_split(enc, '|'), x -> x <> '') AS syms
+  FROM w{rounds}),
+docw AS (
+  SELECT doc_id, u.pos, u.word FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(toks)+1),
+        i -> struct_pack(pos := i, word := toks[i]))) AS u
+    FROM (SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                             'g')), ' ') AS toks
+          FROM documents))
+  WHERE regexp_matches(u.word, '^[a-z0-9]+$')),
+tokrows AS (
+  SELECT doc_id, pos, s.subpos, s.sym FROM (
+    SELECT d.doc_id, d.pos,
+      unnest(list_transform(range(1, len(e.syms)+1),
+        j -> struct_pack(subpos := j, sym := e.syms[j]))) AS s
+    FROM docw d JOIN enc_final e USING (word)))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  string_agg(sym, ' ' ORDER BY pos, subpos) AS tokens
+FROM tokrows GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 SQL_BPE_MERGES = _sql_bpe_merges()
+SQL_BPE_ENCODE = _sql_bpe_encode()
 
 
 EVAL_SAMPLE_PCT = 20
@@ -2309,6 +2391,7 @@ ORDER BY cnt DESC, word
 QUERIES = {
     "bpe_merges": q_bpe_merges,
     "neardup_eval": q_neardup_eval,
+    "bpe_encode": q_bpe_encode,
     "doc_chunks": q_doc_chunks,
     "heavy_hitters": q_heavy_hitters,
     "ngram_novelty": q_ngram_novelty,
@@ -2346,6 +2429,7 @@ ORACLE = {
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "doc_chunks": SQL_DOC_CHUNKS,
     "neardup_eval": _sql_neardup_eval(),
+    "bpe_encode": SQL_BPE_ENCODE,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,

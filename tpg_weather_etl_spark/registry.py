@@ -117,6 +117,7 @@ _RUN_FIRST = [
     "doc_chunks",
     "neardup_eval",
     "cluster_split",
+    "bpe_encode",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
