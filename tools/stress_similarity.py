@@ -375,7 +375,8 @@ def main() -> int:
         "floors": floors_out,
         "dedup_clusters_rows": n_clusters_out,
     }
-    (ROOT / "STRESS_similarity.json").write_text(
+    suffix = "" if args.docs == 50000 else f"_{args.docs // 1000}k"
+    (ROOT / f"STRESS_similarity{suffix}.json").write_text(
         json.dumps(rec, indent=2) + "\n")
     print(json.dumps(rec["floors"], indent=1))
     print(f"total {total}s")
