@@ -53,6 +53,8 @@ BNLJ_ALLOWED = {
     # detector self-eval: four 1-row count aggregates crossed into the
     # single report row
     "neardup_eval": "1-row x 1-row report aggregates",
+    # bigram LM: 1-row vocabulary-size scalar broadcast
+    "bigram_logprob": "single-row scalar V broadcast",
     # SQ8: 1-row quantizer params + <=3-row query codes broadcast
     # (the != self-pair filter makes the equi-less probe a BNLJ on
     # purpose — same deliberate baseline as embedding_topk)

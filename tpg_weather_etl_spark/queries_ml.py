@@ -466,6 +466,85 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy against a corpus bigram LM with add-one
+    smoothing — one conditioning order up from ``unigram_logprob``
+    (the CCNet-style perplexity filter ladder): P(w2|w1) =
+    (c(w1,w2)+1)/(c(w1·)+V), with c(w1·) the bigram-first marginal
+    (= Σ_w2 c(w1,w2)) and V the distinct-second-word count, so the
+    model derives entirely from ONE (w1,w2) count shuffle.
+
+    Scale shape: doc bigrams are built MAP-SIDE (explode of a
+    transform over the token array — no positional self-join) and
+    persisted as the shared reuse point of model fit and scoring; the
+    bigram model join back is co-partitioned on (w1,w2) with the
+    model's own count shuffle; the marginal join shuffles only the
+    model table. Transcendental parity: per-bigram −ln p rounded to
+    6dp, decimal-summed, then averaged (the unigram_logprob
+    discipline)."""
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    toks = F.split(norm_text(F.col("text")), " ")
+    bg = track(
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> struct(element_at(toks, i) AS w1, "
+            "element_at(toks, i + 1) AS w2))")).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c12.select("w2").distinct().agg(
+        F.count(F.lit(1)).alias("v"))
+    nll = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(-F.log((F.col("c12") + 1.0)
+                           / (F.col("c1") + F.col("v")).cast("double")),
+                    6).cast("decimal(24,8)").alias("nll"),
+        )
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6)
+         + F.lit(0.0)).alias("xent"),
+    ).orderBy("doc_id")
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH d AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')), ' ') AS toks
+           FROM documents),
+bg AS (
+  SELECT doc_id, u.w1, u.w2 FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(toks)),
+        i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS u
+    FROM d WHERE len(toks) >= 2)),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w2) AS v FROM c12),
+nll AS (
+  SELECT bg.doc_id,
+    CAST(round(-ln((c12.c12 + 1.0) / CAST(c1.c1 + v.v AS DOUBLE)), 6)
+         AS DECIMAL(24,8)) AS nll
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) + 0.0 AS xent
+FROM nll GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 SQL_UNIGRAM_LOGPROB = f"""
 WITH {_SQL_TOKENS},
 n AS (SELECT COUNT(*)::DOUBLE AS total FROM tok),
@@ -1927,6 +2006,7 @@ ORACLE_DYNAMIC = {
 
 QUERIES = {
     "cluster_split": q_cluster_split,
+    "bigram_logprob": q_bigram_logprob,
     "source_kl_drift": q_source_kl_drift,
     "source_lang_entropy": q_source_lang_entropy,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1956,6 +2036,7 @@ QUERIES = {
 
 ORACLE = {
     "source_kl_drift": SQL_SOURCE_KL_DRIFT,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "part_triangles": SQL_PART_TRIANGLES,
     "pagerank_parts": SQL_PAGERANK_PARTS,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,

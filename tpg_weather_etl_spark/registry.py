@@ -118,6 +118,7 @@ _RUN_FIRST = [
     "neardup_eval",
     "cluster_split",
     "bpe_encode",
+    "bigram_logprob",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
