@@ -575,6 +575,81 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift per label: cosine of each label's centroid to
+    the GLOBAL centroid (and shift = 1 − cos) — the embedding-space
+    twin of ``source_kl_drift``: a label whose centroid swings away
+    from the corpus centroid signals a shifted sub-population before
+    any downstream model sees it.
+
+    Determinism: centroids are decimal-exact means (the
+    label_centroids discipline); the cosine's 64 per-dimension
+    products are rounded to 6dp and decimal-summed before the final
+    division (the zipf/OLS sufficient-statistic pattern). Scale
+    shape: one posexplode shuffle to (label, dim), a broadcast 64-row
+    global-centroid table, and a per-label aggregate."""
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x"))
+
+    def cmean(col):
+        return (F.round(F.sum(col.cast("double").cast("decimal(24,8)")), 4)
+                .cast("decimal(18,4)").cast("double") / F.count(col))
+
+    lc = dims.groupBy("label", "dim").agg(
+        cmean(F.col("x")).alias("cl"),
+        F.count(F.lit(1)).alias("n"))
+    gc = dims.groupBy("dim").agg(cmean(F.col("x")).alias("cg"))
+    j = lc.join(F.broadcast(gc), "dim")
+    d6 = (lambda c: F.round(c, 6).cast("decimal(24,8)"))
+    agg = j.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.sum(d6(F.col("cl") * F.col("cg"))).alias("sxy"),
+        F.sum(d6(F.col("cl") * F.col("cl"))).alias("sxx"),
+        F.sum(d6(F.col("cg") * F.col("cg"))).alias("syy"))
+    cos = F.round(
+        F.col("sxy").cast("double")
+        / (F.sqrt(F.col("sxx").cast("double"))
+           * F.sqrt(F.col("syy").cast("double"))), 6) + F.lit(0.0)
+    return agg.select(
+        "label", "n_vecs", cos.alias("cos_to_global"),
+        (F.round(1.0 - cos, 6) + F.lit(0.0)).alias("shift"),
+    ).orderBy("label")
+
+
+SQL_CENTROID_SHIFT = """
+WITH dims AS (
+  SELECT label, CAST(j AS INTEGER) AS dim,
+         CAST(embedding[j+1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(0, 64) s(j)),
+lc AS (
+  SELECT label, dim,
+    CAST(CAST(ROUND(SUM(CAST(x AS DECIMAL(24,8))), 4) AS DECIMAL(18,4))
+         AS DOUBLE) / COUNT(x) AS cl,
+    COUNT(*) AS n
+  FROM dims GROUP BY 1, 2),
+gc AS (
+  SELECT dim,
+    CAST(CAST(ROUND(SUM(CAST(x AS DECIMAL(24,8))), 4) AS DECIMAL(18,4))
+         AS DOUBLE) / COUNT(x) AS cg
+  FROM dims GROUP BY 1),
+a AS (
+  SELECT label, MAX(n) AS n_vecs,
+    SUM(CAST(round(cl * cg, 6) AS DECIMAL(24,8))) AS sxy,
+    SUM(CAST(round(cl * cl, 6) AS DECIMAL(24,8))) AS sxx,
+    SUM(CAST(round(cg * cg, 6) AS DECIMAL(24,8))) AS syy
+  FROM lc JOIN gc USING (dim) GROUP BY label)
+SELECT label, n_vecs,
+  round(CAST(sxy AS DOUBLE)
+        / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))), 6) + 0.0
+    AS cos_to_global,
+  round(1.0 - (round(CAST(sxy AS DOUBLE)
+        / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))), 6) + 0.0),
+        6) + 0.0 AS shift
+FROM a ORDER BY label
+"""
+
+
 SQL_LABEL_CENTROIDS = """
 SELECT label, CAST(j AS INTEGER) AS dim,
   CAST(CAST(ROUND(SUM(CAST(CAST(embedding[j+1] AS DOUBLE) AS DECIMAL(24,8))), 4)
@@ -2007,6 +2082,7 @@ ORACLE_DYNAMIC = {
 QUERIES = {
     "cluster_split": q_cluster_split,
     "bigram_logprob": q_bigram_logprob,
+    "centroid_shift": q_centroid_shift,
     "source_kl_drift": q_source_kl_drift,
     "source_lang_entropy": q_source_lang_entropy,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -2037,6 +2113,7 @@ QUERIES = {
 ORACLE = {
     "source_kl_drift": SQL_SOURCE_KL_DRIFT,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "centroid_shift": SQL_CENTROID_SHIFT,
     "part_triangles": SQL_PART_TRIANGLES,
     "pagerank_parts": SQL_PAGERANK_PARTS,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,

@@ -119,6 +119,7 @@ _RUN_FIRST = [
     "cluster_split",
     "bpe_encode",
     "bigram_logprob",
+    "centroid_shift",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
