@@ -55,6 +55,11 @@ BNLJ_ALLOWED = {
     "neardup_eval": "1-row x 1-row report aggregates",
     # bigram LM: 1-row vocabulary-size scalar broadcast
     "bigram_logprob": "single-row scalar V broadcast",
+    # recall eval composes the deliberate brute-force baseline
+    # (10-row query side) with the bucketed ANN
+    "ann_recall_eval": "10-row query side, deliberate baseline",
+    # fusion composes ivf_topk (fixed-k centroid broadcast) + ann_topk
+    "rrf_fusion": "fixed-k centroid broadcast",
     # SQ8: 1-row quantizer params + <=3-row query codes broadcast
     # (the != self-pair filter makes the equi-less probe a BNLJ on
     # purpose — same deliberate baseline as embedding_topk)

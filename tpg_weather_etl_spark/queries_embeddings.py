@@ -861,7 +861,100 @@ WHERE rank <= {INT8_TOPK}
 """
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the hyperplane-LSH ANN against the exact top-3 —
+    the retrieval twin of ``neardup_eval``: measured recall per query
+    vector, not an argued one, before trusting the approximate index
+    on a new embedding distribution. Both sides are the registry's own
+    retrievers; the evaluation is one co-partitioned join + per-qid
+    counts (the exact side's cost is already bounded by its
+    broadcast-query design)."""
+    exact = (q_embedding_topk(spark, sf_dir)
+             .filter(F.col("rank") <= 3).select("qid", "vec_id"))
+    approx = q_ann_topk(spark, sf_dir).select("qid", "vec_id")
+    hits = (exact.join(approx, ["qid", "vec_id"])
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit")))
+    base = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hits, "qid", "left").fillna({"n_hit": 0})
+        .select(
+            "qid", "n_exact", "n_hit",
+            (F.round(F.col("n_hit")
+                     / F.col("n_exact").cast("double"), 6)
+             + F.lit(0.0)).alias("recall_at_3"),
+        )
+        .orderBy("qid")
+    )
+
+
+SQL_ANN_RECALL_EVAL = f"""
+WITH exact AS (
+  SELECT qid, vec_id FROM ({SQL_EMBEDDING_TOPK}) WHERE rank <= 3),
+approx AS (SELECT qid, vec_id FROM ({SQL_ANN_TOPK})),
+base AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact
+         FROM exact GROUP BY qid),
+hits AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+         FROM exact e JOIN approx a USING (qid, vec_id) GROUP BY e.qid)
+SELECT b.qid, b.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+  round(COALESCE(h.n_hit, 0) / CAST(b.n_exact AS DOUBLE), 6) + 0.0
+    AS recall_at_3
+FROM base b LEFT JOIN hits h USING (qid) ORDER BY qid
+"""
+
+
+RRF_K = 60
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two independent ANN retrievers
+    (hyperplane-LSH buckets and IVF) — the standard hybrid-retrieval
+    combiner: score(d) = Σ_r 1/(RRF_K + rank_r(d)), robust to
+    incomparable raw scores. Terms are 6dp-rounded rationals
+    decimal-summed (house transcendental-free parity), re-ranked
+    top-3 per query. Scale: both retrievers are already
+    bucket/cell-pruned; fusion touches only their hit lists."""
+    a = q_ann_topk(spark, sf_dir).select(
+        "qid", "vec_id", F.col("rank").alias("r"))
+    b = q_ivf_topk(spark, sf_dir).select(
+        "qid", "vec_id", F.col("rank").alias("r"))
+    term = (F.round(1.0 / (F.lit(RRF_K) + F.col("r")), 6)
+            .cast("decimal(24,8)"))
+    fused = (
+        a.unionByName(b)
+        .select("qid", "vec_id", term.alias("t"))
+        .groupBy("qid", "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_retrievers"),
+             (F.sum("t").cast("double") + F.lit(0.0)).alias("rrf"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("rrf"), F.asc("vec_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= 3)
+        .select("qid", "vec_id", "n_retrievers", "rrf", "fused_rank")
+    )
+
+
+SQL_RRF_FUSION = f"""
+WITH a AS (SELECT qid, vec_id, rank AS r FROM ({SQL_ANN_TOPK})),
+b AS (SELECT qid, vec_id, rank AS r FROM ({SQL_IVF_TOPK})),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+fused AS (
+  SELECT qid, vec_id, CAST(COUNT(*) AS BIGINT) AS n_retrievers,
+    CAST(SUM(CAST(round(1.0 / ({RRF_K} + r), 6) AS DECIMAL(24,8)))
+         AS DOUBLE) + 0.0 AS rrf
+  FROM u GROUP BY 1, 2)
+SELECT qid, vec_id, n_retrievers, rrf,
+  CAST(fused_rank AS INTEGER) AS fused_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        ORDER BY rrf DESC, vec_id ASC) AS fused_rank FROM fused)
+WHERE fused_rank <= 3
+"""
+
+
 QUERIES = {
+    "ann_recall_eval": q_ann_recall_eval,
+    "rrf_fusion": q_rrf_fusion,
     "int8_quant_topk": q_int8_quant_topk,
     "embedding_topk": q_embedding_topk,
     "ann_buckets": q_ann_buckets,
@@ -880,6 +973,8 @@ ORACLE_DYNAMIC = {
 }
 
 ORACLE = {
+    "ann_recall_eval": SQL_ANN_RECALL_EVAL,
+    "rrf_fusion": SQL_RRF_FUSION,
     "int8_quant_topk": SQL_INT8_QUANT_TOPK,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "ann_buckets": SQL_ANN_BUCKETS,

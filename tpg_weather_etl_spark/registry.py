@@ -120,6 +120,8 @@ _RUN_FIRST = [
     "bpe_encode",
     "bigram_logprob",
     "centroid_shift",
+    "ann_recall_eval",
+    "rrf_fusion",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
