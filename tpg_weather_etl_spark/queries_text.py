@@ -2178,6 +2178,80 @@ SQL_BPE_MERGES = _sql_bpe_merges()
 SQL_BPE_ENCODE = _sql_bpe_encode()
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health rollup: per source, how much of it is exact
+    duplicate (same normalized-text fingerprint seen elsewhere in the
+    corpus) and how much sits in a MinHash near-dup pair — the first
+    dashboard panel of any dedup pipeline, composing the registry's
+    own detectors instead of re-deriving them.
+
+    Scale: fingerprint groupBy is the exact-dedup shuffle the pipeline
+    already pays; near-dup membership derives from the (persisted)
+    minhash pair list — tiny relative to the corpus — via two
+    semi-joins; everything aggregates per source."""
+    from tpg_weather_etl_spark.functions.text import doc_fingerprint
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", doc_fingerprint(F.col("text")).alias("fp"))
+    dup_fp = (d.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") > 1).select("fp"))
+    pairs = q_minhash_pairs(spark, sf_dir)
+    near_ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+                .union(pairs.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    flagged = (
+        d.join(F.broadcast(dup_fp).withColumn("__e", F.lit(1)), "fp",
+               "left")
+        .join(F.broadcast(near_ids).withColumn("__n", F.lit(1)),
+              "doc_id", "left")
+    )
+    r6 = (lambda c: F.round(c, 6) + F.lit(0.0))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__e").isNotNull().cast("long"))
+            .alias("n_exact_dup"),
+            F.sum(F.col("__n").isNotNull().cast("long"))
+            .alias("n_near_dup"),
+        )
+        .select(
+            "source", "n_docs", "n_exact_dup", "n_near_dup",
+            r6(F.col("n_exact_dup") / F.col("n_docs").cast("double"))
+            .alias("exact_dup_rate"),
+            r6(F.col("n_near_dup") / F.col("n_docs").cast("double"))
+            .alias("near_dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_dedup_rate_by_source() -> str:
+    inner = SQL_MINHASH_PAIRS.strip().rstrip(";")
+    return f"""
+WITH dd AS (
+  SELECT doc_id, source,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+dupfp AS (SELECT fp FROM dd GROUP BY fp HAVING COUNT(*) > 1),
+near_ids AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM ({inner})
+    UNION ALL SELECT doc_b FROM ({inner})))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN fp IN (SELECT fp FROM dupfp)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM near_ids)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+  round(SUM(CASE WHEN fp IN (SELECT fp FROM dupfp) THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS exact_dup_rate,
+  round(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM near_ids)
+            THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS near_dup_rate
+FROM dd GROUP BY source ORDER BY source
+"""
+
+
 EVAL_SAMPLE_PCT = 20
 
 
@@ -2392,6 +2466,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "neardup_eval": q_neardup_eval,
     "bpe_encode": q_bpe_encode,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
     "doc_chunks": q_doc_chunks,
     "heavy_hitters": q_heavy_hitters,
     "ngram_novelty": q_ngram_novelty,
@@ -2430,6 +2505,7 @@ ORACLE = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "neardup_eval": _sql_neardup_eval(),
     "bpe_encode": SQL_BPE_ENCODE,
+    "dedup_rate_by_source": _sql_dedup_rate_by_source(),
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,

@@ -122,6 +122,7 @@ _RUN_FIRST = [
     "centroid_shift",
     "ann_recall_eval",
     "rrf_fusion",
+    "dedup_rate_by_source",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
