@@ -90,6 +90,11 @@ HEADLINE = [
     "doc_chunks",
     "neardup_eval",
     "cluster_split",
+    "bigram_logprob",
+    "centroid_shift",
+    "ann_recall_eval",
+    "rrf_fusion",
+    "dedup_rate_by_source",
 ]
 
 
