@@ -589,3 +589,47 @@ def test_heavy_hitters_exact_on_any_distribution(spark, counts, k,
     got = {(r.value, r.cnt)
            for r in heavy_hitters(df, "v", k).collect()}
     assert got == want
+
+
+@given(
+    n_toks=st.lists(st.integers(min_value=0, max_value=95),
+                    min_size=1, max_size=8),
+)
+@_settings
+def test_doc_chunks_equals_python_reference(spark, n_toks):
+    """Chunk starts/sizes/text match the obvious sequential chunker
+    for every document length around the window boundaries (0, 1,
+    exactly one window, one token over, multiple strides)."""
+    from tpg_weather_etl_spark.queries_text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        q_doc_chunks,
+    )
+
+    docs = [(i, " ".join(f"t{j}" for j in range(n)))
+            for i, n in enumerate(n_toks)]
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs]),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["s"] * len(docs)),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }), f"{d}/documents.parquet")
+        got = [(r.doc_id, r.chunk_idx, r.start, r.n_tokens, r.chunk_text)
+               for r in q_doc_chunks(spark, d).collect()]
+
+    want = []
+    for i, n in enumerate(n_toks):
+        toks = [f"t{j}" for j in range(n)]
+        # normalization maps the empty doc to [''] (split semantics)
+        if n == 0:
+            toks = [""]
+        for idx, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+            w = toks[start:start + CHUNK_SIZE]
+            want.append((i, idx, start, len(w), " ".join(w)))
+    assert sorted(got) == sorted(want)
