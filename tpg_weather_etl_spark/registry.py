@@ -42,15 +42,20 @@ except ImportError:
     _IMPORT_FAILURES.append("queries_multimodal")
 
 
-# The driver caps each round at 50 checked queries of the 154-query
+# The driver caps each round at 50 checked queries of the 166-query
 # registry, walking it in order. ROUND-6 ROTATION (the plan staged in
-# round 5): front all 54 queries that have never had a driver
-# CORRECTNESS row (every round-5 addition plus the rotation-capped
-# middle). The cap is 50, so positions 51-54 are the four deferred
-# names — each chosen because a driver-checked close relative already
-# pins the same operator family (variant_extract~json_extract,
-# lateral_top_items~topk_latest, sequence_gaps~sessionize/
-# gap_fill_forward, revenue_share~rollup_revenue); they front round 7.
+# round 5): front all 54 queries that never had a driver CORRECTNESS
+# row before r6. The cap is 50, so the tail of this list waits:
+# positions 51-54 are the four deferred names — each with a
+# driver-checked close relative pinning the same operator family
+# (variant_extract~json_extract, lateral_top_items~topk_latest,
+# sequence_gaps~sessionize/gap_fill_forward,
+# revenue_share~rollup_revenue) — followed by the twelve round-6
+# additions (each locally double-gated plain+NTZ at add time).
+# ROUND-7 ROTATION PLAN: front those 16 tail names, then fill the
+# head to 50 with the oldest r4-green names (their last driver rows
+# will be three rounds old); push the r6-driver-checked head 50 to
+# the tail behind the r5-green block.
 # The 50 r4-green names sit in the unordered middle; the 50 r5-green
 # names (round-5's _RUN_FIRST) go to the tail.
 _RUN_FIRST = [
