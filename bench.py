@@ -95,6 +95,7 @@ HEADLINE = [
     "ann_recall_eval",
     "rrf_fusion",
     "dedup_rate_by_source",
+    "winsorized_stats",
 ]
 
 

@@ -1560,7 +1560,73 @@ WHERE next_id - event_id > 1
 """
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clip values at the exact
+    discrete p05/p95 (H3 quantile semantics) then average — the
+    robust-location statistic that survives sensor spikes without
+    discarding rows (trimming's information-losing cousin).
+
+    Scale shape: the quantile window and the clip join share the
+    event_type hash partitioning (the group_mad discipline); the
+    clipped mean routes through the decimal sum so summation order
+    cannot move the hash."""
+    from tpg_weather_etl_spark.operators.quantiles import (
+        with_group_quantiles,
+    )
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = with_group_quantiles(
+        e, ["event_type"], "value",
+        {"p05": 0.05, "p95": 0.95},
+        extra_aggs=[F.count(F.lit(1)).alias("n")])
+    clipped = e.join(bounds, "event_type").select(
+        "event_type", "n", "p05", "p95",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+        .alias("cv"),
+        (F.col("value") < F.col("p05")).cast("long").alias("lo"),
+        (F.col("value") > F.col("p95")).cast("long").alias("hi"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("p05").alias("p05"),
+            F.max("p95").alias("p95"),
+            (F.round(_dsum(F.col("cv")) / F.max("n"), 6) + F.lit(0.0))
+            .alias("winsorized_mean"),
+            F.sum("lo").alias("n_clipped_low"),
+            F.sum("hi").alias("n_clipped_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_WINSORIZED_STATS = """
+WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT event_type,
+    QUANTILE(value, 0.05) AS p05,
+    QUANTILE(value, 0.95) AS p95,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY event_type),
+c AS (
+  SELECT e.event_type, b.n, b.p05, b.p95,
+    LEAST(GREATEST(e.value, b.p05), b.p95) AS cv,
+    CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END AS lo,
+    CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END AS hi
+  FROM e JOIN b USING (event_type))
+SELECT event_type, MAX(n) AS n, MAX(p05) AS p05, MAX(p95) AS p95,
+  round(CAST(CAST(ROUND(SUM(CAST(cv AS DECIMAL(24,8))), 4)
+        AS DECIMAL(18,4)) AS DOUBLE) / MAX(n), 6) + 0.0
+    AS winsorized_mean,
+  CAST(SUM(lo) AS BIGINT) AS n_clipped_low,
+  CAST(SUM(hi) AS BIGINT) AS n_clipped_high
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "winsorized_stats": q_winsorized_stats,
     "sequence_gaps": q_sequence_gaps,
     "event_transitions": q_event_transitions,
     "variant_extract": q_variant_extract,
@@ -1594,6 +1660,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "winsorized_stats": SQL_WINSORIZED_STATS,
     "sequence_gaps": SQL_SEQUENCE_GAPS,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "variant_extract": SQL_VARIANT_EXTRACT,

@@ -128,6 +128,7 @@ _RUN_FIRST = [
     "ann_recall_eval",
     "rrf_fusion",
     "dedup_rate_by_source",
+    "winsorized_stats",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
