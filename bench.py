@@ -96,6 +96,7 @@ HEADLINE = [
     "rrf_fusion",
     "dedup_rate_by_source",
     "winsorized_stats",
+    "source_ks_drift",
 ]
 
 

@@ -55,6 +55,8 @@ BNLJ_ALLOWED = {
     "neardup_eval": "1-row x 1-row report aggregates",
     # bigram LM: 1-row vocabulary-size scalar broadcast
     "bigram_logprob": "single-row scalar V broadcast",
+    # KS drift: ~20-source dictionary × distinct-length grid + 1-row N
+    "source_ks_drift": "bounded dictionary x distinct-values grid",
     # recall eval composes the deliberate brute-force baseline
     # (10-row query side) with the bucketed ANN
     "ann_recall_eval": "10-row query side, deliberate baseline",

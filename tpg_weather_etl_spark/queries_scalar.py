@@ -1625,8 +1625,83 @@ FROM c GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov distance between each source's document-
+    length distribution and the corpus's — the third drift flavor
+    next to token-space KL (source_kl_drift) and embedding-space
+    cosine (centroid_shift): a purely numeric-marginal monitor that
+    catches truncation bugs and boilerplate floods that keep the
+    vocabulary intact.
+
+    Exact: both ECDFs are evaluated on the full grid of corpus-
+    distinct lengths (the KS max occurs at an observed point), built
+    as distinct-values × sources — bounded because the length domain
+    is; for an unbounded metric, bucket x first. The cumulative sums
+    are windows over that small grid (never the corpus), partitioned
+    by source; all ratios are exact-integer rationals, rounded at 6dp
+    before the max."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select("source", "n_chars")
+    csx = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c_sx"))
+    cx = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c_x"))
+    ns = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        ns.crossJoin(F.broadcast(cx))
+        .join(csx, ["source", "n_chars"], "left")
+        .fillna({"c_sx": 0})
+        .crossJoin(F.broadcast(n))
+    )
+    w = (Window.partitionBy("source").orderBy("n_chars")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ecdf = grid.select(
+        "source", "n_s",
+        (F.sum("c_sx").over(w) / F.col("n_s").cast("double"))
+        .alias("f_s"),
+        (F.sum("c_x").over(w) / F.col("n").cast("double")).alias("f"),
+    )
+    return (
+        ecdf.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            (F.round(F.max(F.round(F.abs(F.col("f_s") - F.col("f")), 6)),
+                     6) + F.lit(0.0)).alias("ks"),
+        )
+        .orderBy(F.desc("ks"), "source")
+    )
+
+
+SQL_SOURCE_KS_DRIFT = """
+WITH d AS (SELECT source, n_chars FROM documents),
+csx AS (SELECT source, n_chars, COUNT(*) AS c_sx FROM d GROUP BY 1, 2),
+cx AS (SELECT n_chars, COUNT(*) AS c_x FROM d GROUP BY 1),
+ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM d),
+grid AS (
+  SELECT ns.source, ns.n_s, cx.n_chars, cx.c_x,
+         COALESCE(csx.c_sx, 0) AS c_sx, n.n
+  FROM ns CROSS JOIN cx
+  LEFT JOIN csx ON csx.source = ns.source AND csx.n_chars = cx.n_chars
+  CROSS JOIN n),
+ecdf AS (
+  SELECT source, n_s,
+    SUM(c_sx) OVER (PARTITION BY source ORDER BY n_chars
+                    ROWS UNBOUNDED PRECEDING) / CAST(n_s AS DOUBLE)
+      AS f_s,
+    SUM(c_x) OVER (PARTITION BY source ORDER BY n_chars
+                   ROWS UNBOUNDED PRECEDING) / CAST(n AS DOUBLE) AS f
+  FROM grid)
+SELECT source, MAX(n_s) AS n_docs,
+  round(MAX(round(abs(f_s - f), 6)), 6) + 0.0 AS ks
+FROM ecdf GROUP BY source ORDER BY ks DESC, source
+"""
+
+
 QUERIES = {
     "winsorized_stats": q_winsorized_stats,
+    "source_ks_drift": q_source_ks_drift,
     "sequence_gaps": q_sequence_gaps,
     "event_transitions": q_event_transitions,
     "variant_extract": q_variant_extract,
@@ -1661,6 +1736,7 @@ QUERIES = {
 
 ORACLE = {
     "winsorized_stats": SQL_WINSORIZED_STATS,
+    "source_ks_drift": SQL_SOURCE_KS_DRIFT,
     "sequence_gaps": SQL_SEQUENCE_GAPS,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "variant_extract": SQL_VARIANT_EXTRACT,

@@ -129,6 +129,7 @@ _RUN_FIRST = [
     "rrf_fusion",
     "dedup_rate_by_source",
     "winsorized_stats",
+    "source_ks_drift",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
