@@ -97,6 +97,7 @@ HEADLINE = [
     "dedup_rate_by_source",
     "winsorized_stats",
     "source_ks_drift",
+    "chi2_source_lang",
 ]
 
 

@@ -57,6 +57,8 @@ BNLJ_ALLOWED = {
     "bigram_logprob": "single-row scalar V broadcast",
     # KS drift: ~20-source dictionary × distinct-length grid + 1-row N
     "source_ks_drift": "bounded dictionary x distinct-values grid",
+    # chi2 audit: |sources|×|langs| dictionary grid + 1-row N/total
+    "chi2_source_lang": "bounded dictionary grid + scalar broadcasts",
     # recall eval composes the deliberate brute-force baseline
     # (10-row query side) with the bucketed ANN
     "ann_recall_eval": "10-row query side, deliberate baseline",

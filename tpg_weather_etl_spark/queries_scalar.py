@@ -1699,9 +1699,89 @@ FROM ecdf GROUP BY source ORDER BY ks DESC, source
 """
 
 
+def q_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the source × lang contingency
+    table — the standard "is language balance uniform across sources"
+    check a mixing pipeline runs before trusting per-source language
+    quotas. Emits one row per cell with observed/expected and the
+    cell's chi-square contribution, plus the table-level statistic
+    broadcast onto every row (self-contained audit report).
+
+    Determinism: observed and marginal counts are exact integers;
+    expected = row·col/N is one double division; contributions are
+    rounded at 6dp and decimal-summed for the total. Scale: one
+    groupBy of the corpus on the two columns; everything after is
+    dictionary-sized (|sources|×|langs|)."""
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+
+    d = t(spark, sf_dir, "documents").select("source", "lang")
+    # the contingency table is dictionary-sized and consumed by four
+    # branches (marginals, total, grid) — persist it so the corpus
+    # groupBy happens once
+    o = track(
+        d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("obs"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    rs = o.groupBy("source").agg(F.sum("obs").alias("row_n"))
+    cs = o.groupBy("lang").agg(F.sum("obs").alias("col_n"))
+    n = o.agg(F.sum("obs").alias("n"))
+    # the full grid, so structurally-zero cells contribute their
+    # expected mass (omitting them understates the statistic)
+    grid = (rs.crossJoin(F.broadcast(cs))
+            .join(o, ["source", "lang"], "left")
+            .fillna({"obs": 0})
+            .crossJoin(F.broadcast(n)))
+    e = (F.col("row_n") * F.col("col_n")) / F.col("n").cast("double")
+    contrib = F.round((F.col("obs") - e) * (F.col("obs") - e) / e, 6)
+    cells = grid.select(
+        "source", "lang", "obs",
+        (F.round(e, 6) + F.lit(0.0)).alias("expected"),
+        (contrib + F.lit(0.0)).alias("chi2_contrib"),
+        contrib.cast("decimal(24,8)").alias("__c"),
+    )
+    total = cells.agg(
+        (F.round(F.sum("__c"), 6).cast("double") + F.lit(0.0))
+        .alias("chi2_total"))
+    return (
+        cells.drop("__c").crossJoin(F.broadcast(total))
+        .orderBy("source", "lang")
+    )
+
+
+SQL_CHI2_SOURCE_LANG = """
+WITH o AS (SELECT source, lang, COUNT(*) AS obs FROM documents
+           GROUP BY 1, 2),
+rs AS (SELECT source, SUM(obs) AS row_n FROM o GROUP BY 1),
+cs AS (SELECT lang, SUM(obs) AS col_n FROM o GROUP BY 1),
+n AS (SELECT SUM(obs) AS n FROM o),
+grid AS (
+  SELECT rs.source, cs.lang, rs.row_n, cs.col_n,
+         COALESCE(o.obs, 0) AS obs, n.n
+  FROM rs CROSS JOIN cs
+  LEFT JOIN o ON o.source = rs.source AND o.lang = cs.lang
+  CROSS JOIN n),
+cells AS (
+  SELECT source, lang, CAST(obs AS BIGINT) AS obs,
+    round((row_n * col_n) / CAST(n AS DOUBLE), 6) + 0.0 AS expected,
+    round((obs - (row_n * col_n) / CAST(n AS DOUBLE))
+          * (obs - (row_n * col_n) / CAST(n AS DOUBLE))
+          / ((row_n * col_n) / CAST(n AS DOUBLE)), 6) AS contrib
+  FROM grid),
+tot AS (
+  SELECT CAST(ROUND(SUM(CAST(contrib AS DECIMAL(24,8))), 6) AS DOUBLE)
+         + 0.0 AS chi2_total
+  FROM cells)
+SELECT source, lang, obs, expected, contrib + 0.0 AS chi2_contrib,
+       chi2_total
+FROM cells CROSS JOIN tot ORDER BY source, lang
+"""
+
+
 QUERIES = {
     "winsorized_stats": q_winsorized_stats,
     "source_ks_drift": q_source_ks_drift,
+    "chi2_source_lang": q_chi2_source_lang,
     "sequence_gaps": q_sequence_gaps,
     "event_transitions": q_event_transitions,
     "variant_extract": q_variant_extract,
@@ -1737,6 +1817,7 @@ QUERIES = {
 ORACLE = {
     "winsorized_stats": SQL_WINSORIZED_STATS,
     "source_ks_drift": SQL_SOURCE_KS_DRIFT,
+    "chi2_source_lang": SQL_CHI2_SOURCE_LANG,
     "sequence_gaps": SQL_SEQUENCE_GAPS,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "variant_extract": SQL_VARIANT_EXTRACT,

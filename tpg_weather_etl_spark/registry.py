@@ -130,6 +130,7 @@ _RUN_FIRST = [
     "dedup_rate_by_source",
     "winsorized_stats",
     "source_ks_drift",
+    "chi2_source_lang",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
