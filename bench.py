@@ -98,6 +98,7 @@ HEADLINE = [
     "winsorized_stats",
     "source_ks_drift",
     "chi2_source_lang",
+    "token_gini",
 ]
 
 

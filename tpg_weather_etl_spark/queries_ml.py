@@ -1932,6 +1932,62 @@ FROM a
 """
 
 
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the corpus token-frequency distribution —
+    the concentration diagnostic next to ``zipf_slope``: natural text
+    sits high (a few words dominate); a flat Gini flags synthetic or
+    templated corpora, a rising one flags boilerplate takeover.
+
+    G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over frequencies x ascending,
+    with rank from the distributed prefix sum (operators/prefix.py) —
+    no single-partition ROW_NUMBER over the vocabulary. Every sum is
+    an exact integer routed through DECIMAL(38,0) (rank·freq products
+    overflow a long only past ~10^9·10^9 — decimal holds to 38
+    digits); the only doubles are the final two divisions, identical
+    in both engines. Oracle uses a plain ROW_NUMBER window, proving
+    the prefix-rank derivation (the zipf_slope pattern)."""
+    from tpg_weather_etl_spark.operators.prefix import global_running_sum
+
+    tf = (_tokens(spark, sf_dir)
+          .groupBy("tok").agg(F.count("*").alias("cnt")))
+    ranked = global_running_sum(
+        tf.withColumn("one", F.lit(1)), ["cnt", "tok"], "one",
+        out_col="rank")
+    a = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.col("cnt").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("rank") * F.col("cnt")).cast("decimal(38,0)"))
+        .alias("srx"))
+    nd = F.col("n_terms").cast("double")
+    gini = (2.0 * F.col("srx").cast("double")
+            / (nd * F.col("sx").cast("double"))
+            - (nd + 1.0) / nd)
+    return a.select(
+        "n_terms",
+        F.col("sx").cast("long").alias("total_tokens"),
+        (F.round(gini, 6) + F.lit(0.0)).alias("gini"),
+    )
+
+
+SQL_TOKEN_GINI = f"""
+WITH {_SQL_TOKENS},
+tf AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+r AS (SELECT tok, cnt,
+        ROW_NUMBER() OVER (ORDER BY cnt, tok) AS rank
+      FROM tf),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+        SUM(CAST(cnt AS DECIMAL(38,0))) AS sx,
+        SUM(CAST(rank * cnt AS DECIMAL(38,0))) AS srx
+      FROM r)
+SELECT n_terms, CAST(sx AS BIGINT) AS total_tokens,
+  round(2.0 * CAST(srx AS DOUBLE)
+        / (CAST(n_terms AS DOUBLE) * CAST(sx AS DOUBLE))
+        - (CAST(n_terms AS DOUBLE) + 1.0) / CAST(n_terms AS DOUBLE), 6)
+    + 0.0 AS gini
+FROM a
+"""
+
+
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-leakage-safe train/test split: the split unit is the
     MinHash dedup CLUSTER, not the document — every member of a
@@ -2081,6 +2137,7 @@ ORACLE_DYNAMIC = {
 
 QUERIES = {
     "cluster_split": q_cluster_split,
+    "token_gini": q_token_gini,
     "bigram_logprob": q_bigram_logprob,
     "centroid_shift": q_centroid_shift,
     "source_kl_drift": q_source_kl_drift,
@@ -2114,6 +2171,7 @@ ORACLE = {
     "source_kl_drift": SQL_SOURCE_KL_DRIFT,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "centroid_shift": SQL_CENTROID_SHIFT,
+    "token_gini": SQL_TOKEN_GINI,
     "part_triangles": SQL_PART_TRIANGLES,
     "pagerank_parts": SQL_PAGERANK_PARTS,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,

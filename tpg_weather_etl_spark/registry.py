@@ -131,6 +131,7 @@ _RUN_FIRST = [
     "winsorized_stats",
     "source_ks_drift",
     "chi2_source_lang",
+    "token_gini",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
