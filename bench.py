@@ -99,6 +99,7 @@ HEADLINE = [
     "source_ks_drift",
     "chi2_source_lang",
     "token_gini",
+    "lang_agreement",
 ]
 
 

@@ -306,6 +306,36 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the DECLARED language column and the
+    stop-word-heuristic language ID — the metadata-trust audit: a
+    source whose declared labels disagree with the content heuristic
+    has broken metadata (or mislabeled scrapes) and its language
+    quotas cannot be trusted. Composes q_lang_quality rather than
+    re-deriving the heuristic; output is |langs|x|preds| cells with
+    each declared language's agreement share (share of its docs the
+    heuristic maps to the modal prediction — a label-free consistency
+    measure, since the heuristic's classes need not equal the
+    declared vocabulary)."""
+    lq = q_lang_quality(spark, sf_dir).select("lang", "lang_pred")
+    cell = lq.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = cell.groupBy("lang").agg(F.sum("n").alias("lang_n"))
+    w = Window.partitionBy("lang")
+    return (
+        cell.join(tot, "lang")
+        .withColumn("modal_n", F.max("n").over(w))
+        .select(
+            "lang", "lang_pred", "n", "lang_n",
+            (F.round(F.col("n") / F.col("lang_n").cast("double"), 6)
+             + F.lit(0.0)).alias("share"),
+            (F.round(F.col("modal_n") / F.col("lang_n").cast("double"),
+                     6) + F.lit(0.0)).alias("modal_share"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
 SQL_LANG_QUALITY = """
 WITH s AS (
   SELECT doc_id, lang,
@@ -330,6 +360,20 @@ SELECT doc_id, lang, stop_ratio,
        ELSE 'low' END AS quality_label
 FROM s
 """
+
+
+SQL_LANG_AGREEMENT = f"""
+WITH lq AS ({SQL_LANG_QUALITY.strip()}),
+cell AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+         FROM lq GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(n) AS lang_n FROM cell GROUP BY 1)
+SELECT c.lang, c.lang_pred, c.n, CAST(t.lang_n AS BIGINT) AS lang_n,
+  round(c.n / CAST(t.lang_n AS DOUBLE), 6) + 0.0 AS share,
+  round(MAX(c.n) OVER (PARTITION BY c.lang) / CAST(t.lang_n AS DOUBLE),
+        6) + 0.0 AS modal_share
+FROM cell c JOIN tot t USING (lang) ORDER BY lang, lang_pred
+"""
+
 
 
 # ---------------------------------------------------------------------------
@@ -2467,6 +2511,7 @@ QUERIES = {
     "neardup_eval": q_neardup_eval,
     "bpe_encode": q_bpe_encode,
     "dedup_rate_by_source": q_dedup_rate_by_source,
+    "lang_agreement": q_lang_agreement,
     "doc_chunks": q_doc_chunks,
     "heavy_hitters": q_heavy_hitters,
     "ngram_novelty": q_ngram_novelty,
@@ -2506,6 +2551,7 @@ ORACLE = {
     "neardup_eval": _sql_neardup_eval(),
     "bpe_encode": SQL_BPE_ENCODE,
     "dedup_rate_by_source": _sql_dedup_rate_by_source(),
+    "lang_agreement": SQL_LANG_AGREEMENT,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,

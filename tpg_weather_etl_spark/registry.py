@@ -132,6 +132,7 @@ _RUN_FIRST = [
     "source_ks_drift",
     "chi2_source_lang",
     "token_gini",
+    "lang_agreement",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
