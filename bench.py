@@ -100,6 +100,7 @@ HEADLINE = [
     "chi2_source_lang",
     "token_gini",
     "lang_agreement",
+    "cluster_size_histogram",
 ]
 
 

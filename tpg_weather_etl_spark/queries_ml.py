@@ -1932,6 +1932,44 @@ FROM a
 """
 
 
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes — the dedup diagnostic
+    that distinguishes a healthy corpus (mostly pairs/triples) from a
+    boilerplate mega-cluster problem (mass in one giant component,
+    the STRESS_giant scenario) before any keeper policy runs. Derived
+    from the same CC labels as dedup_clusters; output is bounded by
+    the number of DISTINCT sizes."""
+    from tpg_weather_etl_spark.operators.graph import (
+        connected_components_min_label,
+    )
+
+    labels = connected_components_min_label(_edges(spark, sf_dir))
+    sizes = labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"),
+             F.sum("cluster_size").alias("n_docs"))
+        .orderBy("cluster_size")
+    )
+
+
+def _cluster_size_histogram_oracle() -> str:
+    from tpg_weather_etl_spark.queries_text import SQL_MINHASH_PAIRS
+    inner = SQL_MINHASH_PAIRS.strip().rstrip(";")
+    ctes, prev = _cc_label_ctes(f"SELECT doc_a, doc_b FROM ({inner})")
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+sizes AS (
+  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM {prev}, guard WHERE guard.ok = 1 GROUP BY lbl)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+    )
+
+
 def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of the corpus token-frequency distribution —
     the concentration diagnostic next to ``zipf_slope``: natural text
@@ -2130,6 +2168,7 @@ FROM terms GROUP BY source ORDER BY kl DESC, source
 
 ORACLE_DYNAMIC = {
     "cluster_split": _cluster_split_oracle,
+    "cluster_size_histogram": _cluster_size_histogram_oracle,
     "semantic_dedup_keeper": sql_semantic_dedup_keeper,
     "semantic_dedup_apply": sql_semantic_dedup_apply,
 }
@@ -2138,6 +2177,7 @@ ORACLE_DYNAMIC = {
 QUERIES = {
     "cluster_split": q_cluster_split,
     "token_gini": q_token_gini,
+    "cluster_size_histogram": q_cluster_size_histogram,
     "bigram_logprob": q_bigram_logprob,
     "centroid_shift": q_centroid_shift,
     "source_kl_drift": q_source_kl_drift,

@@ -133,6 +133,7 @@ _RUN_FIRST = [
     "chi2_source_lang",
     "token_gini",
     "lang_agreement",
+    "cluster_size_histogram",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
