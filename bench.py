@@ -101,6 +101,7 @@ HEADLINE = [
     "token_gini",
     "lang_agreement",
     "cluster_size_histogram",
+    "embedding_norm_profile",
 ]
 
 

@@ -902,6 +902,55 @@ FROM base b LEFT JOIN hits h USING (qid) ORDER BY qid
 """
 
 
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding column — the
+    embedding QA panel that catches un-normalized batches (norms ≫ 1
+    where unit vectors are expected) and representation collapse
+    (norms → 0) before a cosine-based index silently degrades.
+
+    Norms are rounded to 6dp per vector (the _cos_rounded parity
+    discipline — the fold inside l2_norm is sequential in both
+    engines, and rounding absorbs last-ulp divergence); min/max are
+    exact on the rounded values and the mean routes through a decimal
+    sum. One map-side pass plus a |labels|-sized aggregate."""
+    from tpg_weather_etl_spark.functions.vectors import l2_norm
+
+    e = t(spark, sf_dir, "embeddings")
+    norm = (F.round(
+        l2_norm(F.transform(F.col("embedding"),
+                            lambda x: x.cast("double"))), 6)
+        + F.lit(0.0))
+    rows = e.select("label", norm.alias("nrm"))
+    return (
+        rows.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            (F.round(F.sum(F.col("nrm").cast("decimal(24,8)"))
+                     .cast("double") / F.count(F.lit(1)), 6)
+             + F.lit(0.0)).alias("mean_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_NORM_PROFILE = """
+WITH r AS (
+  SELECT label,
+    round(sqrt(list_dot_product(
+      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) + 0.0
+      AS nrm
+  FROM embeddings)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+  round(CAST(SUM(CAST(nrm AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*), 6)
+    + 0.0 AS mean_norm
+FROM r GROUP BY label ORDER BY label
+"""
+
+
 RRF_K = 60
 
 
@@ -954,6 +1003,7 @@ WHERE fused_rank <= 3
 
 QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
+    "embedding_norm_profile": q_embedding_norm_profile,
     "rrf_fusion": q_rrf_fusion,
     "int8_quant_topk": q_int8_quant_topk,
     "embedding_topk": q_embedding_topk,
@@ -974,6 +1024,7 @@ ORACLE_DYNAMIC = {
 
 ORACLE = {
     "ann_recall_eval": SQL_ANN_RECALL_EVAL,
+    "embedding_norm_profile": SQL_EMBEDDING_NORM_PROFILE,
     "rrf_fusion": SQL_RRF_FUSION,
     "int8_quant_topk": SQL_INT8_QUANT_TOPK,
     "embedding_topk": SQL_EMBEDDING_TOPK,

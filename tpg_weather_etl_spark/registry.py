@@ -134,6 +134,7 @@ _RUN_FIRST = [
     "token_gini",
     "lang_agreement",
     "cluster_size_histogram",
+    "embedding_norm_profile",
 ]
 
 # The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
