@@ -122,9 +122,16 @@ def main() -> None:
     if only:
         keep = {s.strip() for s in only.split(",") if s.strip()}
         names = [n for n in names if n in keep]
+        if not names:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY={only!r} matches no headline "
+                f"query; valid names: {', '.join(HEADLINE)}")
 
-    # Warm the JVM + parquet footers with the cheapest query once.
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the JVM + parquet footers with a FIXED cheap query — not
+    # names[0], which changes with SPARK_GRAFT_BENCH_ONLY and would
+    # skew A/B comparisons of whichever query runs first.
+    qs[HEADLINE[0]](spark, sf_dir).write.format("noop").mode(
+        "overwrite").save()
 
     timings: dict[str, float] = {}
     failure: str | None = None

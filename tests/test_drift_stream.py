@@ -74,3 +74,13 @@ def test_stream_monitor_alerts_and_is_idempotent(spark, tmp_path):
         base, out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == len(rows)
+
+    # crash-replay idempotence: a FRESH checkpoint re-delivers every
+    # batch with the same batch_ids (the at-least-once worst case);
+    # the batch_id-partitioned dynamic overwrite must leave the sink
+    # unchanged rather than appending duplicates.
+    q3 = start_drift_monitor(
+        stream_documents(spark, str(inbox), max_files_per_trigger=1),
+        base, out, str(tmp_path / "ckpt_replay"))
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(rows)

@@ -34,3 +34,30 @@ def deterministic_sample(df: DataFrame, key: str, percent: int) -> DataFrame:
 def deterministic_sample_sql(key: str, percent: int) -> str:
     """The oracle-side SQL predicate equivalent of deterministic_sample."""
     return f"((({key} * {LCG_A} + {LCG_C}) % {LCG_M}) % 100) < {percent}"
+
+
+def deterministic_sample_capped(df: DataFrame, key: str, percent: int,
+                                max_rows: int) -> DataFrame:
+    """``deterministic_sample`` with a FIXED row cap: keep the
+    ``max_rows`` sampled rows with the smallest LCG value (ties broken
+    by the key). A percentage knob alone scales WITH the corpus —
+    pct²·n² still grows quadratically at 100× data — so any evaluator
+    built on a sample must bound the absolute count, not the fraction.
+
+    Plan: the pct filter is a pushed-down scan predicate; the cap is
+    ``orderBy(...).limit(n)`` → TakeOrderedAndProject (distributed
+    partial top-N, no global sort), so the operator stays scale-safe.
+    """
+    full = (F.col(key).cast("long") * LCG_A + LCG_C) % LCG_M
+    return (df.filter(lcg_bucket(F.col(key)) < percent)
+            .orderBy(full.asc(), F.col(key).asc()).limit(max_rows))
+
+
+def deterministic_sample_capped_sql(key: str, percent: int,
+                                    max_rows: int,
+                                    table: str = "documents") -> str:
+    """Oracle-side subquery equivalent of deterministic_sample_capped
+    (a FROM-able `(SELECT * ... LIMIT n)` string)."""
+    lcg = f"(({key} * {LCG_A} + {LCG_C}) % {LCG_M})"
+    return (f"(SELECT * FROM {table} WHERE ({lcg} % 100) < {percent} "
+            f"ORDER BY {lcg}, {key} LIMIT {max_rows})")

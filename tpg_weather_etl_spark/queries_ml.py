@@ -1994,8 +1994,8 @@ def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ranked.agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.sum(F.col("cnt").cast("decimal(38,0)")).alias("sx"),
-        F.sum((F.col("rank") * F.col("cnt")).cast("decimal(38,0)"))
-        .alias("srx"))
+        F.sum(F.col("rank").cast("decimal(38,0)")
+              * F.col("cnt").cast("decimal(38,0)")).alias("srx"))
     nd = F.col("n_terms").cast("double")
     gini = (2.0 * F.col("srx").cast("double")
             / (nd * F.col("sx").cast("double"))
@@ -2015,7 +2015,7 @@ r AS (SELECT tok, cnt,
       FROM tf),
 a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
         SUM(CAST(cnt AS DECIMAL(38,0))) AS sx,
-        SUM(CAST(rank * cnt AS DECIMAL(38,0))) AS srx
+        SUM(CAST(rank AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))) AS srx
       FROM r)
 SELECT n_terms, CAST(sx AS BIGINT) AS total_tokens,
   round(2.0 * CAST(srx AS DOUBLE)

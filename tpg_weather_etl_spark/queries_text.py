@@ -2230,9 +2230,13 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     own detectors instead of re-deriving them.
 
     Scale: fingerprint groupBy is the exact-dedup shuffle the pipeline
-    already pays; near-dup membership derives from the (persisted)
-    minhash pair list — tiny relative to the corpus — via two
-    semi-joins; everything aggregates per source."""
+    already pays; near-dup membership derives from the minhash pair
+    list via two left joins. Neither ``dup_fp`` nor ``near_ids`` is
+    force-broadcast: both scale WITH the corpus in dup-heavy regimes
+    (near_ids approaches one row per document — exactly the
+    STRESS_similarity scenario), so a broadcast hint here is a driver
+    OOM at the design scale. AQE decides at runtime, same discipline
+    as ``_pair_jaccard``."""
     from tpg_weather_etl_spark.functions.text import doc_fingerprint
 
     d = t(spark, sf_dir, "documents").select(
@@ -2244,10 +2248,8 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .union(pairs.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
     flagged = (
-        d.join(F.broadcast(dup_fp).withColumn("__e", F.lit(1)), "fp",
-               "left")
-        .join(F.broadcast(near_ids).withColumn("__n", F.lit(1)),
-              "doc_id", "left")
+        d.join(dup_fp.withColumn("__e", F.lit(1)), "fp", "left")
+        .join(near_ids.withColumn("__n", F.lit(1)), "doc_id", "left")
     )
     r6 = (lambda c: F.round(c, 6) + F.lit(0.0))
     return (
@@ -2297,32 +2299,41 @@ FROM dd GROUP BY source ORDER BY source
 
 
 EVAL_SAMPLE_PCT = 20
+# Hard row cap on the evaluation sample: the exact half of the
+# evaluator is quadratic in the sample, and a %-only knob still grows
+# as pct²·n² at 100× data. 5,000 docs bounds the exact join at ~12.5M
+# pairs regardless of corpus size (at the driver's SFs the pct sample
+# is far below the cap, so the cap is inert there by design).
+EVAL_SAMPLE_MAX = 5000
 
 
 def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-evaluation of the MinHash-LSH near-dup detector: on a
-    deterministic ``EVAL_SAMPLE_PCT``% document sample, run the exact
+    deterministic ``EVAL_SAMPLE_PCT``% document sample capped at a
+    FIXED ``EVAL_SAMPLE_MAX`` documents (LCG order), run the exact
     exhaustive Jaccard join AND the banded-LSH pipeline, and report
     the detector's measured recall and candidate precision — the
     "measure, don't guess" hook every production dedup needs before
     trusting the approximate path on a new corpus.
 
-    The quadratic exact join is bounded by the sample (pct²·n²), the
-    knob that keeps the evaluator feasible at any corpus size; the
-    LSH half is the very pipeline the real query runs. The verify
-    step filters to true J≥0.5 on both paths, so detected ⊆ exact and
-    recall is the one number that can degrade — precision here is
-    candidate-level (verified / LSH candidates), the cost metric of
-    the band join."""
+    The quadratic exact join is bounded by the sample — and the bound
+    is an absolute document count, not a fraction, so the evaluator's
+    cost is O(EVAL_SAMPLE_MAX²) worst-case at ANY corpus size (a pure
+    pct knob would still grow pct²·n² at 100× data). The LSH half is
+    the very pipeline the real query runs. The verify step filters to
+    true J≥0.5 on both paths, so detected ⊆ exact and recall is the
+    one number that can degrade — precision here is candidate-level
+    (verified / LSH candidates), the cost metric of the band join."""
     from tpg_weather_etl_spark.operators.sampling import (
-        deterministic_sample,
+        deterministic_sample_capped,
     )
     from pyspark import StorageLevel
 
     from tpg_weather_etl_spark.caching import track
 
-    docs = deterministic_sample(
-        t(spark, sf_dir, "documents"), "doc_id", EVAL_SAMPLE_PCT
+    docs = deterministic_sample_capped(
+        t(spark, sf_dir, "documents"), "doc_id", EVAL_SAMPLE_PCT,
+        EVAL_SAMPLE_MAX,
     ).repartition(spark.sparkContext.defaultParallelism)
     # both halves of the evaluation branch over the sample's shingle
     # table 4x (counts, exact join sides, signatures, verify) — the
@@ -2365,12 +2376,12 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_neardup_eval() -> str:
     from tpg_weather_etl_spark.operators.sampling import (
-        deterministic_sample_sql,
+        deterministic_sample_capped_sql,
     )
     shingles_sampled = _SQL_SHINGLES.replace(
         "FROM documents",
-        "FROM documents WHERE "
-        + deterministic_sample_sql("doc_id", EVAL_SAMPLE_PCT))
+        "FROM " + deterministic_sample_capped_sql(
+            "doc_id", EVAL_SAMPLE_PCT, EVAL_SAMPLE_MAX) + " documents")
     return f"""
 WITH {shingles_sampled},
 exact AS (

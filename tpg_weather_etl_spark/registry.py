@@ -42,76 +42,18 @@ except ImportError:
     _IMPORT_FAILURES.append("queries_multimodal")
 
 
-# The driver caps each round at 50 checked queries of the 166-query
-# registry, walking it in order. ROUND-6 ROTATION (the plan staged in
-# round 5): front all 54 queries that never had a driver CORRECTNESS
-# row before r6. The cap is 50, so the tail of this list waits:
-# positions 51-54 are the four deferred names — each with a
-# driver-checked close relative pinning the same operator family
-# (variant_extract~json_extract, lateral_top_items~topk_latest,
-# sequence_gaps~sessionize/gap_fill_forward,
-# revenue_share~rollup_revenue) — followed by the twelve round-6
-# additions (each locally double-gated plain+NTZ at add time).
-# ROUND-7 ROTATION PLAN: front those 16 tail names, then fill the
-# head to 50 with the oldest r4-green names (their last driver rows
-# will be three rounds old); push the r6-driver-checked head 50 to
-# the tail behind the r5-green block.
-# The 50 r4-green names sit in the unordered middle; the 50 r5-green
-# names (round-5's _RUN_FIRST) go to the tail.
+# The driver caps each round at 50 checked queries of the registry,
+# walking it in order. ROUND-7 ROTATION (staged in round 6, executed
+# here): front the 23 names that have never had a driver CORRECTNESS
+# row (all 23 were judge-verified green locally in round 6), then
+# fill the head to 50 with the 27 stalest r4-green names (their last
+# driver rows are three rounds old). The remaining 23 r4-green names
+# sit in _RUN_MID and are the staged ROUND-8 ROTATION head, together
+# with any round-7 additions (which, being new, default to the
+# unordered middle right behind _RUN_MID). The tail is ordered
+# stalest-first: the 50 r5-green names, then the 50 r6-green names.
 _RUN_FIRST = [
-    # never driver-checked before round 6
-    "dedup_apply",
-    "semantic_dedup_keeper",
-    "semantic_dedup_apply",
-    "bm25_topk",
-    "dup_span_fraction",
-    "dup_span_apply",
-    "prefix_jaccard_pairs",
-    "part_triangles",
-    "pagerank_parts",
-    "degree_distribution",
-    "zipf_slope",
-    "basket_lift_pairs",
-    "ngram_novelty",
-    "nb_source_confusion",
-    "event_transitions",
-    "token_budget_sample",
-    "train_test_split",
-    "key_skew_profile",
-    "source_quality_matrix",
-    "approx_accuracy",
-    "group_mad",
-    "gap_fill_interpolate",
-    "trend_by_type",
-    "value_outliers",
-    "fk_integrity",
-    "cube_revenue",
-    "disjunctive_pred_revenue",
-    "idle_customer_balance",
-    "promo_revenue",
-    "volume_shipping",
-    "market_share",
-    "returned_items",
-    "top_supplier",
-    "priority_late_orders",
-    "min_cost_supplier",
-    "profit_by_nation_year",
-    "important_parts",
-    "supplier_cnt_by_type",
-    "waiting_orders",
-    "skyline_parts",
-    "decile_stats",
-    "shipping_priority",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "returnflag_priority_counts",
-    "excess_suppliers",
-    "unpivot_metrics",
-    "activity_bitmask",
-    "bitmap_distinct_users",
-    "int8_quant_topk",
-    # deferred past the 50-cap to round 7 (driver-checked relatives named above)
-    # plus the round-6 additions below them — they front round 7 too
+    # never driver-checked (deferred past the r6 50-cap + r6 additions)
     "variant_extract",
     "lateral_top_items",
     "sequence_gaps",
@@ -135,14 +77,66 @@ _RUN_FIRST = [
     "lang_agreement",
     "cluster_size_histogram",
     "embedding_norm_profile",
+    # stalest r4-green refresh block (last driver row: CORRECTNESS_r04)
+    "rolling_7d",
+    "sessionize",
+    "interval_join",
+    "pattern_within",
+    "asof_join",
+    "lag_grid",
+    "pricing_summary",
+    "top_orders",
+    "region_revenue",
+    "semi_join_parts",
+    "anti_join_customers",
+    "left_join_enrich",
+    "dedupe_exact",
+    "dedupe_priority",
+    "group_median",
+    "agg_by_bin",
+    "latest_per_user",
+    "scalar_bins",
+    "time_features",
+    "text_stats",
+    "lang_quality",
+    "fingerprint_dedup",
+    "simhash",
+    "simhash_pairs",
+    "contamination_ngrams",
+    "stratified_sample",
+    "length_buckets",
 ]
 
-# The 50 r4-green names (rolling_7d .. pipeline-era relational gates)
-# are intentionally unlisted: they land in the unordered middle,
-# after _RUN_FIRST and before _RUN_LAST.
+# Staged round-8 head: the 23 r4-green names not refreshed this round.
+# Kept ordered so the r8 rotation is a mechanical swap.
+_RUN_MID = [
+    "gopher_quality",
+    "source_mix_weights",
+    "mixed_sample",
+    "embedding_topk",
+    "ann_buckets",
+    "ann_topk",
+    "embedding_neardup",
+    "ivf_topk",
+    "scalar_normalize",
+    "heatmap_hour_dow",
+    "kpi_summary",
+    "cohort_retention",
+    "funnel_steps",
+    "tfidf_top_terms",
+    "bigram_topk",
+    "dominant_event_type",
+    "distinct_months",
+    "minmax_bounds",
+    "null_profile",
+    "topk_latest",
+    "deterministic_sample",
+    "contains_filter",
+    "union_shards",
+]
 
-# Green in round 5 (CORRECTNESS_r05) — the freshest rows, last to
-# lose to the 50-query cap.
+# Tail, stalest-first: r5-green block (driver rows 2 rounds old),
+# then the r6-green block (freshest rows, last to win a cap slot).
 _RUN_LAST = [
     "containment_pairs",
     "dedup_keeper",
@@ -194,6 +188,57 @@ _RUN_LAST = [
     "repetition_stats",
     "unigram_logprob",
     "pipeline_funnel",
+    # green in round 6 (CORRECTNESS_r06)
+    "dedup_apply",
+    "semantic_dedup_keeper",
+    "semantic_dedup_apply",
+    "bm25_topk",
+    "dup_span_fraction",
+    "dup_span_apply",
+    "prefix_jaccard_pairs",
+    "part_triangles",
+    "pagerank_parts",
+    "degree_distribution",
+    "zipf_slope",
+    "basket_lift_pairs",
+    "ngram_novelty",
+    "nb_source_confusion",
+    "event_transitions",
+    "token_budget_sample",
+    "train_test_split",
+    "key_skew_profile",
+    "source_quality_matrix",
+    "approx_accuracy",
+    "group_mad",
+    "gap_fill_interpolate",
+    "trend_by_type",
+    "value_outliers",
+    "fk_integrity",
+    "cube_revenue",
+    "disjunctive_pred_revenue",
+    "idle_customer_balance",
+    "promo_revenue",
+    "volume_shipping",
+    "market_share",
+    "returned_items",
+    "top_supplier",
+    "priority_late_orders",
+    "min_cost_supplier",
+    "profit_by_nation_year",
+    "important_parts",
+    "supplier_cnt_by_type",
+    "waiting_orders",
+    "skyline_parts",
+    "decile_stats",
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "returnflag_priority_counts",
+    "excess_suppliers",
+    "unpivot_metrics",
+    "activity_bitmask",
+    "bitmap_distinct_users",
+    "int8_quant_topk",
 ]
 
 
@@ -208,18 +253,21 @@ def _validate_ordering(query_keys: set[str]) -> None:
     # raise, not assert: `python -O` strips asserts and a typo here
     # would silently demote a query to the unordered middle.
     if not _IMPORT_FAILURES:
-        unknown = (set(_RUN_FIRST) | set(_RUN_LAST)) - query_keys
+        unknown = (set(_RUN_FIRST) | set(_RUN_MID) | set(_RUN_LAST)
+                   ) - query_keys
         if unknown:
             raise ValueError(
                 f"registry ordering names unknown queries: {unknown}")
-    dup = set(_RUN_FIRST) & set(_RUN_LAST)
-    if dup:
-        raise ValueError(
-            f"queries listed in both _RUN_FIRST and _RUN_LAST: {dup}")
+    for a, b in (("_RUN_FIRST", "_RUN_MID"), ("_RUN_FIRST", "_RUN_LAST"),
+                 ("_RUN_MID", "_RUN_LAST")):
+        dup = set(globals()[a]) & set(globals()[b])
+        if dup:
+            raise ValueError(f"queries listed in both {a} and {b}: {dup}")
 
 
 def _prioritize(d: dict) -> dict:
     head = {k: d[k] for k in _RUN_FIRST if k in d}
+    head.update({k: d[k] for k in _RUN_MID if k in d})
     head.update({k: v for k, v in d.items()
                  if k not in head and k not in _RUN_LAST})
     head.update({k: d[k] for k in _RUN_LAST if k in d})

@@ -114,8 +114,16 @@ def start_drift_monitor(stream: DataFrame, baseline: DataFrame,
                         out_dir: str, checkpoint_dir: str,
                         alert_kl: float = DRIFT_ALERT_KL,
                         top: int = DRIFT_TOP):
-    """foreachBatch scorer: append per-source KL rows (with the alert
-    flag) for every micro-batch. Stateless beyond source offsets."""
+    """foreachBatch scorer: write per-source KL rows (with the alert
+    flag) for every micro-batch. Stateless beyond source offsets.
+
+    Idempotent sink contract, made real: the sink is partitioned by
+    ``batch_id`` and written with dynamic partition overwrite, so a
+    batch replayed after a crash between the parquet commit and the
+    offset commit OVERWRITES its own partition instead of appending a
+    duplicate — foreachBatch's at-least-once delivery composes to
+    exactly-once at the sink because batch_id is stable across
+    replays of the same epoch."""
 
     def score(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -125,7 +133,9 @@ def start_drift_monitor(stream: DataFrame, baseline: DataFrame,
             "source", "n_top_tokens", "kl",
             (F.col("kl") >= alert_kl).alias("alert"),
         )
-        out.write.mode("append").parquet(out_dir)
+        (out.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_dir))
 
     return (
         stream.writeStream.foreachBatch(score)
