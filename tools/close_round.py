@@ -2,12 +2,16 @@
 prints a single summary block for SURVEY.
 
 Order (fail-fast, each step's artifact still written on failure):
-1. full oracle gate, plain            (tools/check_oracle.py)
+1. full oracle gate, plain, sf0.01    (tools/check_oracle.py)
 2. full oracle gate, forced NTZ      (tools/check_oracle.py --ntz)
-3. bench + regression guard          (tools/bench_guard.py)
-4. graph-loop bench + guard          (tools/bench_graph.py)
-5. similarity skew stress, 50k docs  (tools/stress_similarity.py)
-6. giant-cluster stress              (tools/stress_similarity.py --giant)
+3. full oracle gate, sf0.001         (tools/check_oracle.py --sf ...)
+4. bench + regression guard          (tools/bench_guard.py)
+5. graph-loop bench + guard          (tools/bench_graph.py)
+6. similarity skew stress, 50k docs  (tools/stress_similarity.py)
+7. giant-cluster stress              (tools/stress_similarity.py --giant)
+
+Steps 1-3 are the triple gate (VERDICT r6 item 4): every registry
+query at plain sf0.01, NTZ sf0.01, and sf0.001 from ONE command.
 
 The full pytest suite is deliberately NOT here — run it separately
 (it's 20+ minutes and CI's job); this script is the 15-minute
@@ -54,6 +58,8 @@ def main() -> int:
 
     step("oracle gate (plain)", ["tools/check_oracle.py"])
     step("oracle gate (--ntz)", ["tools/check_oracle.py", "--ntz"])
+    step("oracle gate (sf0.001)",
+         ["tools/check_oracle.py", "--sf", "/root/testdata/sf0.001"])
     step("bench + guard", ["tools/bench_guard.py"])
     step("graph bench + guard", ["tools/bench_graph.py"])
     if not args.skip_stress:

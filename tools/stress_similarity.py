@@ -26,12 +26,16 @@ Floors asserted (exit 1 on breach):
   pigeonhole guarantee — ZERO recall cost is the design claim);
 - ngram_jaccard_pairs / containment_pairs: recall 1.0 vs their own
   capped semantics, >=0.8 vs uncapped truth (the documented cap cost);
-- minhash_pairs: recall >=0.85 vs uncapped J>=0.8 (16 hashes / 4
-  bands: theoretical detection ~0.88 at J=0.8, ~0.99 at J=0.9);
-- dedup_clusters: >=0.78 of planted clusters fully connected
-  (>=0.88 over clusters whose base-mutant pairs are both J>=0.8 —
-  the unconditional number includes J~0.7 mutant-mutant pairs where
-  4-band LSH detection is ~60% by design);
+- minhash_pairs: recall >=0.95 vs uncapped J>=0.8 (two disjoint
+  16-hash families / 8 bands since round 7: per-edge detection
+  ~0.99 at J=0.8 — the round-6 single-family numbers were 0.958
+  recall / 0.847 unconditional connectivity);
+- dedup_clusters: >=0.95 of planted clusters fully connected
+  (>=0.97 over clusters whose base-mutant pairs are both J>=0.8);
+  the second band family exists exactly for this floor — per-doc
+  signature misses are correlated within a cluster, so the fix is
+  an independent second detection draw, not more bands in one
+  family (measured 0.979 / 0.994 at 50k docs);
 - wall-clock: total under 900s on local[32] (record the actuals).
 
 Writes STRESS_similarity.json at the repo root.
@@ -135,13 +139,16 @@ def giant_mode(args) -> int:
     Why >=960, not 1000: inside a near-identical cluster the per-pair
     LSH events are perfectly CORRELATED — every member's signature is
     the shared base signature plus that member's own deviations, so a
-    doc whose deviations break all 4 bands misses ALL ~999 of its
-    pairs at once (measured: doc 848, true J 0.88 to its nearest
-    neighbor, zero candidates). The residual per-DOC miss rate
-    (~1-(1-(1-J^4))^... ~ 2-3% at J~0.88 for 16/4 LSH) therefore does
-    NOT vanish with cluster size the way independent pair misses
-    would. At 100 TB the fix is more bands or a second pass over
-    cluster-adjacent non-members, not a bigger cluster.
+    doc whose deviations break all bands of ONE family misses ALL
+    ~999 of its pairs at once (round-6 measurement: doc 848, true J
+    0.88 to its nearest neighbor, zero candidates). The residual
+    per-DOC miss rate therefore does NOT vanish with cluster size the
+    way independent pair misses would. Round 7 applied the named fix:
+    a second, disjoint 16-hash band family (MH_FAMILIES in
+    queries_text.py) gives each doc an independent second draw,
+    squaring the per-doc miss rate (~2-3% -> <0.1% at J~0.88); the
+    floor stays at 960 as a regression tripwire, actuals in
+    STRESS_giant.json show the measured size.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -329,7 +336,7 @@ def main() -> int:
 
     want_mh = [(a, b) for a, b, k, j, cj, c, cc in cl if j >= MH_HI_J]
     r, n = recall(results["minhash_pairs"], want_mh)
-    floors.append(("minhash_recall_at_J0.8", r, 0.85, n))
+    floors.append(("minhash_recall_at_J0.8", r, 0.95, n))
 
     # planted-cluster connectivity under the found minhash edges
     # (planted clusters are consecutive id triples: base, m1, m2)
@@ -356,9 +363,9 @@ def main() -> int:
             n_hi += 1
             n_conn_hi += conn
     floors.append(("cluster_connectivity", n_conn / max(len(bases), 1),
-                   0.78, len(bases)))
+                   0.95, len(bases)))
     floors.append(("cluster_connectivity_at_J0.8",
-                   n_conn_hi / max(n_hi, 1), 0.88, n_hi))
+                   n_conn_hi / max(n_hi, 1), 0.97, n_hi))
 
     total = round(sum(timings.values()), 1)
     floors_out = [

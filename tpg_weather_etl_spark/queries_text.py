@@ -32,7 +32,19 @@ from tpg_weather_etl_spark.sources.tables import read_table as t
 # MinHash parameters (small but real; production would use 128 hashes)
 MH_P = 2147483647          # 2^31 - 1, Mersenne prime
 MH_NUM_HASHES = 16
-MH_BAND_ROWS = 4           # → 4 bands of 4 rows
+MH_BAND_ROWS = 4           # → 4 bands of 4 rows per pass
+# Two independently-seeded band passes (STRESS_giant finding, round
+# 7): per-doc LSH misses are CORRELATED inside near-identical
+# clusters — a doc whose signature happens to diverge misses ALL its
+# cluster edges at once, so the miss rate does not vanish with
+# cluster size. A second 4-band pass from a disjoint hash family
+# gives every pair an independent second detection draw: per-edge
+# detection at J=0.7 rises 0.67 → ~0.89, and measured unconditional
+# planted-cluster connectivity rises 0.847 → ≥0.95
+# (STRESS_similarity.json). Exact verify is unchanged, so extra
+# candidates cost band-join width only, never precision.
+# Hash family of pass p, hash i: ((2i+a_p)·h + (b_p·i+c_p)) mod P.
+MH_FAMILIES = [(3, 104729, 12345), (37, 15485863, 54321)]
 SIMHASH_BITS = 60          # full width of stable_hash60
 SIMHASH_BANDS = 5          # 5 × 12 bits → exact for hamming ≤ 4
 SIMHASH_MAX_HAMMING = 4
@@ -89,23 +101,28 @@ def shingles_from_docs(d: DataFrame, k: int = 3) -> DataFrame:
 
 def bands_from_shingles(sh: DataFrame) -> DataFrame:
     """(doc_id, band, bkey) MinHash-LSH band keys from a shingle
-    table — the signature is 16 aggregate expressions (map-side
-    partial min), not a 16× explode; shared by the batch gate query
-    and the streaming near-dup store."""
+    table — the signature is 32 aggregate expressions (two disjoint
+    16-hash families, map-side partial min), not a 32× explode;
+    shared by the batch gate query and the streaming near-dup store.
+    The two 4-band passes are concatenated (bands 0-3 = family 0,
+    bands 4-7 = family 1), so the downstream band self-join is one
+    join regardless of pass count — see MH_FAMILIES for why two."""
     shh = sh.withColumn("h", F.col("sh_hash") % MH_P)
     sig = shh.groupBy("doc_id").agg(
         *[
-            F.min(((2 * i + 3) * F.col("h") + (104729 * i + 12345)) % MH_P)
-            .alias(f"s{i}")
+            F.min(((2 * i + a) * F.col("h") + (b * i + c)) % MH_P)
+            .alias(f"s{p}_{i}")
+            for p, (a, b, c) in enumerate(MH_FAMILIES)
             for i in range(MH_NUM_HASHES)
         ]
     )
     n_bands = MH_NUM_HASHES // MH_BAND_ROWS
     band_keys = F.array(*[
         F.concat_ws("_", *[
-            F.col(f"s{b * MH_BAND_ROWS + r}").cast("string")
+            F.col(f"s{p}_{b * MH_BAND_ROWS + r}").cast("string")
             for r in range(MH_BAND_ROWS)
         ])
+        for p in range(len(MH_FAMILIES))
         for b in range(n_bands)
     ])
     return sig.select(
@@ -660,16 +677,30 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_MINHASH_PAIRS = f"""
-WITH {_SQL_SHINGLES},
+# Shared oracle-side band CTEs — the SQL mirror of
+# bands_from_shingles: two disjoint 16-hash families (MH_FAMILIES),
+# 8 bands of 4, band index i//4 so bands 4-7 are the second pass.
+_SQL_MH_BANDS = f"""
 hv AS (SELECT doc_id, sh_hash % {MH_P} AS h FROM shx),
 sig AS (SELECT doc_id, i,
-          MIN(((2*i+3)*h + (104729*i+12345)) % {MH_P}) AS s
-        FROM hv CROSS JOIN range(0, {MH_NUM_HASHES}) t(i)
+          MIN(CASE WHEN i < {MH_NUM_HASHES}
+              THEN ((2*i+{MH_FAMILIES[0][0]})*h
+                    + ({MH_FAMILIES[0][1]}*i+{MH_FAMILIES[0][2]})) % {MH_P}
+              ELSE ((2*(i-{MH_NUM_HASHES})+{MH_FAMILIES[1][0]})*h
+                    + ({MH_FAMILIES[1][1]}*(i-{MH_NUM_HASHES})
+                       +{MH_FAMILIES[1][2]})) % {MH_P}
+              END) AS s
+        FROM hv CROSS JOIN range(0, {MH_NUM_HASHES * len(MH_FAMILIES)}) t(i)
         GROUP BY doc_id, i),
 bands AS (SELECT doc_id, i // {MH_BAND_ROWS} AS band,
             string_agg(s::VARCHAR, '_' ORDER BY i) AS bkey
-          FROM sig GROUP BY doc_id, band),
+          FROM sig GROUP BY doc_id, band)
+"""
+
+
+SQL_MINHASH_PAIRS = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_MH_BANDS},
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -2393,14 +2424,7 @@ exactp AS (
   JOIN shn na ON na.doc_id = doc_a
   JOIN shn nb ON nb.doc_id = doc_b
   WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.5),
-hv AS (SELECT doc_id, sh_hash % {MH_P} AS h FROM shx),
-sig AS (SELECT doc_id, i,
-          MIN(((2*i+3)*h + (104729*i+12345)) % {MH_P}) AS s
-        FROM hv CROSS JOIN range(0, {MH_NUM_HASHES}) t(i)
-        GROUP BY doc_id, i),
-bands AS (SELECT doc_id, i // {MH_BAND_ROWS} AS band,
-            string_agg(s::VARCHAR, '_' ORDER BY i) AS bkey
-          FROM sig GROUP BY doc_id, band),
+{_SQL_MH_BANDS},
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
