@@ -72,10 +72,8 @@ HEADLINE = [
     "returned_items",
     "token_budget_sample",
     # round-5 fourth batch: basket analytics, skyline, quantized ANN.
-    # part_triangles / pagerank_parts stay gate-only: genuinely heavy
-    # graph jobs (1.2M edges at sf0.1, ~20s/10s) that would drown the
-    # per-query signal of everything else; their perf story is the
-    # plan-budget pin + the operators' own scaling tests.
+    # The graph loops live in GRAPH below (appended last since round
+    # 7) so their 10-20s jobs can't drown the per-query signal here.
     "basket_lift_pairs",
     "skyline_parts",
     "decile_stats",
@@ -105,6 +103,18 @@ HEADLINE = [
 ]
 
 
+# Iterative graph jobs — folded into the headline (VERDICT r6 item 5)
+# so the driver-recorded BENCH_r* is the ONE regression surface; they
+# run LAST so their 10-20s loops can't perturb the warm-cache timing
+# of the fine-grained queries. Opt out with SPARK_GRAFT_BENCH_GRAPH=0
+# (tools/bench_graph.py remains the standalone guard for quick runs).
+GRAPH = [
+    "degree_distribution",
+    "pagerank_parts",
+    "part_triangles",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -113,7 +123,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
-    names = [n for n in HEADLINE if n in qs]
+    timed = list(HEADLINE)
+    if os.environ.get("SPARK_GRAFT_BENCH_GRAPH", "1") != "0":
+        timed += GRAPH
+    names = [n for n in timed if n in qs]
     # A/B instrumentation (round-6 drift investigation): run only a
     # comma-separated subset, preserving HEADLINE order. The driver
     # never sets this, so recorded BENCH_r* runs are always the full
