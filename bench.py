@@ -100,6 +100,11 @@ HEADLINE = [
     "lang_agreement",
     "cluster_size_histogram",
     "embedding_norm_profile",
+    # round-7 additions
+    "pq_topk",
+    "dsir_importance",
+    "quality_filter_funnel",
+    "temperature_mix_weights",
 ]
 
 

@@ -1,0 +1,136 @@
+"""Round-7 curation operators: DSIR importance weights separate a
+planted target distribution, the quality funnel composes the Gopher
+rules stage-by-stage, temperature mixing flattens a skewed source
+mix, and PQ top-k recovers exact neighbours on clustered vectors."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def skew_sf_dir(spark, tmp_path_factory):
+    """Synthetic corpus with a DISTINCTIVE target slice: src0/src1
+    docs speak 'science', src2/src3 mixed, src4+ speak 'spam'; src9
+    dominates token volume 10x for the temperature test."""
+    root = tmp_path_factory.mktemp("curation_sf")
+    sci = "quantum photon lattice entropy boson field tensor orbit"
+    spam = "click buy now cheap deal offer win prize free bonus"
+    rows = []
+    did = 0
+    for i in range(20):
+        rows.append((did, f"{sci} study {i} result {i % 3}",
+                     "en", f"src{i % 2}", 60)); did += 1
+    for i in range(20):
+        rows.append((did, f"{sci if i % 2 else spam} item {i}",
+                     "en", f"src{2 + i % 2}", 60)); did += 1
+    for i in range(20):
+        rows.append((did, f"{spam} offer {i} code {i % 5}",
+                     "en", f"src{4 + i % 3}", 60)); did += 1
+    # one token-heavy source for temperature flattening
+    long_text = " ".join(f"w{j}" for j in range(300))
+    for i in range(10):
+        rows.append((did, long_text, "en", "src9", 1500)); did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.write.mode("overwrite").parquet(str(root / "documents.parquet"))
+    return str(root)
+
+
+def test_dsir_separates_target_from_spam(spark, skew_sf_dir):
+    from tpg_weather_etl_spark.queries_ml import q_dsir_importance
+
+    out = {r.doc_id: r for r in
+           q_dsir_importance(spark, skew_sf_dir).collect()}
+    by_src: dict = {}
+    for r in out.values():
+        by_src.setdefault(r.source, []).append(r.log_weight)
+    mean = {s: sum(v) / len(v) for s, v in by_src.items()}
+    # target slice (src0/src1 is IN the target set and purely sci)
+    # must score strictly above the pure-spam sources
+    assert mean["src0"] > mean["src4"]
+    assert mean["src1"] > mean["src5"]
+    # weights are finite and the table covers every document; each
+    # feature occurrence contributes one bounded log-ratio term
+    assert len(out) == 70
+    assert all(abs(r.log_weight) < 20.0 * r.n_feats
+               for r in out.values())
+
+
+def test_quality_funnel_composition(spark, skew_sf_dir):
+    from tpg_weather_etl_spark.queries_ml import q_quality_filter_funnel
+    from tpg_weather_etl_spark.queries_text import q_gopher_quality
+
+    stages = q_quality_filter_funnel(spark, skew_sf_dir).collect()
+    assert [s.stage_idx for s in stages] == [1, 2, 3, 4]
+    # sequential composition: each stage consumes the previous output
+    for prev, cur in zip(stages, stages[1:]):
+        assert cur.n_in == prev.n_out
+    for s in stages:
+        assert 0 <= s.n_out <= s.n_in
+        assert s.retention == pytest.approx(
+            s.n_out / s.n_in if s.n_in else 0.0, abs=1e-6)
+    # the funnel's final survivors == the gopher keep flag
+    keeps = (q_gopher_quality(spark, skew_sf_dir)
+             .filter("keep").count())
+    assert stages[-1].n_out == keeps
+
+
+def test_temperature_mix_flattens_skew(spark, skew_sf_dir):
+    from tpg_weather_etl_spark.queries_ml import q_temperature_mix_weights
+
+    rows = {r.source: r for r in
+            q_temperature_mix_weights(spark, skew_sf_dir).collect()}
+    big, small = rows["src9"], rows["src0"]
+    assert big.token_share > small.token_share
+    # temperature pulls shares toward the middle: the dominant source
+    # is downsampled (<1), the small one upsampled (>1)
+    assert big.mix_weight < 1.0 < small.mix_weight
+    # temp shares still sum to ~1
+    assert sum(r.temp_share for r in rows.values()) == pytest.approx(
+        1.0, abs=1e-4)
+
+
+@pytest.fixture(scope="module")
+def clustered_vec_dir(spark, tmp_path_factory):
+    """Vectors in 4 tight clusters of 16 so exact neighbours are
+    unambiguous — PQ at 8x16 codes must keep them."""
+    import numpy as np
+
+    root = tmp_path_factory.mktemp("pq_sf")
+    rng = np.random.RandomState(5)
+    centers = rng.randn(4, 64) * 5.0
+    rows = []
+    for v in range(64):
+        c = centers[v % 4]
+        rows.append((v, [float(x) for x in c + rng.randn(64) * 0.05],
+                     f"lab{v % 4}"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).write.mode("overwrite").parquet(str(root / "embeddings.parquet"))
+    return str(root)
+
+
+def test_pq_topk_recall_on_clustered_vectors(spark, clustered_vec_dir):
+    from tpg_weather_etl_spark.queries_embeddings import (
+        PQ_N_QUERY,
+        q_pq_topk,
+    )
+
+    out = q_pq_topk(spark, clustered_vec_dir).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(range(PQ_N_QUERY))
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        # ADC distances are non-decreasing with rank
+        ds = [r.adc_dist for r in rs]
+        assert ds == sorted(ds)
+        # all 15 same-cluster vectors must dominate the top-10:
+        # cross-cluster distance is ~100x the intra-cluster spread
+        same = {v for v in range(64)
+                if v % 4 == qid % 4 and v != qid}
+        got = {r.vec_id for r in rs}
+        assert got <= same, f"q{qid}: cross-cluster leak {got - same}"

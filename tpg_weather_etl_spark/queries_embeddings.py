@@ -526,6 +526,16 @@ def clear_centroid_memo() -> None:
     _CENTROID_MEMO.clear()
 
 
+def _parquet_glob(sf_dir: str, table: str) -> str:
+    """read_parquet-able path for ``<sf_dir>/<table>.parquet``: the
+    driver testdata ships single files, Spark-written fixtures are
+    part-file DIRECTORIES — glob those."""
+    import os
+
+    p = os.path.join(str(sf_dir), f"{table}.parquet")
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def _portable_sample_order(vec_id: Column) -> Column:
     """Engine-portable pseudo-random sort key over vec_id (the
     operators/sampling.py LCG). Odd multiplier mod 2^31 is a
@@ -618,7 +628,7 @@ def fit_kmeans_local(sf_dir: str, k: int = KMEANS_IVF_K,
 
     rows = duckdb.sql(
         f"SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb "
-        f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"FROM read_parquet('{_parquet_glob(sf_dir, 'embeddings')}') "
         f"ORDER BY (vec_id * {LCG_A} + {LCG_C}) % {LCG_M}, vec_id "
         f"LIMIT {train_max}"
     ).fetchall()
@@ -1001,6 +1011,180 @@ WHERE fused_rank <= 3
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance top-k — the
+# compressed-index half of a FAISS-like ANN stack (Jegou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                 # subspaces (64 dims -> 8 slices of 8)
+PQ_SUB_DIM = EMB_DIM // PQ_M
+PQ_K = 16                # centroids per subspace -> 4-bit codes
+PQ_SEED = 77
+PQ_N_QUERY = 3
+PQ_TOPK = 10
+
+
+def _fit_pq(X, m: int):
+    """Per-subspace Lloyd fit over the slice columns of the shared
+    LCG-ordered training sample — the same `_lloyd` the IVF quantizer
+    uses, seeded per subspace, so codebooks are deterministic and
+    replayable engine-free."""
+    sub = X[:, m * PQ_SUB_DIM:(m + 1) * PQ_SUB_DIM]
+    return _lloyd(sub, PQ_K, PQ_SEED + m, max_iter=8)
+
+
+_PQ_MEMO: dict[tuple, list] = {}
+
+
+def pq_codebooks_local(sf_dir: str) -> list:
+    """(m, code, ce) codebook rows fitted Spark-free from the LCG
+    sample — shared by the Spark query (as a createDataFrame literal)
+    and the DuckDB oracle (as a VALUES literal), so both engines
+    quantize with bit-identical centroids. The fit itself is
+    driver/oracle-side numpy over a bounded (<=KMEANS_TRAIN_MAX-row)
+    sample — at 100 TB this is the index-build artifact, not a
+    per-query cost."""
+    import duckdb
+    import numpy as np
+
+    from tpg_weather_etl_spark.operators.sampling import LCG_A, LCG_C, LCG_M
+
+    memo_key = (sf_dir, _data_signature(sf_dir))
+    rows = _PQ_MEMO.get(memo_key)
+    if rows is not None:
+        return rows
+    sample = duckdb.sql(
+        f"SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb "
+        f"FROM read_parquet('{_parquet_glob(sf_dir, 'embeddings')}') "
+        f"ORDER BY (vec_id * {LCG_A} + {LCG_C}) % {LCG_M}, vec_id "
+        f"LIMIT {KMEANS_TRAIN_MAX}"
+    ).fetchall()
+    X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    rows = [(m, code, ce)
+            for m in range(PQ_M)
+            for code, ce in _fit_pq(X, m)]
+    _PQ_MEMO[memo_key] = rows
+    return rows
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbours by PQ asymmetric distance: each vector is
+    encoded once as PQ_M 4-bit codes (nearest codebook centroid per
+    subspace slice); search never touches the original vectors —
+    per query, a PQ_M x PQ_K lookup table of exact query-to-centroid
+    distances is built, and every corpus vector's distance is the sum
+    of PQ_M table lookups (the ADC of Jegou et al. 2011).
+
+    Scale shape: the codebook is PQ_M*PQ_K = 128 bounded rows
+    (broadcast by construction — rule 2 of SCALE.md); encoding is one
+    broadcast-join + per-(vec, subspace) argmin, a one-off index
+    build whose output (vec_id, m, code) is 4 bits of payload per
+    subspace — 16x less memory traffic than float32 at search time;
+    the ADC search is a 128-row broadcast lookup join + one
+    map-side-combinable sum per (query, vector). Cross-engine parity:
+    distances are rounded to 6 decimals BEFORE every argmin/rank
+    (the kmeans_ivf discipline), ties broken by code/vec_id.
+    """
+    cb = spark.createDataFrame(
+        pq_codebooks_local(sf_dir), "m int, code int, ce array<double>")
+    e = t(spark, sf_dir, "embeddings")
+    sub = (
+        e.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id", "m", "code",
+            F.slice(F.col("embedding").cast("array<double>"),
+                    F.col("m") * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("x"),
+            "ce")
+    )
+    d2 = F.round(F.aggregate(
+        F.zip_with("x", "ce", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, v: acc + v), 6) + F.lit(0.0)
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc("d2"), F.asc("code"))
+    codes = (sub.withColumn("d2", d2)
+             .withColumn("rn", F.row_number().over(w_enc))
+             .filter(F.col("rn") == 1)
+             .select("vec_id", "m", "code"))
+    # per-query exact distance lookup table (PQ_N_QUERY x 128 rows)
+    lut = (
+        e.filter(F.col("vec_id") < PQ_N_QUERY)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "qid", "m", "code",
+            F.round(F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("embedding").cast("array<double>"),
+                            F.col("m") * PQ_SUB_DIM + 1, PQ_SUB_DIM),
+                    F.col("ce"), lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0), lambda acc, v: acc + v), 6).alias("qd"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg((F.round(F.sum("qd"), 6) + F.lit(0.0)).alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"),
+                                          F.asc("vec_id"))
+    return (adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= PQ_TOPK))
+
+
+def sql_pq_topk() -> str:
+    """DuckDB oracle with the codebook inlined as literals (repr
+    round-trips doubles exactly) — the same replayed-fit discipline
+    as sql_kmeans_ivf_topk."""
+    import os
+
+    sf_dir = os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)
+    values = ",\n  ".join(
+        f"({m}, {code}, CAST([{', '.join(repr(x) for x in ce)}]"
+        f" AS DOUBLE[]))"
+        for m, code, ce in pq_codebooks_local(sf_dir)
+    )
+    return f"""
+WITH cb(m, code, ce) AS (VALUES
+  {values}),
+eb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       FROM embeddings),
+sub AS (
+  SELECT vec_id, m, code,
+    round(list_sum(list_transform(
+      range(1, {PQ_SUB_DIM} + 1),
+      j -> (e[m * {PQ_SUB_DIM} + j] - ce[j])
+           * (e[m * {PQ_SUB_DIM} + j] - ce[j]))), 6) + 0.0 AS d2
+  FROM eb CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2 ASC, code ASC) AS rn
+    FROM sub)
+  WHERE rn = 1),
+lut AS (
+  SELECT vec_id AS qid, m, code,
+    round(list_sum(list_transform(
+      range(1, {PQ_SUB_DIM} + 1),
+      j -> (e[m * {PQ_SUB_DIM} + j] - ce[j])
+           * (e[m * {PQ_SUB_DIM} + j] - ce[j]))), 6) AS qd
+  FROM eb CROSS JOIN cb
+  WHERE vec_id < {PQ_N_QUERY}),
+adc AS (
+  SELECT l.qid, c.vec_id, round(SUM(l.qd), 6) + 0.0 AS adc_dist
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> l.qid
+  GROUP BY 1, 2)
+SELECT qid, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        ORDER BY adc_dist ASC, vec_id ASC) AS rank
+      FROM adc)
+WHERE rank <= {PQ_TOPK}
+"""
+
+
 QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "embedding_norm_profile": q_embedding_norm_profile,
@@ -1014,12 +1198,14 @@ QUERIES = {
     "embedding_neardup_multi": q_embedding_neardup_multi,
     "ivf_topk": q_ivf_topk,
     "kmeans_ivf_topk": q_kmeans_ivf_topk,
+    "pq_topk": q_pq_topk,
 }
 
 # Oracles whose SQL embeds data-derived literals (fitted centers) are
 # built lazily at oracle_sql() call time, not import time.
 ORACLE_DYNAMIC = {
     "kmeans_ivf_topk": sql_kmeans_ivf_topk,
+    "pq_topk": sql_pq_topk,
 }
 
 ORACLE = {

@@ -2166,7 +2166,303 @@ FROM terms GROUP BY source ORDER BY kl DESC, source
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights: hashed-ngram likelihood ratio of a
+# target slice vs the whole corpus (Xie et al., "Data Selection for
+# Language Models via Importance Resampling", NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+# the "looks like what we want" slice the raw corpus is scored
+# against; any doc predicate works — a source set keeps it portable
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def _dsir_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, b): every unigram AND bigram occurrence,
+    hashed into DSIR_BUCKETS buckets — the fixed-width feature space
+    that makes the two n-gram distributions comparable without a
+    vocabulary shuffle (the hashing trick of the DSIR paper)."""
+    from tpg_weather_etl_spark.functions.text import (
+        norm_text,
+        stable_hash60,
+    )
+
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = (d.select("doc_id", "source",
+                     F.split(norm_text(F.col("text")), " ").alias("toks"))
+            .withColumn("n", F.size("toks")))
+    uni = base.select(
+        "doc_id", "source", F.explode("toks").alias("feat"))
+    bi = (base.filter(F.col("n") >= 2)
+          .select("doc_id", "source", "toks",
+                  F.explode(F.sequence(F.lit(0), F.col("n") - 2))
+                  .alias("i"))
+          .select("doc_id", "source", F.concat_ws(
+              " ",
+              F.element_at("toks", (F.col("i") + 1).cast("int")),
+              F.element_at("toks", (F.col("i") + 2).cast("int")),
+          ).alias("feat")))
+    return uni.unionByName(bi).select(
+        "doc_id", "source",
+        (stable_hash60(F.col("feat")) % DSIR_BUCKETS).alias("b"))
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight: log p_target(doc) −
+    log p_corpus(doc) under hashed-ngram bag models with add-1
+    smoothing — the curation score that RESAMPLES a raw corpus toward
+    a target slice instead of hard-filtering it (quality filters keep
+    or kill; DSIR re-weights, preserving tail diversity).
+
+    Scale shape (SCALE.md rules 1-2): the feature stream never joins
+    itself — it aggregates into two bucket tables bounded at
+    DSIR_BUCKETS rows BY CONSTRUCTION (broadcastable regardless of
+    corpus size), which then map-join back onto the stream; the
+    per-doc score is one map-side-combinable sum. Cross-engine float
+    discipline: each bucket's log-ratio term is rounded to 6 decimals
+    then summed in DECIMAL(38,8) (exact, order-free), so the gate
+    hash cannot drift with partitioning."""
+    feats = _dsir_features(spark, sf_dir)
+    is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    per_bucket = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(is_tgt.cast("long")).alias("c_tgt"))
+    tot = per_bucket.agg(
+        F.sum("c_all").alias("n_all"), F.sum("c_tgt").alias("n_tgt"))
+    lam = (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .select("b", F.round(
+            F.log(((F.col("c_tgt") + 1.0)
+                   / (F.col("n_tgt") + F.lit(float(DSIR_BUCKETS))))
+                  / ((F.col("c_all") + 1.0)
+                     / (F.col("n_all") + F.lit(float(DSIR_BUCKETS))))),
+            6).cast("decimal(38,8)").alias("term"))
+    )
+    return (
+        feats.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            (F.round(F.sum("term"), 6).cast("double") + F.lit(0.0))
+            .alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH d AS (SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')), ' ') AS toks
+           FROM documents),
+feat AS (
+  SELECT doc_id, source, unnest(toks) AS feat FROM d
+  UNION ALL
+  SELECT doc_id, source,
+    unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS feat
+  FROM d WHERE len(toks) >= 2),
+fb AS (SELECT doc_id, source,
+         ('0x' || substr(md5(feat), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b
+       FROM feat),
+per_bucket AS (
+  SELECT b, COUNT(*) AS c_all,
+    SUM(CASE WHEN source IN ({_DSIR_TGT_SQL}) THEN 1 ELSE 0 END) AS c_tgt
+  FROM fb GROUP BY b),
+tot AS (SELECT SUM(c_all) AS n_all, SUM(c_tgt) AS n_tgt FROM per_bucket),
+lam AS (
+  SELECT b, CAST(round(ln(((c_tgt + 1.0) / (n_tgt + {DSIR_BUCKETS}.0))
+                          / ((c_all + 1.0) / (n_all + {DSIR_BUCKETS}.0))),
+                       6) AS DECIMAL(38,8)) AS term
+  FROM per_bucket CROSS JOIN tot)
+SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_feats,
+  CAST(ROUND(SUM(term), 6) AS DOUBLE) + 0.0 AS log_weight
+FROM fb JOIN lam USING (b)
+GROUP BY doc_id, source ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel: per-stage retention of the composed Gopher
+# pipeline — the first dashboard of any corpus-cleaning run
+# ---------------------------------------------------------------------------
+
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many documents survive each Gopher rule APPLIED IN
+    SEQUENCE (token bounds → word length → punctuation → repetition):
+    per stage, the in-count, out-count, and retention. Composes the
+    registry's own q_gopher_quality metrics rather than re-deriving
+    them; the funnel itself is ONE aggregation over the per-doc
+    metric table and a 4-row unpivot — nothing corpus-sized moves."""
+    from tpg_weather_etl_spark.queries_text import (
+        GOPHER_MAX_PUNCT,
+        GOPHER_MAX_TOP_BIGRAM,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MAX_WORD_LEN,
+        GOPHER_MIN_TOKENS,
+        GOPHER_MIN_WORD_LEN,
+        q_gopher_quality,
+    )
+
+    g = q_gopher_quality(spark, sf_dir)
+    f1 = F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+    f2 = f1 & F.col("mean_word_len").between(GOPHER_MIN_WORD_LEN,
+                                             GOPHER_MAX_WORD_LEN)
+    f3 = f2 & (F.col("punct_ratio") < GOPHER_MAX_PUNCT)
+    f4 = f3 & (F.col("top_bigram_frac") < GOPHER_MAX_TOP_BIGRAM)
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(f1.cast("long")).alias("n1"),
+        F.sum(f2.cast("long")).alias("n2"),
+        F.sum(f3.cast("long")).alias("n3"),
+        F.sum(f4.cast("long")).alias("n4"))
+    stages = F.array(*[
+        F.struct(F.lit(i + 1).alias("stage_idx"),
+                 F.lit(name).alias("stage"),
+                 F.col(f"n{i}").alias("n_in"),
+                 F.col(f"n{i + 1}").alias("n_out"))
+        for i, name in enumerate(
+            ["token_bounds", "word_length", "punctuation", "repetition"])
+    ])
+    return (
+        agg.select(F.explode(stages).alias("s")).select("s.*")
+        .select(
+            "stage_idx", "stage", "n_in", "n_out",
+            (F.round(F.col("n_out")
+                     / F.nullif(F.col("n_in").cast("double"), F.lit(0.0)),
+                     6) + F.lit(0.0)).alias("retention"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def _sql_quality_filter_funnel() -> str:
+    from tpg_weather_etl_spark.queries_text import (
+        GOPHER_MAX_PUNCT,
+        GOPHER_MAX_TOP_BIGRAM,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MAX_WORD_LEN,
+        GOPHER_MIN_TOKENS,
+        GOPHER_MIN_WORD_LEN,
+        SQL_GOPHER_QUALITY,
+    )
+    inner = SQL_GOPHER_QUALITY.strip().rstrip(";")
+    return f"""
+WITH g AS ({inner}),
+f AS (SELECT *,
+  (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}) AS f1,
+  (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+    AND (mean_word_len BETWEEN {GOPHER_MIN_WORD_LEN}
+         AND {GOPHER_MAX_WORD_LEN}) AS f2,
+  (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+    AND (mean_word_len BETWEEN {GOPHER_MIN_WORD_LEN}
+         AND {GOPHER_MAX_WORD_LEN})
+    AND (punct_ratio < {GOPHER_MAX_PUNCT}) AS f3,
+  (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+    AND (mean_word_len BETWEEN {GOPHER_MIN_WORD_LEN}
+         AND {GOPHER_MAX_WORD_LEN})
+    AND (punct_ratio < {GOPHER_MAX_PUNCT})
+    AND (top_bigram_frac < {GOPHER_MAX_TOP_BIGRAM}) AS f4
+  FROM g),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM f)
+SELECT stage_idx, stage, n_in, n_out,
+  round(n_out / NULLIF(CAST(n_in AS DOUBLE), 0.0), 6) + 0.0 AS retention
+FROM (
+  SELECT 1 AS stage_idx, 'token_bounds' AS stage, n0 AS n_in, n1 AS n_out FROM a
+  UNION ALL SELECT 2, 'word_length', n1, n2 FROM a
+  UNION ALL SELECT 3, 'punctuation', n2, n3 FROM a
+  UNION ALL SELECT 4, 'repetition', n3, n4 FROM a)
+ORDER BY stage_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing: the alpha-smoothed sampling
+# weights of multilingual/multi-source LM training (mT5 and friends)
+# ---------------------------------------------------------------------------
+
+# alpha = 0.5 on purpose: IEEE sqrt is CORRECTLY ROUNDED in every
+# conforming implementation, so temp-share math is bit-identical
+# across engines — a generic pow(x, alpha) is not (libm pow differs
+# by ulps between JVM and C), which would make the gate hash flaky.
+TEMP_MIX_ALPHA = 0.5
+
+
+def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-scaled sampling weights: target share ∝
+    (token share)^alpha — flatter than proportional (upsamples small
+    sources) but not uniform. weight = target_share / actual_share is
+    what a sampler multiplies into its keep probability
+    (q_mixed_sample's contract). Shares sum over a k-row table;
+    sqrt terms are rounded to 6 then summed in DECIMAL (order-free),
+    same float discipline as q_dsir_importance."""
+    from tpg_weather_etl_spark.functions.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"))
+    tot = per_source.agg(F.sum("n_tokens").alias("tot"))
+    shared = (per_source.crossJoin(F.broadcast(tot))
+              .withColumn("token_share",
+                          F.col("n_tokens").cast("double") / F.col("tot"))
+              .withColumn("tshare",
+                          F.round(F.sqrt(F.col("token_share")), 6)
+                          .cast("decimal(38,8)")))
+    denom = shared.agg(F.sum("tshare").alias("z"))
+    return (
+        shared.crossJoin(F.broadcast(denom))
+        .select(
+            "source", "n_docs", "n_tokens",
+            (F.round("token_share", 6) + F.lit(0.0)).alias("token_share"),
+            (F.round(F.col("tshare").cast("double")
+                     / F.col("z").cast("double"), 6) + F.lit(0.0))
+            .alias("temp_share"),
+            (F.round((F.col("tshare").cast("double")
+                      / F.col("z").cast("double")) / F.col("token_share"),
+                     6) + F.lit(0.0)).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEMPERATURE_MIX_WEIGHTS = """
+WITH per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT))
+         AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n_tokens) AS tot FROM per_source),
+shared AS (
+  SELECT source, n_docs, n_tokens,
+    CAST(n_tokens AS DOUBLE) / tot AS token_share,
+    CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / tot), 6)
+         AS DECIMAL(38,8)) AS tshare
+  FROM per_source CROSS JOIN tot),
+denom AS (SELECT SUM(tshare) AS z FROM shared)
+SELECT source, n_docs, n_tokens,
+  round(token_share, 6) + 0.0 AS token_share,
+  round(CAST(tshare AS DOUBLE) / CAST(z AS DOUBLE), 6) + 0.0 AS temp_share,
+  round((CAST(tshare AS DOUBLE) / CAST(z AS DOUBLE)) / token_share, 6)
+    + 0.0 AS mix_weight
+FROM shared CROSS JOIN denom ORDER BY source
+"""
+
+
 ORACLE_DYNAMIC = {
+    "quality_filter_funnel": _sql_quality_filter_funnel,
     "cluster_split": _cluster_split_oracle,
     "cluster_size_histogram": _cluster_size_histogram_oracle,
     "semantic_dedup_keeper": sql_semantic_dedup_keeper,
@@ -2205,6 +2501,9 @@ QUERIES = {
     "zipf_slope": q_zipf_slope,
     "basket_lift_pairs": q_basket_lift_pairs,
     "nb_source_confusion": q_nb_source_confusion,
+    "dsir_importance": q_dsir_importance,
+    "quality_filter_funnel": q_quality_filter_funnel,
+    "temperature_mix_weights": q_temperature_mix_weights,
 }
 
 ORACLE = {
@@ -2234,4 +2533,6 @@ ORACLE = {
     "embedding_dedup_clusters": _embedding_dedup_clusters_oracle(),
     "dedup_keeper": _dedup_keeper_oracle(),
     "dedup_apply": _dedup_apply_oracle(),
+    "dsir_importance": SQL_DSIR_IMPORTANCE,
+    "temperature_mix_weights": SQL_TEMPERATURE_MIX_WEIGHTS,
 }
