@@ -105,6 +105,10 @@ HEADLINE = [
     "dsir_importance",
     "quality_filter_funnel",
     "temperature_mix_weights",
+    "boilerplate_prefixes",
+    "char_entropy",
+    "source_overlap_jaccard",
+    "contrastive_triplets",
 ]
 
 

@@ -134,3 +134,59 @@ def test_pq_topk_recall_on_clustered_vectors(spark, clustered_vec_dir):
                 if v % 4 == qid % 4 and v != qid}
         got = {r.vec_id for r in rs}
         assert got <= same, f"q{qid}: cross-cluster leak {got - same}"
+
+
+def test_boilerplate_prefix_detects_template(spark, skew_sf_dir):
+    from tpg_weather_etl_spark.queries_ml import _dsir_features  # noqa: F401
+    from tpg_weather_etl_spark.queries_text import (
+        q_boilerplate_prefixes,
+    )
+
+    rows = {r.source: r for r in
+            q_boilerplate_prefixes(spark, skew_sf_dir).collect()}
+    # every src9 doc is the identical long_text -> share 1.0
+    assert rows["src9"].share == pytest.approx(1.0)
+    assert rows["src9"].prefix == "w0 w1 w2 w3 w4"
+    # shares are well-formed everywhere
+    assert all(0 < r.share <= 1.0 for r in rows.values())
+
+
+def test_char_entropy_orders_diversity(spark, skew_sf_dir):
+    from tpg_weather_etl_spark.queries_text import q_char_entropy
+
+    ent = {r.doc_id: r.char_entropy_bits for r in
+           q_char_entropy(spark, skew_sf_dir).collect()}
+    assert len(ent) == 70
+    # entropy of a distribution over <=k symbols is in [0, log2(n)]
+    assert all(0 <= v < 7 for v in ent.values())
+
+
+def test_source_overlap_symmetric_bounds(spark, skew_sf_dir):
+    from tpg_weather_etl_spark.queries_text import (
+        q_source_overlap_jaccard,
+    )
+
+    rows = q_source_overlap_jaccard(spark, skew_sf_dir).collect()
+    got = {(r.source_a, r.source_b): r for r in rows}
+    # src0 and src1 share the identical sci vocabulary (modulo the
+    # numeric suffixes); they must overlap far more than src0 vs the
+    # spam-only src4
+    assert got[("src0", "src1")].jaccard > got[("src0", "src4")].jaccard
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 <= r.jaccard <= 1
+        assert r.n_inter <= min(r.na, r.nb)
+
+
+def test_contrastive_triplets_contract(spark, clustered_vec_dir):
+    from tpg_weather_etl_spark.queries_embeddings import (
+        PQ_N_QUERY,  # noqa: F401
+        q_contrastive_triplets,
+    )
+
+    rows = q_contrastive_triplets(spark, clustered_vec_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.neg_id not in (r.qid, r.pos_id)
+        # positive is the exact top-1, so it dominates any negative
+        assert r.pos_cos >= r.neg_cos

@@ -73,6 +73,16 @@ BNLJ_ALLOWED = {
     # NB model grid: vocab × S-source totals (bounded by the vocab
     # count-floor) plus two 1-row scalars (V, corpus size)
     "nb_source_confusion": "count-floor-bounded model grid broadcast",
+    # DSIR: single-row (n_all, n_tgt) total crossed into the
+    # DSIR_BUCKETS-bounded bucket table
+    "dsir_importance": "single-row global total broadcast",
+    # temperature mixing: per-source stats × 1-row total × 1-row Z
+    "temperature_mix_weights": "single-row global total broadcast",
+    # PQ: corpus × 128-row codebook (distance-to-all-codes is the
+    # encode step, same shape as the fixed-k centroid assignment)
+    "pq_topk": "bounded 128-row codebook broadcast",
+    # triplets compose the deliberate brute-force baseline
+    "contrastive_triplets": "10-row query side, deliberate baseline",
 }
 
 

@@ -1185,6 +1185,81 @@ WHERE rank <= {PQ_TOPK}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training triplets: (anchor, positive, negative) pairs
+# for embedding-model fine-tuning — positive = exact nearest
+# neighbour, negative = deterministic pseudo-random non-neighbour
+# (the "in-batch random negative" of contrastive pipelines, made
+# engine-portable)
+# ---------------------------------------------------------------------------
+
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per anchor (the N_QUERY_VECS query vectors): the exact cosine
+    top-1 as the positive, and as the negative the corpus vector with
+    the smallest portable-LCG value keyed on (anchor, candidate) —
+    uniform pseudo-random, reproducible in any engine, and excluded
+    from {anchor, positive}. Scale shape: positives reuse the
+    brute-force gate (broadcast queries, one pass); negatives are one
+    MIN-aggregate over the same broadcast-join pass — no extra
+    corpus shuffle, no RNG state."""
+    from tpg_weather_etl_spark.operators.sampling import LCG_A, LCG_C, LCG_M
+
+    pos = (q_embedding_topk(spark, sf_dir)
+           .filter(F.col("rank") == 1)
+           .select("qid", F.col("vec_id").alias("pos_id"),
+                   F.col("cos").alias("pos_cos")))
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+    lcg = ((F.col("vec_id") + F.col("qid") * 7919).cast("long")
+           * LCG_A + LCG_C) % LCG_M
+    cand = (
+        e.crossJoin(F.broadcast(q))
+        .join(F.broadcast(pos), "qid")
+        .filter((F.col("vec_id") != F.col("qid"))
+                & (F.col("vec_id") != F.col("pos_id")))
+        .select("qid", "vec_id", "q_emb", "embedding",
+                lcg.alias("u"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("u"), F.asc("vec_id"))
+    neg = (cand.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("qid", F.col("vec_id").alias("neg_id"),
+                   _cos_rounded(F.col("q_emb"), F.col("embedding"))
+                   .alias("neg_cos")))
+    return (pos.join(neg, "qid")
+            .select("qid", "pos_id", "pos_cos", "neg_id", "neg_cos")
+            .orderBy("qid"))
+
+
+SQL_CONTRASTIVE_TRIPLETS = f"""
+WITH topk AS ({SQL_EMBEDDING_TOPK.strip()}),
+pos AS (SELECT qid, vec_id AS pos_id, cos AS pos_cos
+        FROM topk WHERE rank = 1),
+eb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM eb WHERE vec_id < {N_QUERY_VECS}),
+cand AS (
+  SELECT q.qid, eb.vec_id, qe, e,
+    ((eb.vec_id + q.qid * 7919) * 1103515245 + 12345) % 2147483648 AS u
+  FROM eb CROSS JOIN q
+  JOIN pos ON pos.qid = q.qid
+  WHERE eb.vec_id <> q.qid AND eb.vec_id <> pos.pos_id),
+neg AS (
+  SELECT qid, vec_id AS neg_id,
+    round(list_dot_product(qe, e)
+          / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+          6) + 0.0 AS neg_cos
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY u ASC, vec_id ASC) AS rn FROM cand)
+  WHERE rn = 1)
+SELECT qid, pos_id, pos_cos, neg_id, neg_cos
+FROM pos JOIN neg USING (qid) ORDER BY qid
+"""
+
+
 QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "embedding_norm_profile": q_embedding_norm_profile,
@@ -1199,6 +1274,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "kmeans_ivf_topk": q_kmeans_ivf_topk,
     "pq_topk": q_pq_topk,
+    "contrastive_triplets": q_contrastive_triplets,
 }
 
 # Oracles whose SQL embeds data-derived literals (fitted centers) are
@@ -1220,4 +1296,5 @@ ORACLE = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "embedding_neardup_multi": SQL_EMBEDDING_NEARDUP_MULTI,
     "ivf_topk": SQL_IVF_TOPK,
+    "contrastive_triplets": SQL_CONTRASTIVE_TRIPLETS,
 }

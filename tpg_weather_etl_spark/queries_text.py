@@ -2541,7 +2541,215 @@ ORDER BY cnt DESC, word
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate prefix detection: the template-page telltale — per
+# source, the dominant opening k-gram and how much of the source it
+# covers (a CCNet/RefinedWeb-style cleanup diagnostic)
+# ---------------------------------------------------------------------------
+
+BOILER_PREFIX_TOKENS = 5
+
+
+def q_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: the most common first-``BOILER_PREFIX_TOKENS``-token
+    prefix, how many documents open with it, and its share of the
+    source — >~0.3 flags a templated source whose headers will melt
+    naive n-gram indexes (the exact skew STRESS_similarity plants).
+
+    Scale shape: prefix extraction is a map-side slice+concat (no
+    explode), then one (source, prefix) count shuffle and a per-source
+    top-1 window on the counted table (already tiny). Ties break by
+    prefix string for cross-engine determinism."""
+    from tpg_weather_etl_spark.functions.text import norm_text
+
+    d = t(spark, sf_dir, "documents")
+    pref = d.select(
+        "source",
+        F.concat_ws(" ", F.slice(
+            F.split(norm_text(F.col("text")), " "),
+            1, BOILER_PREFIX_TOKENS)).alias("prefix"))
+    counts = pref.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    per_source = counts.groupBy("source").agg(
+        F.sum("n_docs").alias("n_source"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_docs"), F.asc("prefix"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1).drop("rn")
+        .join(per_source, "source")
+        .select(
+            "source", "prefix", "n_docs",
+            (F.round(F.col("n_docs")
+                     / F.col("n_source").cast("double"), 6)
+             + F.lit(0.0)).alias("share"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_BOILERPLATE_PREFIXES = f"""
+WITH pref AS (
+  SELECT source,
+    array_to_string(list_slice(
+      string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   ' '), 1, {BOILER_PREFIX_TOKENS}), ' ') AS prefix
+  FROM documents),
+counts AS (SELECT source, prefix, COUNT(*) AS n_docs
+           FROM pref GROUP BY 1, 2),
+per_source AS (SELECT source, SUM(n_docs) AS n_source
+               FROM counts GROUP BY 1),
+top1 AS (
+  SELECT source, prefix, n_docs FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY n_docs DESC, prefix ASC) AS rn
+    FROM counts)
+  WHERE rn = 1)
+SELECT source, prefix, CAST(n_docs AS BIGINT) AS n_docs,
+  round(n_docs / CAST(n_source AS DOUBLE), 6) + 0.0 AS share
+FROM top1 JOIN per_source USING (source) ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-document character entropy: the cheapest quality signal there
+# is — gibberish/binary-leak docs sit high, template/repetitive docs
+# sit low; a standard pre-filter feature next to the Gopher rules
+# ---------------------------------------------------------------------------
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits/char) of each document's normalized
+    character distribution. Characters are exploded positionally
+    (substr over a sequence — identical array in both engines), the
+    per-(doc, char) counts combine map-side, and the entropy terms
+    are rounded to 6dp then DECIMAL-summed so the gate hash cannot
+    drift with partitioning. At 100 TB the explode is the honest
+    cost of a per-char statistic; it stays one map-side Generate with
+    no extra shuffle beyond the (doc_id, ch) count."""
+    from tpg_weather_etl_spark.functions.text import norm_text
+
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    chars = (d.select("doc_id", norm_text(F.col("text")).alias("s"))
+             .select("doc_id",
+                     F.explode(F.split(F.col("s"), "")).alias("ch")))
+    cc = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c"))
+    nn = cc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    term = F.round(
+        -(F.col("c") / F.col("n").cast("double"))
+        * F.log2(F.col("c") / F.col("n").cast("double")), 6
+    ).cast("decimal(38,8)")
+    return (
+        cc.join(nn, "doc_id")
+        .select("doc_id", "n", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars_norm"),
+            (F.round(F.sum("term"), 6).cast("double") + F.lit(0.0))
+            .alias("char_entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '')) AS ch
+  FROM documents),
+cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+nn AS (SELECT doc_id, SUM(c) AS n FROM cc GROUP BY 1),
+terms AS (
+  SELECT doc_id, n,
+    CAST(round(-(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)),
+               6) AS DECIMAL(38,8)) AS term
+  FROM cc JOIN nn USING (doc_id))
+SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars_norm,
+  CAST(ROUND(SUM(term), 6) AS DOUBLE) + 0.0 AS char_entropy_bits
+FROM terms GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Source-pair vocabulary overlap: which sources are near-copies of
+# each other at the VOCABULARY level — the source-granular cousin of
+# doc-level near-dup, and the first question of any mixture design
+# ---------------------------------------------------------------------------
+
+def q_source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard similarity of the distinct-token vocabularies
+    of every source pair. Scale shape: the corpus reduces to a
+    distinct (source, tok) table ONCE; the pair intersection is a
+    self-join co-partitioned on tok whose fan-out per token is
+    bounded by (n_sources choose 2) — a constant of the catalog, not
+    the corpus — and per-source vocab sizes broadcast back onto the
+    k²-row result."""
+    from tpg_weather_etl_spark.functions.text import norm_text
+
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    st = (d.select("source",
+                   F.explode(F.split(norm_text(F.col("text")), " "))
+                   .alias("tok"))
+          .distinct())
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a = st.select(F.col("source").alias("source_a"), "tok")
+    b = st.select(F.col("source").alias("source_b"),
+                  F.col("tok").alias("tok_b"))
+    inter = (
+        a.join(b, (F.col("tok") == F.col("tok_b"))
+               & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("n_vocab").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("n_vocab").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "n_inter", "na", "nb",
+            (F.round(F.col("n_inter")
+                     / (F.col("na") + F.col("nb")
+                        - F.col("n_inter")).cast("double"), 6)
+             + F.lit(0.0)).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_SOURCE_OVERLAP_JACCARD = """
+WITH st AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(string_split(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents)),
+sizes AS (SELECT source, COUNT(*) AS n_vocab FROM st GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(*) AS n_inter
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, CAST(n_inter AS BIGINT) AS n_inter,
+  CAST(sa.n_vocab AS BIGINT) AS na, CAST(sb.n_vocab AS BIGINT) AS nb,
+  round(n_inter / CAST(sa.n_vocab + sb.n_vocab - n_inter AS DOUBLE), 6)
+    + 0.0 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
+    "boilerplate_prefixes": q_boilerplate_prefixes,
+    "char_entropy": q_char_entropy,
+    "source_overlap_jaccard": q_source_overlap_jaccard,
     "bpe_merges": q_bpe_merges,
     "neardup_eval": q_neardup_eval,
     "bpe_encode": q_bpe_encode,
@@ -2580,6 +2788,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "boilerplate_prefixes": SQL_BOILERPLATE_PREFIXES,
+    "char_entropy": SQL_CHAR_ENTROPY,
+    "source_overlap_jaccard": SQL_SOURCE_OVERLAP_JACCARD,
     "bpe_merges": SQL_BPE_MERGES,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "doc_chunks": SQL_DOC_CHUNKS,

@@ -133,6 +133,18 @@ _RUN_MID = [
     "deterministic_sample",
     "contains_filter",
     "union_shards",
+    # round-7 additions (never driver-checked; judge-gated at add
+    # time: plain sf0.01, NTZ, sf0.001) — these plus the 23 r4-green
+    # names above are the staged ROUND-8 head (27 names, fill to 50
+    # with the stalest r5 block below)
+    "pq_topk",
+    "dsir_importance",
+    "quality_filter_funnel",
+    "temperature_mix_weights",
+    "boilerplate_prefixes",
+    "char_entropy",
+    "source_overlap_jaccard",
+    "contrastive_triplets",
 ]
 
 # Tail, stalest-first: r5-green block (driver rows 2 rounds old),
