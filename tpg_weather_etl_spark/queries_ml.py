@@ -2226,8 +2226,17 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc score is one map-side-combinable sum. Cross-engine float
     discipline: each bucket's log-ratio term is rounded to 6 decimals
     then summed in DECIMAL(38,8) (exact, order-free), so the gate
-    hash cannot drift with partitioning."""
-    feats = _dsir_features(spark, sf_dir)
+    hash cannot drift with partitioning.
+
+    The hashed feature stream is persisted: it feeds BOTH the bucket
+    aggregation and the per-doc score join — without materialization
+    the corpus is scanned and tokenized twice."""
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+
+    feats = track(_dsir_features(spark, sf_dir)
+                  .persist(StorageLevel.MEMORY_AND_DISK))
     is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
     per_bucket = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("c_all"),

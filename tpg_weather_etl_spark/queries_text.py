@@ -2570,8 +2570,14 @@ def q_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(
             F.split(norm_text(F.col("text")), " "),
             1, BOILER_PREFIX_TOKENS)).alias("prefix"))
-    counts = pref.groupBy("source", "prefix").agg(
+    # persisted: counts feed both the per-source totals and the top-1
+    # window — unmaterialized, the corpus prefix pass runs twice
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+    counts = track(pref.groupBy("source", "prefix").agg(
         F.count(F.lit(1)).alias("n_docs"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     per_source = counts.groupBy("source").agg(
         F.sum("n_docs").alias("n_source"))
     w = Window.partitionBy("source").orderBy(
@@ -2635,8 +2641,13 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars = (d.select("doc_id", norm_text(F.col("text")).alias("s"))
              .select("doc_id",
                      F.explode(F.split(F.col("s"), "")).alias("ch")))
-    cc = chars.groupBy("doc_id", "ch").agg(
-        F.count(F.lit(1)).alias("c"))
+    # persisted: the counted table feeds both the per-doc total and
+    # the term join — unmaterialized, the char explode runs twice
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+    cc = track(chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")).persist(StorageLevel.MEMORY_AND_DISK))
     nn = cc.groupBy("doc_id").agg(F.sum("c").alias("n"))
     term = F.round(
         -(F.col("c") / F.col("n").cast("double"))
@@ -2686,15 +2697,22 @@ def q_source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join co-partitioned on tok whose fan-out per token is
     bounded by (n_sources choose 2) — a constant of the catalog, not
     the corpus — and per-source vocab sizes broadcast back onto the
-    k²-row result."""
+    k²-row result. The distinct table is persisted: it feeds all four
+    consumers (both join sides + both size lookups) — without
+    materialization the corpus is scanned and tokenized four times."""
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
     from tpg_weather_etl_spark.functions.text import norm_text
 
     d = t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
-    st = (d.select("source",
-                   F.explode(F.split(norm_text(F.col("text")), " "))
-                   .alias("tok"))
-          .distinct())
+    st = track(
+        d.select("source",
+                 F.explode(F.split(norm_text(F.col("text")), " "))
+                 .alias("tok"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
     sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
     a = st.select(F.col("source").alias("source_a"), "tok")
     b = st.select(F.col("source").alias("source_b"),
