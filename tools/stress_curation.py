@@ -1,0 +1,159 @@
+"""Scale probe for the curation/text-diagnostic family (round 7).
+
+The similarity stress (tools/stress_similarity.py) covers the
+near-dup detectors; this probe covers the round-7 curation operators
+whose 100 TB claims rest on BOUNDED intermediate tables (DSIR's
+4096-bucket table, the (n_sources choose 2) overlap fan-out, the
+per-source prefix top-1) rather than candidate pruning. It generates
+the same synthetic corpus at two sizes and asserts:
+
+- wall-clock grows ~linearly: t(2n) / t(n) <= LINEARITY_MAX per
+  query (a quadratic operator would show ~4x);
+- DSIR's bucket table stays exactly DSIR_BUCKETS rows at both sizes
+  (the bounded-by-construction claim, checked not argued);
+- source_overlap_jaccard emits exactly (20 choose 2) rows at both
+  sizes (corpus-size-independent output).
+
+Writes STRESS_curation.json at the repo root; exit 1 on breach.
+
+Usage: python tools/stress_curation.py [--base 50000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+# sub-quadratic tripwire: ideal linear = 2.0; allow constant-factor
+# noise (JVM, small fixed costs) but fail long before the 4.0 a
+# quadratic term would show
+LINEARITY_MAX = 3.0
+
+QUERIES = [
+    "dsir_importance",
+    "char_entropy",
+    "source_overlap_jaccard",
+    "boilerplate_prefixes",
+    "quality_filter_funnel",
+    "temperature_mix_weights",
+    "pq_topk",
+    "contrastive_triplets",
+]
+
+
+def _write_corpus(n_docs: int, out_dir: Path) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools.stress_similarity import gen_corpus
+
+    rng = np.random.default_rng(7)
+    rows, _ = gen_corpus(n_docs, rng)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir.mkdir(parents=True)
+    texts = [" ".join(w) for _, w in rows]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array([f"src{d % 20}" for d, _ in rows]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), out_dir / "documents.parquet")
+    # embeddings for the PQ / triplet queries: same row count, 64-d,
+    # deterministic
+    emb_rng = np.random.default_rng(13)
+    embs = emb_rng.standard_normal((len(rows), 64)).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(rows)), pa.int64()),
+        "embedding": pa.array(
+            [e.tolist() for e in embs], pa.list_(pa.float32())),
+        "label": pa.array([d % 10 for d in range(len(rows))],
+                          pa.int64()),
+    }), out_dir / "embeddings.parquet")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", type=int, default=50000)
+    args = ap.parse_args()
+
+    from tpg_weather_etl_spark.caching import release_all
+    from tpg_weather_etl_spark.queries_ml import DSIR_BUCKETS
+    from tpg_weather_etl_spark.registry import all_queries
+    from tpg_weather_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="stress_curation")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    sizes = [args.base, args.base * 2]
+    timings: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    bucket_rows: dict[int, int] = {}
+    overlap_rows: dict[int, int] = {}
+
+    for n in sizes:
+        out_dir = Path(f"/tmp/spark_graft_stress_curation_{n}")
+        _write_corpus(n, out_dir)
+        print(f"== {n} docs ==")
+        # warm the scan once so per-query numbers measure compute
+        qs["temperature_mix_weights"](spark, str(out_dir)).write.format(
+            "noop").mode("overwrite").save()
+        release_all()
+        for q in QUERIES:
+            t0 = time.perf_counter()
+            df = qs[q](spark, str(out_dir))
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 2)
+            timings[q][n] = dt
+            print(f"  {q}: {dt}s")
+            release_all()
+        # bounded-table claims, measured
+        from tpg_weather_etl_spark.queries_ml import _dsir_features
+        bucket_rows[n] = (_dsir_features(spark, str(out_dir))
+                          .select("b").distinct().count())
+        overlap_rows[n] = qs["source_overlap_jaccard"](
+            spark, str(out_dir)).count()
+        release_all()
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    ratios = {q: round(timings[q][sizes[1]] / max(timings[q][sizes[0]],
+                                                  0.01), 2)
+              for q in QUERIES}
+    rec = {
+        "sizes": sizes,
+        "timings_sec": {q: {str(k): v for k, v in t.items()}
+                        for q, t in timings.items()},
+        "ratio_2x_docs": ratios,
+        "linearity_max": LINEARITY_MAX,
+        "dsir_bucket_rows": bucket_rows,
+        "dsir_buckets_const": DSIR_BUCKETS,
+        "source_overlap_rows": overlap_rows,
+    }
+    (ROOT / "STRESS_curation.json").write_text(
+        json.dumps(rec, indent=2) + "\n")
+    print(json.dumps(rec["ratio_2x_docs"], indent=1))
+
+    bad = [f"{q}: {r}x" for q, r in ratios.items() if r > LINEARITY_MAX]
+    if any(v > DSIR_BUCKETS for v in bucket_rows.values()):
+        bad.append(f"dsir bucket table exceeded {DSIR_BUCKETS}")
+    if len(set(overlap_rows.values())) != 1:
+        bad.append(f"overlap row count varies with corpus "
+                   f"size: {overlap_rows}")
+    if bad:
+        print("STRESS FAIL:", bad)
+        return 1
+    print("STRESS OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

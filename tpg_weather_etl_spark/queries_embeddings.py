@@ -1091,13 +1091,17 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = spark.createDataFrame(
         pq_codebooks_local(sf_dir), "m int, code int, ce array<double>")
     e = t(spark, sf_dir, "embeddings")
+    # slice ONCE per (vector, subspace) — 8 rows/vec — then broadcast-
+    # hash-join the 16 codes per subspace; slicing inside the 128-row
+    # cross join would recompute each sub-vector 16x
+    slices = F.array(*[
+        F.slice(F.col("embedding").cast("array<double>"),
+                m * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+        for m in range(PQ_M)
+    ])
     sub = (
-        e.crossJoin(F.broadcast(cb))
-        .select(
-            "vec_id", "m", "code",
-            F.slice(F.col("embedding").cast("array<double>"),
-                    F.col("m") * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("x"),
-            "ce")
+        e.select("vec_id", F.posexplode(slices).alias("m", "x"))
+        .join(F.broadcast(cb), "m")
     )
     d2 = F.round(F.aggregate(
         F.zip_with("x", "ce", lambda x, c: (x - c) * (x - c)),
