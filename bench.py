@@ -109,6 +109,8 @@ HEADLINE = [
     "char_entropy",
     "source_overlap_jaccard",
     "contrastive_triplets",
+    "pack_efficiency",
+    "perplexity_filter_apply",
 ]
 
 

@@ -190,3 +190,49 @@ def test_contrastive_triplets_contract(spark, clustered_vec_dir):
         assert r.neg_id not in (r.qid, r.pos_id)
         # positive is the exact top-1, so it dominates any negative
         assert r.pos_cos >= r.neg_cos
+
+
+def test_pack_efficiency_invariants(spark, skew_sf_dir):
+    from tpg_weather_etl_spark.queries_text import (
+        PACK_CAP,
+        q_pack_efficiency,
+        q_sequence_pack,
+    )
+
+    row = q_pack_efficiency(spark, skew_sf_dir).collect()[0]
+    packed = q_sequence_pack(spark, skew_sf_dir).collect()
+    assert row.n_seqs == len(packed)
+    assert row.total_tokens == sum(r.n_tokens for r in packed)
+    # every sequence except possibly the tail is exactly full
+    assert row.n_full >= row.n_seqs - 1
+    assert 0 < row.fill_rate <= 1.0
+    # spans ≥ starts, so the cut rate is a well-formed non-negative
+    assert row.boundary_cuts >= 0
+    assert row.cut_rate >= 0
+    # token conservation: packed tokens == corpus tokens
+    corpus_tokens = sum(
+        len(r.text.split()) for r in
+        spark.read.parquet(f"{skew_sf_dir}/documents.parquet").collect())
+    assert row.total_tokens == corpus_tokens
+    assert row.n_seqs == -(-corpus_tokens // PACK_CAP)
+
+
+def test_perplexity_filter_drops_worst_decile(spark, skew_sf_dir):
+    from tpg_weather_etl_spark.queries_ml import (
+        PPLX_KEEP_P,
+        q_bigram_logprob,
+        q_perplexity_filter_apply,
+    )
+
+    scored = {r.doc_id: r.xent for r in
+              q_bigram_logprob(spark, skew_sf_dir).collect()}
+    kept = q_perplexity_filter_apply(spark, skew_sf_dir).collect()
+    import math
+    assert len(kept) >= math.ceil(PPLX_KEEP_P * len(scored)) - 1
+    thr = kept[0].xent_p90
+    # exactly the docs at or below the threshold survive
+    assert {r.doc_id for r in kept} == {
+        d for d, x in scored.items() if x <= thr}
+    # and every dropped doc scores strictly above every kept doc's bar
+    dropped = set(scored) - {r.doc_id for r in kept}
+    assert all(scored[d] > thr for d in dropped)

@@ -83,6 +83,9 @@ BNLJ_ALLOWED = {
     "pq_topk": "bounded 128-row codebook broadcast",
     # triplets compose the deliberate brute-force baseline
     "contrastive_triplets": "10-row query side, deliberate baseline",
+    # perplexity cut: composes bigram_logprob's 1-row V scalar plus
+    # its own 1-row quantile-threshold broadcast
+    "perplexity_filter_apply": "single-row scalar threshold broadcast",
 }
 
 

@@ -2470,6 +2470,76 @@ FROM shared CROSS JOIN denom ORDER BY source
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Perplexity filtering apply-step: keep the docs below the corpus p90
+# cross-entropy under the bigram LM — the CCNet-style "drop what the
+# LM finds surprising" curation cut, as a full pipeline (model fit →
+# score → distributed exact quantile → filter)
+# ---------------------------------------------------------------------------
+
+PPLX_KEEP_P = 0.9
+
+
+def q_perplexity_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors of the perplexity cut: documents whose bigram-LM
+    cross-entropy (``q_bigram_logprob``) is at or below the exact
+    discrete corpus p90. The threshold is computed WITHOUT a
+    single-partition window (the decile_stats discipline):
+    value-frequency agg → distributed running count
+    (operators/prefix.py) → the one boundary value (rank ceil(p·n))
+    reduces to a 1-row broadcast. Scoring and filtering stay fully
+    distributed; only the 1-row threshold crosses the driver-side
+    boundary (as a broadcast, not a collect).
+
+    The scored table is persisted: it feeds the quantile chain AND
+    the final filter — unmaterialized, the whole LM scoring pipeline
+    would run twice."""
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+    from tpg_weather_etl_spark.operators.prefix import global_running_sum
+
+    x = track(q_bigram_logprob(spark, sf_dir)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    counts = x.groupBy("xent").agg(F.count(F.lit(1)).alias("cnt"))
+    run = global_running_sum(counts, ["xent"], "cnt", out_col="cum")
+    tot = counts.agg(F.sum("cnt").alias("n"))
+    thr = run.join(F.broadcast(tot)).agg(
+        F.min(F.when(
+            F.col("cum") >= F.ceil(F.col("n") * F.lit(PPLX_KEEP_P)),
+            F.col("xent"))).alias("thr"))
+    return (
+        x.join(F.broadcast(thr))
+        .filter(F.col("xent") <= F.col("thr"))
+        .select("doc_id", "n_bigrams", "xent",
+                (F.round("thr", 6) + F.lit(0.0)).alias("xent_p90"))
+        .orderBy("doc_id")
+    )
+
+
+def _sql_perplexity_filter_apply() -> str:
+    inner = SQL_BIGRAM_LOGPROB.strip().rstrip(";")
+    return f"""
+WITH x AS ({inner}),
+counts AS (SELECT xent, COUNT(*) AS cnt FROM x GROUP BY 1),
+run AS (SELECT xent,
+          SUM(cnt) OVER (ORDER BY xent ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counts),
+tot AS (SELECT SUM(cnt) AS n FROM counts),
+thr AS (SELECT MIN(CASE WHEN cum >= CEIL(n * {PPLX_KEEP_P})
+                        THEN xent END) AS thr
+        FROM run CROSS JOIN tot)
+SELECT doc_id, n_bigrams, xent, round(thr, 6) + 0.0 AS xent_p90
+FROM x CROSS JOIN thr
+WHERE xent <= thr ORDER BY doc_id
+"""
+
+
+SQL_PERPLEXITY_FILTER_APPLY = _sql_perplexity_filter_apply()
+
+
 ORACLE_DYNAMIC = {
     "quality_filter_funnel": _sql_quality_filter_funnel,
     "cluster_split": _cluster_split_oracle,
@@ -2513,6 +2583,7 @@ QUERIES = {
     "dsir_importance": q_dsir_importance,
     "quality_filter_funnel": q_quality_filter_funnel,
     "temperature_mix_weights": q_temperature_mix_weights,
+    "perplexity_filter_apply": q_perplexity_filter_apply,
 }
 
 ORACLE = {
@@ -2544,4 +2615,5 @@ ORACLE = {
     "dedup_apply": _dedup_apply_oracle(),
     "dsir_importance": SQL_DSIR_IMPORTANCE,
     "temperature_mix_weights": SQL_TEMPERATURE_MIX_WEIGHTS,
+    "perplexity_filter_apply": SQL_PERPLEXITY_FILTER_APPLY,
 }

@@ -2764,7 +2764,61 @@ ORDER BY source_a, source_b
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Packing-efficiency report: the QA readout over sequence_pack — how
+# full the training sequences are and how often documents get cut at
+# sequence boundaries (attention-fragmentation rate)
+# ---------------------------------------------------------------------------
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row rollup over the packed-sequence table: sequence count,
+    full-sequence count, token fill rate, and the boundary-cut rate
+    (doc spans minus doc starts = number of boundary crossings — each
+    crossing is a document whose attention span a GPT-style loader
+    fragments). Composes q_sequence_pack; the rollup itself is one
+    aggregation over the (already tiny) per-sequence table."""
+    packed = q_sequence_pack(spark, sf_dir)
+    agg = packed.agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum((F.col("n_tokens") == PACK_CAP).cast("long"))
+        .alias("n_full"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_docs").alias("doc_spans"),
+        F.sum("n_starts").alias("doc_starts"))
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return agg.select(
+        "n_seqs", "n_full", "total_tokens",
+        (F.col("doc_spans") - F.col("doc_starts")).alias("boundary_cuts"),
+        r6(F.col("total_tokens")
+           / (F.col("n_seqs") * PACK_CAP).cast("double"))
+        .alias("fill_rate"),
+        r6((F.col("doc_spans") - F.col("doc_starts"))
+           / F.col("doc_starts").cast("double")).alias("cut_rate"),
+    )
+
+
+SQL_PACK_EFFICIENCY = f"""
+WITH packed AS ({SQL_SEQUENCE_PACK.strip()}),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs,
+        CAST(SUM(CASE WHEN n_tokens = {PACK_CAP} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_full,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        SUM(n_docs) AS doc_spans, SUM(n_starts) AS doc_starts
+      FROM packed)
+SELECT n_seqs, n_full, total_tokens,
+  CAST(doc_spans - doc_starts AS BIGINT) AS boundary_cuts,
+  round(total_tokens / CAST(n_seqs * {PACK_CAP} AS DOUBLE), 6) + 0.0
+    AS fill_rate,
+  round((doc_spans - doc_starts) / CAST(doc_starts AS DOUBLE), 6) + 0.0
+    AS cut_rate
+FROM a
+"""
+
+
 QUERIES = {
+    "pack_efficiency": q_pack_efficiency,
     "boilerplate_prefixes": q_boilerplate_prefixes,
     "char_entropy": q_char_entropy,
     "source_overlap_jaccard": q_source_overlap_jaccard,
@@ -2806,6 +2860,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pack_efficiency": SQL_PACK_EFFICIENCY,
     "boilerplate_prefixes": SQL_BOILERPLATE_PREFIXES,
     "char_entropy": SQL_CHAR_ENTROPY,
     "source_overlap_jaccard": SQL_SOURCE_OVERLAP_JACCARD,

@@ -145,6 +145,8 @@ _RUN_MID = [
     "char_entropy",
     "source_overlap_jaccard",
     "contrastive_triplets",
+    "pack_efficiency",
+    "perplexity_filter_apply",
 ]
 
 # Tail, stalest-first: r5-green block (driver rows 2 rounds old),
