@@ -633,3 +633,41 @@ def test_doc_chunks_equals_python_reference(spark, n_toks):
             w = toks[start:start + CHUNK_SIZE]
             want.append((i, idx, start, len(w), " ".join(w)))
     assert sorted(got) == sorted(want)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=100000),
+                  min_size=1, max_size=80, unique=True),
+    pct=st.integers(min_value=1, max_value=100),
+    cap=st.integers(min_value=1, max_value=30),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+@_settings
+def test_deterministic_sample_capped_properties(spark, keys, pct, cap,
+                                                nparts):
+    """The count-capped sampler (round 7, neardup_eval's scale bound)
+    must (1) be a subset of the uncapped pct sample, (2) never exceed
+    the cap, (3) equal the single-node replay of the same rule —
+    smallest LCG values first, key tiebreak — for ANY partitioning."""
+    from tpg_weather_etl_spark.operators.sampling import (
+        LCG_A,
+        LCG_C,
+        LCG_M,
+        deterministic_sample,
+        deterministic_sample_capped,
+    )
+
+    df = spark.createDataFrame(
+        [(k,) for k in keys], "k long").repartition(nparts)
+    got = sorted(r.k for r in
+                 deterministic_sample_capped(df, "k", pct, cap).collect())
+    uncapped = sorted(r.k for r in
+                      deterministic_sample(df, "k", pct).collect())
+    assert set(got) <= set(uncapped)
+    assert len(got) == min(cap, len(uncapped))
+    # single-node replay
+    lcg = lambda k: (k * LCG_A + LCG_C) % LCG_M  # noqa: E731
+    expect = sorted(
+        [k for k in keys if lcg(k) % 100 < pct],
+        key=lambda k: (lcg(k), k))[:cap]
+    assert got == sorted(expect)
