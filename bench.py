@@ -111,6 +111,7 @@ HEADLINE = [
     "contrastive_triplets",
     "pack_efficiency",
     "perplexity_filter_apply",
+    "ngram_coverage_curve",
 ]
 
 

@@ -236,3 +236,21 @@ def test_perplexity_filter_drops_worst_decile(spark, skew_sf_dir):
     # and every dropped doc scores strictly above every kept doc's bar
     dropped = set(scored) - {r.doc_id for r in kept}
     assert all(scored[d] > thr for d in dropped)
+
+
+def test_coverage_curve_monotone(spark, skew_sf_dir):
+    from tpg_weather_etl_spark.queries_ml import (
+        COVERAGE_KS,
+        q_ngram_coverage_curve,
+    )
+
+    rows = q_ngram_coverage_curve(spark, skew_sf_dir).collect()
+    assert [r.k for r in rows] == list(COVERAGE_KS)
+    covs = [r.coverage for r in rows]
+    # coverage is monotone non-decreasing in k and capped at 1
+    assert covs == sorted(covs)
+    assert all(0 < c <= 1.0 for c in covs)
+    # this corpus has far fewer than 5000 distinct words, so the
+    # largest k must cover everything exactly
+    assert rows[-1].coverage == pytest.approx(1.0)
+    assert rows[-1].n_vocab < 5000

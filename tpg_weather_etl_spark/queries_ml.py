@@ -2540,6 +2540,83 @@ WHERE xent <= thr ORDER BY doc_id
 SQL_PERPLEXITY_FILTER_APPLY = _sql_perplexity_filter_apply()
 
 
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: what fraction of all token occurrences
+# the top-k most frequent words cover — the tokenizer-design
+# diagnostic that decides vocab size before anyone trains a BPE
+# ---------------------------------------------------------------------------
+
+COVERAGE_KS = (100, 500, 1000, 5000)
+
+
+def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each k in COVERAGE_KS: how many token OCCURRENCES the k
+    most frequent words cover, as a fraction of the corpus. Frequency
+    rank comes from the distributed prefix sum (operators/prefix.py)
+    over (cnt desc, tok) — no single-partition ROW_NUMBER over the
+    vocabulary (the zipf_slope/token_gini discipline); the coverage
+    sums are one broadcast join of the constant-size k table onto the
+    ranked vocab plus a map-side-combined aggregate.
+
+    tf is persisted: it feeds the rank chain AND the 1-row totals —
+    unmaterialized, the corpus tokenize+count runs twice."""
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+    from tpg_weather_etl_spark.operators.prefix import global_running_sum
+
+    tf = track(
+        _tokens(spark, sf_dir)
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    ranked = global_running_sum(
+        tf.withColumn("one", F.lit(1))
+        .withColumn("neg_cnt", -F.col("cnt")),
+        ["neg_cnt", "tok"], "one", out_col="rank")
+    tot = tf.agg(F.sum("cnt").alias("total"),
+                 F.count(F.lit(1)).alias("v"))
+    ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k int")
+    cov = (
+        ranked.join(F.broadcast(ks), F.col("rank") <= F.col("k"))
+        .groupBy("k").agg(F.sum("cnt").alias("covered_tokens"))
+    )
+    return (
+        cov.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.least(F.col("k").cast("long"), F.col("v"))
+            .alias("n_vocab"),
+            "covered_tokens",
+            (F.round(F.col("covered_tokens")
+                     / F.col("total").cast("double"), 6) + F.lit(0.0))
+            .alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+_COVERAGE_KS_SQL = ", ".join(f"({k})" for k in COVERAGE_KS)
+
+SQL_NGRAM_COVERAGE_CURVE = f"""
+WITH {_SQL_TOKENS},
+tf AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+r AS (SELECT tok, cnt,
+        ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+      FROM tf),
+tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM tf),
+ks(k) AS (VALUES {_COVERAGE_KS_SQL}),
+cov AS (SELECT k, SUM(cnt) AS covered_tokens
+        FROM r JOIN ks ON r.rank <= ks.k GROUP BY k)
+SELECT CAST(k AS INTEGER) AS k,
+  CAST(least(k, v) AS BIGINT) AS n_vocab,
+  CAST(covered_tokens AS BIGINT) AS covered_tokens,
+  round(covered_tokens / CAST(total AS DOUBLE), 6) + 0.0 AS coverage
+FROM cov CROSS JOIN tot ORDER BY k
+"""
+
+
 ORACLE_DYNAMIC = {
     "quality_filter_funnel": _sql_quality_filter_funnel,
     "cluster_split": _cluster_split_oracle,
@@ -2584,6 +2661,7 @@ QUERIES = {
     "quality_filter_funnel": q_quality_filter_funnel,
     "temperature_mix_weights": q_temperature_mix_weights,
     "perplexity_filter_apply": q_perplexity_filter_apply,
+    "ngram_coverage_curve": q_ngram_coverage_curve,
 }
 
 ORACLE = {
@@ -2616,4 +2694,5 @@ ORACLE = {
     "dsir_importance": SQL_DSIR_IMPORTANCE,
     "temperature_mix_weights": SQL_TEMPERATURE_MIX_WEIGHTS,
     "perplexity_filter_apply": SQL_PERPLEXITY_FILTER_APPLY,
+    "ngram_coverage_curve": SQL_NGRAM_COVERAGE_CURVE,
 }

@@ -147,6 +147,7 @@ _RUN_MID = [
     "contrastive_triplets",
     "pack_efficiency",
     "perplexity_filter_apply",
+    "ngram_coverage_curve",
 ]
 
 # Tail, stalest-first: r5-green block (driver rows 2 rounds old),
