@@ -86,6 +86,9 @@ BNLJ_ALLOWED = {
     # perplexity cut: composes bigram_logprob's 1-row V scalar plus
     # its own 1-row quantile-threshold broadcast
     "perplexity_filter_apply": "single-row scalar threshold broadcast",
+    # coverage curve: rank<=k inequality join against the 4-row
+    # constant k table + 1-row totals
+    "ngram_coverage_curve": "constant k-table + 1-row total broadcast",
 }
 
 
