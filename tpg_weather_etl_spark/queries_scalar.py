@@ -998,35 +998,98 @@ FROM events GROUP BY 1
 # ---------------------------------------------------------------------------
 # Approximate aggregates: HLL distinct + approx percentile — the
 # sketch-based forms used at 100 TB where exact distinct/percentile
-# shuffles would dominate. Sketches are engine-specific, so there is
-# no hash oracle; the registry entry is rows-only and
-# tests/test_operators.py bounds the estimates against exact values.
+# shuffles would dominate. Raw sketch outputs are engine-specific, so
+# the gates emit exact values plus sketch-vs-exact tolerance booleans
+# (the oracle pins exact + TRUE): a sketch drifting past tolerance
+# flips a boolean and fails the value hash — the strongest
+# cross-engine contract possible for approximate operators.
 # ---------------------------------------------------------------------------
 
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event type: HyperLogLog++ distinct users (rsd=0.02) and
-    approximate value percentiles (accuracy 10000).
+    approximate p50/p90 of value (accuracy 10000), hash-gated via the
+    ``approx_accuracy`` pattern.
 
-    Both aggregate map-side into fixed-size sketches — constant
+    The sketches aggregate map-side into fixed-size state — constant
     shuffle bytes per partition regardless of row count, the whole
-    point at scale.
+    point at scale. Their raw outputs are engine-specific, so the
+    output carries the exact answers (distinct users, exact discrete
+    p50/p90 via the engine-portable window rank) plus one boolean per
+    sketch asserting it landed inside tolerance: HLL within 10% of
+    exact (rsd 2% → 5σ headroom), each percentile bracketed by the
+    exact ±5-percentile band. ``approx_accuracy`` gates p90+HLL only;
+    this is the fuller report (p50 too, plus the exact distinct count
+    in-row).
     """
+    from pyspark.sql import Window
+
     e = t(spark, sf_dir, "events")
-    # Gate contract: the percentile sketch returns an array, which the
-    # driver's rows-only canonicalizer cannot hash — split the two
-    # probed quantiles into scalar columns via element_at instead.
     pcts = F.percentile_approx("value", [0.5, 0.9], 10000)
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.element_at(pcts, 1).alias("approx_p50"),
-        F.element_at(pcts, 2).alias("approx_p90"),
+    approx = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.element_at(pcts, 1).alias("ap50"),
+        F.element_at(pcts, 2).alias("ap90"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n"),
     )
+    # exact discrete percentiles via the engine-portable window rank
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = e.filter(F.col("value").isNotNull()).select(
+        "event_type", "value", F.row_number().over(w).alias("rk")
+    )
+    nn = ranked.groupBy("event_type").agg(F.max("rk").alias("nn"))
+
+    def _disc(p):
+        return F.min(F.when(
+            F.col("rk") == F.ceil(F.lit(p) * F.col("nn")), F.col("value")
+        ))
+
+    exact_q = ranked.join(nn, "event_type").groupBy("event_type").agg(
+        _disc(0.45).alias("p45"), _disc(0.50).alias("p50"),
+        _disc(0.55).alias("p55"), _disc(0.85).alias("p85"),
+        _disc(0.90).alias("p90"), _disc(0.95).alias("p95"),
+    )
+    j = exact.join(exact_q, "event_type").join(approx, "event_type")
+    return j.select(
+        "event_type", "exact_users", "n", "p50", "p90",
+        (F.abs(F.col("au") - F.col("exact_users"))
+         / F.col("exact_users") <= 0.10).alias("hll_within_tol"),
+        ((F.col("ap50") >= F.col("p45"))
+         & (F.col("ap50") <= F.col("p55"))).alias("p50_within_tol"),
+        ((F.col("ap90") >= F.col("p85"))
+         & (F.col("ap90") <= F.col("p95"))).alias("p90_within_tol"),
+    )
+
+
+SQL_APPROX_STATS = """
+WITH exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+         COUNT(*) AS n
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk
+  FROM events WHERE value IS NOT NULL),
+nn AS (SELECT event_type, MAX(rk) AS nn FROM ranked GROUP BY 1),
+q AS (
+  SELECT r.event_type,
+    MIN(CASE WHEN rk = CAST(ceil(0.50 * nn) AS BIGINT)
+        THEN value END) AS p50,
+    MIN(CASE WHEN rk = CAST(ceil(0.90 * nn) AS BIGINT)
+        THEN value END) AS p90
+  FROM ranked r JOIN nn USING (event_type) GROUP BY 1)
+SELECT event_type, exact_users, n, p50, p90,
+  TRUE AS hll_within_tol, TRUE AS p50_within_tol,
+  TRUE AS p90_within_tol
+FROM exact JOIN q USING (event_type)
+"""
 
 
 def q_approx_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch ACCURACY as a value-hash gate: the sketches themselves
-    are engine-specific (hence ``approx_stats`` stays rows-only), but
+    are engine-specific (``approx_stats`` shares this pattern), but
     their error against the exact answers is checkable — Spark
     computes |approx − exact| / exact per group and emits the
     tolerance verdict alongside the exact values; the oracle computes
@@ -1840,8 +1903,7 @@ ORACLE = {
     "daily_value_quantiles": SQL_DAILY_VALUE_QUANTILES,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "weighted_sample_topk": SQL_WEIGHTED_SAMPLE_TOPK,
-    # approx_stats is deliberately absent: sketch results are
-    # engine-specific (rows-only gate; bounds-tested in pytest)
+    "approx_stats": SQL_APPROX_STATS,
     "contains_filter": SQL_CONTAINS_FILTER,
     "union_shards": SQL_UNION_SHARDS,
     "heatmap_hour_dow": SQL_HEATMAP_HOUR_DOW,

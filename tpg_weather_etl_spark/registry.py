@@ -43,73 +43,23 @@ except ImportError:
 
 
 # The driver caps each round at 50 checked queries of the registry,
-# walking it in order. ROUND-7 ROTATION (staged in round 6, executed
-# here): front the 23 names that have never had a driver CORRECTNESS
-# row (all 23 were judge-verified green locally in round 6), then
-# fill the head to 50 with the 27 stalest r4-green names (their last
-# driver rows are three rounds old). The remaining 23 r4-green names
-# sit in _RUN_MID and are the staged ROUND-8 ROTATION head, together
-# with any round-7 additions (which, being new, default to the
-# unordered middle right behind _RUN_MID). The tail is ordered
-# stalest-first: the 50 r5-green names, then the 50 r6-green names.
+# walking it in order. ROUND-8 ROTATION (staged in round 7, executed
+# here): head = the 23 r4-green names whose driver rows were three
+# rounds old, then the 11 round-7 additions (never driver-checked;
+# judge-verified green locally in round 7), filled to 50 with the 16
+# stalest r5-green names — which deliberately includes
+# `multimodal_features` (stale r05 `err: no_oracle` row; full
+# value-hash oracle since round 6) and `approx_stats` (round 8 gave
+# it a value-hash oracle in the `approx_accuracy` pattern, clearing
+# the last permanently-red driver cell). _RUN_MID is the staged
+# ROUND-9 head: the remaining 34 r5-green names plus the 16 stalest
+# r6-green names. The tail is ordered stalest-first: the remaining 34
+# r6-green names, then the 50 r7-green names (freshest rows, last to
+# win a cap slot). New round-8 additions default to the unordered
+# middle right behind _RUN_MID, per the standing stalest-first
+# discipline.
 _RUN_FIRST = [
-    # never driver-checked (deferred past the r6 50-cap + r6 additions)
-    "variant_extract",
-    "lateral_top_items",
-    "sequence_gaps",
-    "revenue_share",
-    "bpe_merges",
-    "heavy_hitters",
-    "source_kl_drift",
-    "doc_chunks",
-    "neardup_eval",
-    "cluster_split",
-    "bpe_encode",
-    "bigram_logprob",
-    "centroid_shift",
-    "ann_recall_eval",
-    "rrf_fusion",
-    "dedup_rate_by_source",
-    "winsorized_stats",
-    "source_ks_drift",
-    "chi2_source_lang",
-    "token_gini",
-    "lang_agreement",
-    "cluster_size_histogram",
-    "embedding_norm_profile",
-    # stalest r4-green refresh block (last driver row: CORRECTNESS_r04)
-    "rolling_7d",
-    "sessionize",
-    "interval_join",
-    "pattern_within",
-    "asof_join",
-    "lag_grid",
-    "pricing_summary",
-    "top_orders",
-    "region_revenue",
-    "semi_join_parts",
-    "anti_join_customers",
-    "left_join_enrich",
-    "dedupe_exact",
-    "dedupe_priority",
-    "group_median",
-    "agg_by_bin",
-    "latest_per_user",
-    "scalar_bins",
-    "time_features",
-    "text_stats",
-    "lang_quality",
-    "fingerprint_dedup",
-    "simhash",
-    "simhash_pairs",
-    "contamination_ngrams",
-    "stratified_sample",
-    "length_buckets",
-]
-
-# Staged round-8 head: the 23 r4-green names not refreshed this round.
-# Kept ordered so the r8 rotation is a mechanical swap.
-_RUN_MID = [
+    # r4-green refresh block (last driver row: CORRECTNESS_r04)
     "gopher_quality",
     "source_mix_weights",
     "mixed_sample",
@@ -133,10 +83,7 @@ _RUN_MID = [
     "deterministic_sample",
     "contains_filter",
     "union_shards",
-    # round-7 additions (never driver-checked; judge-gated at add
-    # time: plain sf0.01, NTZ, sf0.001) — these plus the 23 r4-green
-    # names above are the staged ROUND-8 head (27 names, fill to 50
-    # with the stalest r5 block below)
+    # round-7 additions (first driver check)
     "pq_topk",
     "dsir_importance",
     "quality_filter_funnel",
@@ -148,11 +95,8 @@ _RUN_MID = [
     "pack_efficiency",
     "perplexity_filter_apply",
     "ngram_coverage_curve",
-]
-
-# Tail, stalest-first: r5-green block (driver rows 2 rounds old),
-# then the r6-green block (freshest rows, last to win a cap slot).
-_RUN_LAST = [
+    # stalest r5-green block, part 1 (incl. the two stale
+    # `err: no_oracle` rows: multimodal_features, approx_stats)
     "containment_pairs",
     "dedup_keeper",
     "minhash_pairs",
@@ -169,6 +113,12 @@ _RUN_LAST = [
     "approx_stats",
     "session_window_agg",
     "bpe_token_stats",
+]
+
+# Staged ROUND-9 head: remaining r5-green block (driver rows three
+# rounds old by r9), then the 16 stalest r6-green names to fill 50.
+# Kept ordered so the r9 rotation is a mechanical swap.
+_RUN_MID = [
     "numeric_profile",
     "source_priority_dedup",
     "domain_curation",
@@ -203,7 +153,6 @@ _RUN_LAST = [
     "repetition_stats",
     "unigram_logprob",
     "pipeline_funnel",
-    # green in round 6 (CORRECTNESS_r06)
     "dedup_apply",
     "semantic_dedup_keeper",
     "semantic_dedup_apply",
@@ -220,6 +169,11 @@ _RUN_LAST = [
     "nb_source_confusion",
     "event_transitions",
     "token_budget_sample",
+]
+
+# Tail, stalest-first: the remaining r6-green block, then the 50
+# names refreshed to driver-green in round 7 (freshest).
+_RUN_LAST = [
     "train_test_split",
     "key_skew_profile",
     "source_quality_matrix",
@@ -254,6 +208,57 @@ _RUN_LAST = [
     "activity_bitmask",
     "bitmap_distinct_users",
     "int8_quant_topk",
+    # green in round 7 (CORRECTNESS_r07)
+    "variant_extract",
+    "lateral_top_items",
+    "sequence_gaps",
+    "revenue_share",
+    "bpe_merges",
+    "heavy_hitters",
+    "source_kl_drift",
+    "doc_chunks",
+    "neardup_eval",
+    "cluster_split",
+    "bpe_encode",
+    "bigram_logprob",
+    "centroid_shift",
+    "ann_recall_eval",
+    "rrf_fusion",
+    "dedup_rate_by_source",
+    "winsorized_stats",
+    "source_ks_drift",
+    "chi2_source_lang",
+    "token_gini",
+    "lang_agreement",
+    "cluster_size_histogram",
+    "embedding_norm_profile",
+    "rolling_7d",
+    "sessionize",
+    "interval_join",
+    "pattern_within",
+    "asof_join",
+    "lag_grid",
+    "pricing_summary",
+    "top_orders",
+    "region_revenue",
+    "semi_join_parts",
+    "anti_join_customers",
+    "left_join_enrich",
+    "dedupe_exact",
+    "dedupe_priority",
+    "group_median",
+    "agg_by_bin",
+    "latest_per_user",
+    "scalar_bins",
+    "time_features",
+    "text_stats",
+    "lang_quality",
+    "fingerprint_dedup",
+    "simhash",
+    "simhash_pairs",
+    "contamination_ngrams",
+    "stratified_sample",
+    "length_buckets",
 ]
 
 
