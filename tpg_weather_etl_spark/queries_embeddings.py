@@ -1126,11 +1126,17 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ce"), lambda x, c: (x - c) * (x - c)),
                 F.lit(0.0), lambda acc, v: acc + v), 6).alias("qd"))
     )
+    # qd values are 6dp-rounded, so their DECIMAL(38,8) forms are
+    # exact and the sum is order-free — a plain double F.sum over a
+    # shuffled groupBy could flip adc_dist/rank at a rounding boundary
+    # between runs/engines (ADVICE r7); same decimal-sum discipline as
+    # dsir_importance / char_entropy.
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id")
-        .agg((F.round(F.sum("qd"), 6) + F.lit(0.0)).alias("adc_dist"))
+        .agg((F.round(F.sum(F.col("qd").cast("decimal(38,8)")), 6)
+              .cast("double") + F.lit(0.0)).alias("adc_dist"))
     )
     w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"),
                                           F.asc("vec_id"))
@@ -1177,7 +1183,9 @@ lut AS (
   FROM eb CROSS JOIN cb
   WHERE vec_id < {PQ_N_QUERY}),
 adc AS (
-  SELECT l.qid, c.vec_id, round(SUM(l.qd), 6) + 0.0 AS adc_dist
+  SELECT l.qid, c.vec_id,
+    CAST(round(SUM(CAST(l.qd AS DECIMAL(38,8))), 6) AS DOUBLE) + 0.0
+      AS adc_dist
   FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
   WHERE c.vec_id <> l.qid
   GROUP BY 1, 2)

@@ -654,7 +654,19 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tpg_weather_etl_spark.caching import track
     sh = _shingle_df_shared(spark, sf_dir)
-    bands = _minhash_bands(spark, sf_dir, shingles=sh)
+    # Persisted: the band table feeds BOTH sides of the self-join
+    # below — without materialization the 32-expression signature
+    # aggregation runs twice (once per join side; exchange reuse does
+    # not collapse it because each side re-aggregates above the
+    # shuffle). The table is (docs × 8 bands) rows of (long, int,
+    # string) — a natural second reuse point at any scale, and the
+    # signature agg is the single most expensive expression tree in
+    # the family since the dual-family change (r7 bench creep, task 3
+    # of the r7 verdict).
+    bands = track(
+        _minhash_bands(spark, sf_dir, shingles=sh)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("doc_b"),
                      F.col("band").alias("band_b"),
