@@ -112,6 +112,9 @@ HEADLINE = [
     "pack_efficiency",
     "perplexity_filter_apply",
     "ngram_coverage_curve",
+    # round-8 addition: the composed lang->quality->dedup->neardup->
+    # decontaminate->pack pipeline (stage interaction under one timer)
+    "curation_e2e",
 ]
 
 

@@ -128,6 +128,12 @@ def main() -> int:
     ratios = {q: round(timings[q][sizes[1]] / max(timings[q][sizes[0]],
                                                   0.01), 2)
               for q in QUERIES}
+    # Minimum-absolute-time floor (ADVICE r7): several queries run in
+    # low single-digit seconds at base=50k, where JVM/GC noise alone
+    # can push a ratio past LINEARITY_MAX. Only enforce the ratio when
+    # the base measurement is big enough to mean something; the probe
+    # still RECORDS every ratio for trend-watching.
+    RATIO_FLOOR_SEC = 2.0
     rec = {
         "sizes": sizes,
         "timings_sec": {q: {str(k): v for k, v in t.items()}
@@ -142,9 +148,16 @@ def main() -> int:
         json.dumps(rec, indent=2) + "\n")
     print(json.dumps(rec["ratio_2x_docs"], indent=1))
 
-    bad = [f"{q}: {r}x" for q, r in ratios.items() if r > LINEARITY_MAX]
-    if any(v > DSIR_BUCKETS for v in bucket_rows.values()):
-        bad.append(f"dsir bucket table exceeded {DSIR_BUCKETS}")
+    bad = [f"{q}: {r}x" for q, r in ratios.items()
+           if r > LINEARITY_MAX
+           and timings[q][sizes[0]] >= RATIO_FLOOR_SEC]
+    # Strict equality, not <= (which is tautological for hash % N):
+    # at 50k+ docs the feature space saturates all DSIR_BUCKETS
+    # buckets, so any value below means the hash is concentrating —
+    # the failure mode that would silently skew importance weights.
+    if any(v != DSIR_BUCKETS for v in bucket_rows.values()):
+        bad.append(f"dsir bucket table not saturated at "
+                   f"{DSIR_BUCKETS}: {bucket_rows}")
     if len(set(overlap_rows.values())) != 1:
         bad.append(f"overlap row count varies with corpus "
                    f"size: {overlap_rows}")

@@ -11,6 +11,8 @@ O(graph diameter) steps and is exact, not approximate.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1198,6 +1200,147 @@ WHERE guard.ok = 1
 
 
 # ---------------------------------------------------------------------------
+# Composed end-to-end curation pipeline: lang -> quality -> exact
+# dedup -> near-dup apply -> decontaminate -> pack, as ONE gate query
+# with per-stage survivor counts. Every stage is the registry's own
+# operator (joined on doc_id, never re-derived), so this pins the
+# STAGES' INTERACTION — the one thing the individual gates can't see.
+# ---------------------------------------------------------------------------
+
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row funnel of the full pretraining curation pipeline:
+    total -> language filter -> Gopher quality -> exact-dedup keeper
+    -> MinHash near-dup survivor -> decontaminated, plus the packing
+    summary of the final corpus (token mass and number of PACK_CAP
+    sequences the survivors fill).
+
+    Scale shape: the corpus is scanned by the underlying stage
+    operators; this query adds only doc_id/fp-keyed joins against
+    per-doc flag tables plus two BOUNDED left joins (the near-dup
+    loser set and the contaminated set are cluster-/hit-sized, tiny
+    next to the corpus — AQE broadcasts them), and one global
+    conditional-sum aggregate. Nothing corpus-sized shuffles that the
+    stages didn't already shuffle.
+    """
+    from tpg_weather_etl_spark.functions.text import (
+        doc_fingerprint,
+        token_count,
+    )
+    from tpg_weather_etl_spark.operators.graph import (
+        connected_components_min_label,
+    )
+    from tpg_weather_etl_spark.queries_text import (
+        PACK_CAP,
+        q_contamination_ngrams,
+        q_fingerprint_dedup,
+        q_gopher_quality,
+        q_lang_quality,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    lq = q_lang_quality(spark, sf_dir).select("doc_id", "lang_pred")
+    gq = q_gopher_quality(spark, sf_dir).select("doc_id", "keep")
+    fpk = q_fingerprint_dedup(spark, sf_dir).select("fp", "keeper_doc_id")
+
+    labels = connected_components_min_label(_edges(spark, sf_dir))
+    m = labels.join(d.select("doc_id", "n_chars"),
+                    labels.doc == F.col("doc_id")).select(
+        "doc", "cluster", "n_chars")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.asc("doc"))
+    losers = (m.withColumn("__rk", F.row_number().over(w))
+              .filter(F.col("__rk") > 1)
+              .select(F.col("doc").alias("doc_id"),
+                      F.lit(True).alias("is_loser")))
+    contam = q_contamination_ngrams(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("contaminated"))
+
+    flags = (
+        d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"),
+                 token_count(F.col("text")).alias("n_tok"))
+        .join(lq, "doc_id")
+        .join(gq, "doc_id")
+        .join(fpk, "fp")
+        .join(losers, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+    )
+    s1 = F.col("lang_pred") != "other"
+    s2 = s1 & F.col("keep")
+    s3 = s2 & (F.col("doc_id") == F.col("keeper_doc_id"))
+    s4 = s3 & F.col("is_loser").isNull()
+    s5 = s4 & F.col("contaminated").isNull()
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(s1.cast("long")).alias("n_lang_ok"),
+        F.sum(s2.cast("long")).alias("n_quality_ok"),
+        F.sum(s3.cast("long")).alias("n_exact_kept"),
+        F.sum(s4.cast("long")).alias("n_neardup_kept"),
+        F.sum(s5.cast("long")).alias("n_clean"),
+        F.sum(F.when(s5, F.col("n_tok")).otherwise(F.lit(0)))
+        .alias("n_tokens_final"),
+        F.ceil(F.sum(F.when(s5, F.col("n_tok")).otherwise(F.lit(0)))
+               / F.lit(PACK_CAP)).alias("n_sequences"),
+    )
+
+
+def _curation_e2e_oracle() -> str:
+    from tpg_weather_etl_spark.queries_text import (
+        PACK_CAP,
+        SQL_CONTAMINATION_NGRAMS,
+        SQL_FINGERPRINT_DEDUP,
+        SQL_GOPHER_QUALITY,
+        SQL_LANG_QUALITY,
+        SQL_MINHASH_PAIRS,
+    )
+
+    inner = SQL_MINHASH_PAIRS.strip().rstrip(";")
+    ctes, prev = _cc_label_ctes(f"SELECT doc_a, doc_b FROM ({inner})")
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+mem AS (SELECT l.lbl, l.node, d.n_chars
+        FROM {prev} l JOIN documents d ON d.doc_id = l.node),
+ranked AS (SELECT lbl, node,
+             row_number() OVER (PARTITION BY lbl
+                                ORDER BY n_chars DESC, node ASC) AS rk
+           FROM mem),
+losers AS MATERIALIZED (SELECT node AS doc_id FROM ranked WHERE rk > 1),
+contam AS MATERIALIZED (SELECT doc_id FROM ({SQL_CONTAMINATION_NGRAMS})),
+flags AS (
+  SELECT d.doc_id,
+    lq.lang_pred != 'other' AS s1,
+    gq.keep AS qok,
+    d.doc_id = fpk.keeper_doc_id AS ek,
+    d.doc_id IN (SELECT doc_id FROM losers) AS is_loser,
+    d.doc_id IN (SELECT doc_id FROM contam) AS is_contam,
+    CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tok
+  FROM documents d
+  JOIN ({SQL_LANG_QUALITY}) lq ON lq.doc_id = d.doc_id
+  JOIN ({SQL_GOPHER_QUALITY}) gq ON gq.doc_id = d.doc_id
+  JOIN ({SQL_FINGERPRINT_DEDUP}) fpk
+    ON fpk.fp = md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))))
+SELECT COUNT(*) AS n_total,
+  CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+  CAST(SUM(CASE WHEN s1 AND qok THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quality_ok,
+  CAST(SUM(CASE WHEN s1 AND qok AND ek THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_exact_kept,
+  CAST(SUM(CASE WHEN s1 AND qok AND ek AND NOT is_loser
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_kept,
+  CAST(SUM(CASE WHEN s1 AND qok AND ek AND NOT is_loser
+                 AND NOT is_contam THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clean,
+  CAST(SUM(CASE WHEN s1 AND qok AND ek AND NOT is_loser
+                 AND NOT is_contam THEN n_tok ELSE 0 END) AS BIGINT)
+    AS n_tokens_final,
+  CAST(ceil(SUM(CASE WHEN s1 AND qok AND ek AND NOT is_loser
+                      AND NOT is_contam THEN n_tok ELSE 0 END)
+            / {PACK_CAP}.0) AS BIGINT) AS n_sequences
+FROM flags, guard WHERE guard.ok = 1
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style): KMeans cells bound the quadratic,
 # within-cell cosine >= tau pairs form the semantic-duplicate graph,
 # connected components resolve groups, min-id keeper survives.
@@ -1469,6 +1612,13 @@ PAGERANK_ITERS = 5
 PAGERANK_DAMPING = 0.85
 PAGERANK_TOPK = 25
 
+# Instrumentation only: wall-clock of each PageRank iteration of the
+# most recent q_pagerank_parts call (tools/stress_graph.py records it
+# at two graph scales — a growing per-iteration time within one run
+# would mean the loop is re-shuffling the edge list it pre-partitioned
+# and checkpointed). Reset at every call; never read by the query.
+PAGERANK_ITER_TIMES: list[float] = []
+
 
 def _pr_sum(col: F.Column) -> F.Column:
     # rank mass is < 1 per node, so the rounded sum fits DECIMAL(16,15)
@@ -1535,8 +1685,10 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    PAGERANK_ITER_TIMES.clear()
     try:
         for _ in range(PAGERANK_ITERS):
+            it0 = time.perf_counter()
             contrib = (edges_deg.join(
                 ranks, edges_deg["src"] == ranks["node"])
                 .select("dst",
@@ -1549,6 +1701,10 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                               * F.coalesce(F.col("s"), F.lit(0.0)))
                              .alias("r"))
                      .localCheckpoint(eager=True))
+            # eager checkpoint = the iteration's job already ran, so
+            # this is real per-iteration wall time, not lazy-plan time
+            PAGERANK_ITER_TIMES.append(
+                round(time.perf_counter() - it0, 3))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (ranks.orderBy(F.desc("r"), F.asc("node"))
@@ -2618,6 +2774,7 @@ FROM cov CROSS JOIN tot ORDER BY k
 
 
 ORACLE_DYNAMIC = {
+    "curation_e2e": _curation_e2e_oracle,
     "quality_filter_funnel": _sql_quality_filter_funnel,
     "cluster_split": _cluster_split_oracle,
     "cluster_size_histogram": _cluster_size_histogram_oracle,
@@ -2627,6 +2784,7 @@ ORACLE_DYNAMIC = {
 
 
 QUERIES = {
+    "curation_e2e": q_curation_e2e,
     "cluster_split": q_cluster_split,
     "token_gini": q_token_gini,
     "cluster_size_histogram": q_cluster_size_histogram,

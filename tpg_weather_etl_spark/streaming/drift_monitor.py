@@ -123,7 +123,25 @@ def start_drift_monitor(stream: DataFrame, baseline: DataFrame,
     offset commit OVERWRITES its own partition instead of appending a
     duplicate — foreachBatch's at-least-once delivery composes to
     exactly-once at the sink because batch_id is stable across
-    replays of the same epoch."""
+    replays of the same epoch.
+
+    MIGRATION NOTE (layout change, round 7): this sink was previously
+    an UNPARTITIONED append. An ``out_dir`` written by that version
+    mixes root-level part files with ``batch_id=N`` directories, which
+    Spark's partition discovery rejects (or misreads) as conflicting
+    directory structures. Checked eagerly below: a legacy layout
+    raises here at start() time with a migration hint instead of
+    failing obscurely at first read. Recreate legacy sinks or move the
+    old part files into a ``batch_id=-1`` subdirectory."""
+    import os
+
+    if os.path.isdir(out_dir) and any(
+        f.startswith("part-") for f in os.listdir(out_dir)
+    ):
+        raise ValueError(
+            f"drift sink {out_dir!r} holds root-level part files from "
+            "the pre-partitioned layout; recreate it or move them into "
+            "a batch_id=-1 subdirectory before starting the monitor")
 
     def score(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
