@@ -99,6 +99,23 @@ def shingles_from_docs(d: DataFrame, k: int = 3) -> DataFrame:
     ).distinct()
 
 
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, s0_0..s0_15, s1_0..s1_15) MinHash signature columns —
+    32 aggregate min expressions over the shingle rows (map-side
+    partial min, ONE shuffle), never a 32x row explode. Shared by the
+    band builder and the estimator-parity gate; column order matches
+    the oracle's flat hash index i (family = i // MH_NUM_HASHES)."""
+    shh = sh.withColumn("h", F.col("sh_hash") % MH_P)
+    return shh.groupBy("doc_id").agg(
+        *[
+            F.min(((2 * i + a) * F.col("h") + (b * i + c)) % MH_P)
+            .alias(f"s{p}_{i}")
+            for p, (a, b, c) in enumerate(MH_FAMILIES)
+            for i in range(MH_NUM_HASHES)
+        ]
+    )
+
+
 def bands_from_shingles(sh: DataFrame) -> DataFrame:
     """(doc_id, band, bkey) MinHash-LSH band keys from a shingle
     table — the signature is 32 aggregate expressions (two disjoint
@@ -107,15 +124,7 @@ def bands_from_shingles(sh: DataFrame) -> DataFrame:
     The two 4-band passes are concatenated (bands 0-3 = family 0,
     bands 4-7 = family 1), so the downstream band self-join is one
     join regardless of pass count — see MH_FAMILIES for why two."""
-    shh = sh.withColumn("h", F.col("sh_hash") % MH_P)
-    sig = shh.groupBy("doc_id").agg(
-        *[
-            F.min(((2 * i + a) * F.col("h") + (b * i + c)) % MH_P)
-            .alias(f"s{p}_{i}")
-            for p, (a, b, c) in enumerate(MH_FAMILIES)
-            for i in range(MH_NUM_HASHES)
-        ]
-    )
+    sig = minhash_signatures(sh)
     n_bands = MH_NUM_HASHES // MH_BAND_ROWS
     band_keys = F.array(*[
         F.concat_ws("_", *[
@@ -727,6 +736,90 @@ FROM inter
 JOIN shn na ON na.doc_id = doc_a
 JOIN shn nb ON nb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-parity gate: the sketch ESTIMATE itself (matching
+# signature components / total hashes) against the exact Jaccard it
+# estimates, per verified near-dup pair. Unlike HLL/percentile
+# sketches, MinHash signatures are cross-engine deterministic here
+# (same hash family over the same md5-derived shingle hashes), so the
+# estimate is value-hashable directly — no tolerance booleans needed.
+# ---------------------------------------------------------------------------
+
+def q_minhash_est_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per verified near-dup pair: exact shingle Jaccard, the MinHash
+    estimate (matching signature components / 32), and their absolute
+    error — the estimator-quality audit that tells you whether the
+    banded-LSH thresholds are calibrated for a new corpus before you
+    trust them (expected |err| ~ sqrt(J(1-J)/32) ≈ 0.09 at J=0.5).
+
+    Scale shape: O(pairs x 32) — the pair list is near-dup-sized (the
+    persisted q_minhash_pairs output, tiny next to the corpus), the
+    signature table aggregates map-side into 32 fixed columns (one
+    shuffle shared with the band builder via the cached shingle
+    table), and the two signature joins are doc_id equi joins whose
+    probe side is the pair list. Nothing quadratic, nothing
+    corpus-wide beyond what the detector already computed.
+    """
+    sh = _shingle_df_shared(spark, sf_dir)
+    pairs = q_minhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard")
+    cols = [f"s{p}_{i}" for p in range(len(MH_FAMILIES))
+            for i in range(MH_NUM_HASHES)]
+    sig = minhash_signatures(sh)
+    arr = F.array(*cols)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), arr.alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), arr.alias("sig_b"))
+    n_total = MH_NUM_HASHES * len(MH_FAMILIES)
+    n_match = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+        lambda m: m)).cast("long")
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "jaccard",
+            n_match.alias("n_match"),
+            (n_match / F.lit(float(n_total))).alias("est_jaccard"),
+            (F.round(F.abs(n_match / F.lit(float(n_total))
+                           - F.col("jaccard")), 6)
+             + F.lit(0.0)).alias("abs_err"),
+        )
+    )
+
+
+SQL_MINHASH_EST_ACCURACY = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_MH_BANDS},
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shx a JOIN shx b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2),
+p AS MATERIALIZED (
+  SELECT doc_a, doc_b,
+    CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
+  FROM inter
+  JOIN shn na ON na.doc_id = doc_a
+  JOIN shn nb ON nb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.5),
+m AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+    CAST(SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_match
+  FROM p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+  GROUP BY 1, 2, 3)
+SELECT doc_a, doc_b, jaccard, n_match,
+  n_match / {MH_NUM_HASHES * len(MH_FAMILIES)}.0 AS est_jaccard,
+  round(abs(n_match / {MH_NUM_HASHES * len(MH_FAMILIES)}.0 - jaccard),
+        6) + 0.0 AS abs_err
+FROM m
 """
 
 
@@ -2860,6 +2953,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "minhash_pairs": q_minhash_pairs,
+    "minhash_est_accuracy": q_minhash_est_accuracy,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "contamination_ngrams": q_contamination_ngrams,
@@ -2902,6 +2996,7 @@ ORACLE = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "prefix_jaccard_pairs": SQL_PREFIX_JACCARD_PAIRS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
+    "minhash_est_accuracy": SQL_MINHASH_EST_ACCURACY,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "contamination_ngrams": SQL_CONTAMINATION_NGRAMS,
