@@ -112,9 +112,13 @@ HEADLINE = [
     "pack_efficiency",
     "perplexity_filter_apply",
     "ngram_coverage_curve",
-    # round-8 addition: the composed lang->quality->dedup->neardup->
-    # decontaminate->pack pipeline (stage interaction under one timer)
+    # round-8 additions: the composed lang->quality->dedup->neardup->
+    # decontaminate->pack pipeline (stage interaction under one
+    # timer), the MinHash estimator-parity audit, and cross-lingual
+    # margin mining
     "curation_e2e",
+    "minhash_est_accuracy",
+    "bitext_mining_pairs",
 ]
 
 

@@ -345,8 +345,9 @@ def q_embedding_neardup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBEDDING_NEARDUP_MULTI = f"""
-WITH projm AS (
+# Shared oracle-side multi-table bucket CTEs — the SQL mirror of
+# _bucketed_multi (used by the near-dup and bitext-mining gates).
+_SQL_MULTI_BUCKETS = f"""projm AS (
   SELECT vec_id, h,
     SUM(CAST(embedding[j+1] AS DOUBLE) * (((h*73 + j*37) % 7) - 3)) AS p
   FROM embeddings
@@ -357,7 +358,11 @@ bktm AS (
   SELECT vec_id, h // {N_PLANES} AS tbl,
     CAST(SUM(CASE WHEN p > 0 THEN (1::BIGINT << (h % {N_PLANES}))
              ELSE 0::BIGINT END) AS BIGINT) AS bucket
-  FROM projm GROUP BY vec_id, h // {N_PLANES}),
+  FROM projm GROUP BY vec_id, h // {N_PLANES})"""
+
+
+SQL_EMBEDDING_NEARDUP_MULTI = f"""
+WITH {_SQL_MULTI_BUCKETS},
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bktm a JOIN bktm b
@@ -372,6 +377,149 @@ FROM cand JOIN eb a ON a.vec_id = vec_a JOIN eb b ON b.vec_id = vec_b
 WHERE round(list_dot_product(a.e, b.e)
         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
         6) + 0.0 >= {NEARDUP_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (Artetxe & Schwenk 2019): cross-lingual
+# pair candidates from the multi-table LSH buckets, scored by the
+# ratio of pair cosine to the average of each side's K-nearest
+# cosines — the absolute-threshold killer for hubness: a "hub" vector
+# cosine-close to everything has a high denominator, so only pairs
+# that stand out ABOVE their own neighborhoods survive.
+# ---------------------------------------------------------------------------
+
+BITEXT_K = 4        # neighbors in the margin denominator
+BITEXT_MARGIN = 1.05
+
+
+def q_bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mined cross-lingual document pairs: (src_id, tgt_id, src_lang,
+    tgt_lang, cos, margin) where margin = 2·cos(a,b) /
+    (avgK(a) + avgK(b)) ≥ BITEXT_MARGIN and the documents' declared
+    languages differ — the parallel-corpus mining step of a
+    multilingual training pipeline (LASER/CCMatrix-style), made
+    engine-portable.
+
+    Scale shape: candidates come from the SAME multi-table LSH bucket
+    join the near-dup gate uses (never n²); the scored candidate
+    table is persisted because it feeds both the per-vector top-K
+    denominator window and the final pair margin; denominators are
+    one row per vector (corpus-sized, co-partitioned equi joins — not
+    broadcast). Determinism: cosines are 6dp-rounded; the top-K
+    average routes the ≤K rounded values through DECIMAL(38,8) before
+    ONE double division; the margin is two IEEE ops on those rounded
+    inputs, re-rounded to 6dp before the threshold compare.
+    """
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+
+    e = t(spark, sf_dir, "embeddings")
+    bkt = _bucketed_multi(spark, sf_dir)
+    a = bkt.select(F.col("vec_id").alias("va"), "tbl", "bucket")
+    b = bkt.select(F.col("vec_id").alias("vb"),
+                   F.col("tbl").alias("tbl_b"),
+                   F.col("bucket").alias("bucket_b"))
+    cand = (
+        a.join(b, (F.col("tbl") == F.col("tbl_b"))
+               & (F.col("bucket") == F.col("bucket_b"))
+               & (F.col("va") != F.col("vb")))
+        .select("va", "vb").distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("va"),
+                  F.col("embedding").alias("emb_a"))
+    eb2 = e.select(F.col("vec_id").alias("vb"),
+                   F.col("embedding").alias("emb_b"))
+    scored = track(
+        cand.join(ea, "va").join(eb2, "vb")
+        .select("va", "vb",
+                _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Denominators stay EXACT: sum of 6dp cosines routed through
+    # decimal, plus the integer neighbor count — no inner round. The
+    # margin 2·cos/(sum_a/k_a + sum_b/k_b) is rewritten rationally as
+    # 2·cos·k_a·k_b / (sum_a·k_b + sum_b·k_a): numerator and
+    # denominator are exact decimals, so the whole expression is ONE
+    # double division + final 6dp round (an inner rounded average hit
+    # a cross-engine round-boundary at sf0.001 — 2/239 margins off by
+    # ~8e-6).
+    w = Window.partitionBy("va").orderBy(F.desc("cos"), F.asc("vb"))
+    denom = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BITEXT_K)
+        .groupBy("va")
+        .agg(F.sum(F.col("cos").cast("decimal(20,8)")).alias("sum_nn"),
+             F.count(F.lit(1)).alias("k_nn"))
+    )
+    lang = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vid"), "lang")
+    numer = (F.col("cos").cast("decimal(20,8)")
+             * 2 * F.col("ka") * F.col("kb"))
+    den = F.col("sa") * F.col("kb") + F.col("sb") * F.col("ka")
+    margin = F.round(
+        numer.cast("double") / den.cast("double"), 6) + F.lit(0.0)
+    return (
+        scored.filter(F.col("va") < F.col("vb"))
+        .join(denom.select("va", F.col("sum_nn").alias("sa"),
+                           F.col("k_nn").alias("ka")), "va")
+        .join(denom.select(F.col("va").alias("vb"),
+                           F.col("sum_nn").alias("sb"),
+                           F.col("k_nn").alias("kb")), "vb")
+        .filter((F.col("cos") > 0) & (den > 0))
+        .join(lang.select(F.col("vid").alias("va"),
+                          F.col("lang").alias("src_lang")), "va")
+        .join(lang.select(F.col("vid").alias("vb"),
+                          F.col("lang").alias("tgt_lang")), "vb")
+        .filter(F.col("src_lang") != F.col("tgt_lang"))
+        .withColumn("margin", margin)
+        .filter(F.col("margin") >= BITEXT_MARGIN)
+        .select(F.col("va").alias("src_id"), F.col("vb").alias("tgt_id"),
+                "src_lang", "tgt_lang", "cos", "margin")
+    )
+
+
+SQL_BITEXT_MINING_PAIRS = f"""
+WITH {_SQL_MULTI_BUCKETS},
+candm AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+          FROM bktm a JOIN bktm b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket
+               AND a.vec_id <> b.vec_id),
+eb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       FROM embeddings),
+scored AS MATERIALIZED (
+  SELECT va, vb,
+    round(list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))), 6) + 0.0 AS cos
+  FROM candm JOIN eb a ON a.vec_id = va JOIN eb b ON b.vec_id = vb),
+denom AS MATERIALIZED (
+  SELECT va, SUM(CAST(cos AS DECIMAL(20,8))) AS sum_nn,
+         COUNT(*) AS k_nn
+  FROM (SELECT va, vb, cos,
+          row_number() OVER (PARTITION BY va
+                             ORDER BY cos DESC, vb ASC) AS rn
+        FROM scored)
+  WHERE rn <= {BITEXT_K} GROUP BY va),
+m AS (
+  SELECT s.va, s.vb, s.cos,
+    CAST(CAST(s.cos AS DECIMAL(20,8)) * 2 * da.k_nn * db.k_nn AS DOUBLE)
+      AS numer,
+    CAST(da.sum_nn * db.k_nn + db.sum_nn * da.k_nn AS DOUBLE) AS den
+  FROM scored s
+  JOIN denom da ON da.va = s.va
+  JOIN denom db ON db.va = s.vb
+  WHERE s.va < s.vb AND s.cos > 0
+    AND da.sum_nn * db.k_nn + db.sum_nn * da.k_nn > 0)
+SELECT m.va AS src_id, m.vb AS tgt_id,
+  dl.lang AS src_lang, d2.lang AS tgt_lang, m.cos,
+  round(numer / den, 6) + 0.0 AS margin
+FROM m
+JOIN documents dl ON dl.doc_id = m.va
+JOIN documents d2 ON d2.doc_id = m.vb
+WHERE dl.lang <> d2.lang
+  AND round(numer / den, 6) + 0.0 >= {BITEXT_MARGIN}
 """
 
 
@@ -1283,6 +1431,7 @@ QUERIES = {
     "semantic_search": q_semantic_search,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_multi": q_embedding_neardup_multi,
+    "bitext_mining_pairs": q_bitext_mining_pairs,
     "ivf_topk": q_ivf_topk,
     "kmeans_ivf_topk": q_kmeans_ivf_topk,
     "pq_topk": q_pq_topk,
@@ -1307,6 +1456,7 @@ ORACLE = {
     "semantic_search": SQL_SEMANTIC_SEARCH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "embedding_neardup_multi": SQL_EMBEDDING_NEARDUP_MULTI,
+    "bitext_mining_pairs": SQL_BITEXT_MINING_PAIRS,
     "ivf_topk": SQL_IVF_TOPK,
     "contrastive_triplets": SQL_CONTRASTIVE_TRIPLETS,
 }
