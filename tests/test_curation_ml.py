@@ -254,3 +254,102 @@ def test_coverage_curve_monotone(spark, skew_sf_dir):
     # largest k must cover everything exactly
     assert rows[-1].coverage == pytest.approx(1.0)
     assert rows[-1].n_vocab < 5000
+
+
+@pytest.fixture(scope="module")
+def bitext_dir(spark, tmp_path_factory):
+    """Vectors in tight clusters with MIXED languages inside each
+    cluster (a planted translation pair per cluster), plus isolated
+    noise vectors — the margin criterion must mine the cross-lingual
+    cluster pairs and leave the noise alone."""
+    import numpy as np
+
+    root = tmp_path_factory.mktemp("bitext_sf")
+    rng = np.random.RandomState(11)
+    centers = rng.randn(6, 64) * 5.0
+    vec_rows, doc_rows = [], []
+    vid = 0
+    langs = ["en", "fr"]
+    for c in range(6):
+        # the planted translation pair: en + fr, nearly identical
+        pair_point = centers[c] + rng.randn(64) * 0.02
+        for j in range(2):
+            vec_rows.append((vid, [float(x) for x in
+                                   pair_point + rng.randn(64) * 0.02],
+                             f"lab{c}"))
+            doc_rows.append((vid, f"doc {vid}", langs[j], "src0", 8))
+            vid += 1
+        # same-topic-but-not-parallel neighbors: give each vector a
+        # real NEIGHBORHOOD so the margin denominator is below the
+        # pair cosine (an isolated twin is its own whole top-K and
+        # margins out at exactly 1.0 — the hubness-normalizing point
+        # of the criterion)
+        for j in range(4):
+            vec_rows.append((vid, [float(x) for x in
+                                   centers[c] + rng.randn(64) * 3.5],
+                             f"lab{c}"))
+            doc_rows.append((vid, f"doc {vid}", langs[j % 2], "src0", 8))
+            vid += 1
+    for _ in range(24):  # monolingual noise, far from the clusters
+        vec_rows.append((vid, [float(x) for x in rng.randn(64)],
+                         "noise"))
+        doc_rows.append((vid, f"doc {vid}", "en", "src1", 8))
+        vid += 1
+    spark.createDataFrame(
+        vec_rows, "vec_id long, embedding array<float>, label string"
+    ).write.mode("overwrite").parquet(str(root / "embeddings.parquet"))
+    spark.createDataFrame(
+        doc_rows, "doc_id long, text string, lang string, source string,"
+                  " n_chars long"
+    ).write.mode("overwrite").parquet(str(root / "documents.parquet"))
+    return str(root)
+
+
+def test_bitext_mining_finds_planted_translations(spark, bitext_dir):
+    from tpg_weather_etl_spark.queries_embeddings import (
+        q_bitext_mining_pairs,
+    )
+
+    rows = q_bitext_mining_pairs(spark, bitext_dir).collect()
+    got = {(r.src_id, r.tgt_id) for r in rows}
+    # every planted (en, fr) cluster pair is mined...
+    planted = {(6 * c, 6 * c + 1) for c in range(6)}
+    found = planted & got
+    assert len(found) >= 5, (planted, got)
+    # ...and every mined pair is genuinely cross-lingual with the
+    # margin above threshold
+    for r in rows:
+        assert r.src_lang != r.tgt_lang
+        assert r.margin >= 1.05
+        assert 0 < r.cos <= 1.0
+
+
+def test_minhash_estimate_exact_on_identical_docs(spark,
+                                                  tmp_path_factory):
+    """Identical documents share every shingle, so BOTH the exact
+    Jaccard and all 32 signature minima agree: the estimator-parity
+    gate must report est_jaccard == jaccard == 1.0 for them."""
+    from tpg_weather_etl_spark.queries_text import (
+        q_minhash_est_accuracy,
+    )
+
+    root = tmp_path_factory.mktemp("est_sf")
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(0, base, "en", "s", len(base)),
+            (1, base, "en", "s", len(base))]
+    # unrelated filler so the LSH band join has non-trivial input
+    for i in range(2, 30):
+        rows.append((i, " ".join(f"tok{i}_{j}" for j in range(25)),
+                     "en", "s", 100))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long"
+    ).write.mode("overwrite").parquet(str(root / "documents.parquet"))
+
+    got = {(r.doc_a, r.doc_b): r
+           for r in q_minhash_est_accuracy(spark, str(root)).collect()}
+    assert (0, 1) in got
+    r = got[(0, 1)]
+    assert r.jaccard == 1.0 and r.n_match == 32
+    assert r.est_jaccard == 1.0 and r.abs_err == 0.0
