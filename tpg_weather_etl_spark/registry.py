@@ -115,10 +115,17 @@ _RUN_FIRST = [
     "bpe_token_stats",
 ]
 
-# Staged ROUND-9 head: remaining r5-green block (driver rows three
-# rounds old by r9), then the 16 stalest r6-green names to fill 50.
-# Kept ordered so the r9 rotation is a mechanical swap.
+# Staged ROUND-9 head: the round-8 additions first (never
+# driver-checked names are the stalest of all), then the remaining
+# r5-green block (driver rows three rounds old by r9), filled to 50
+# with the stalest r6-green names. Kept ordered so the r9 rotation is
+# a mechanical swap.
 _RUN_MID = [
+    # round-8 additions (judge-gated at add time: plain sf0.01, NTZ,
+    # sf0.001)
+    "curation_e2e",
+    "minhash_est_accuracy",
+    "bitext_mining_pairs",
     "numeric_profile",
     "source_priority_dedup",
     "domain_curation",
@@ -166,14 +173,14 @@ _RUN_MID = [
     "zipf_slope",
     "basket_lift_pairs",
     "ngram_novelty",
-    "nb_source_confusion",
-    "event_transitions",
-    "token_budget_sample",
 ]
 
 # Tail, stalest-first: the remaining r6-green block, then the 50
 # names refreshed to driver-green in round 7 (freshest).
 _RUN_LAST = [
+    "nb_source_confusion",
+    "event_transitions",
+    "token_budget_sample",
     "train_test_split",
     "key_skew_profile",
     "source_quality_matrix",
