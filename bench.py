@@ -119,6 +119,7 @@ HEADLINE = [
     "curation_e2e",
     "minhash_est_accuracy",
     "bitext_mining_pairs",
+    "embedding_neardup_capped",
 ]
 
 

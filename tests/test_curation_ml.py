@@ -353,3 +353,62 @@ def test_minhash_estimate_exact_on_identical_docs(spark,
     r = got[(0, 1)]
     assert r.jaccard == 1.0 and r.n_match == 32
     assert r.est_jaccard == 1.0 and r.abs_err == 0.0
+
+
+def test_bucket_cap_inert_when_clusters_are_small(spark, bitext_dir):
+    """On a well-shaped corpus (every bucket under the cap) the
+    capped near-dup query must return EXACTLY the uncapped result —
+    the guard costs recall only where it binds."""
+    from tpg_weather_etl_spark.queries_embeddings import (
+        q_embedding_neardup_capped,
+        q_embedding_neardup_multi,
+    )
+
+    capped = {(r.vec_a, r.vec_b, r.cos) for r in
+              q_embedding_neardup_capped(spark, bitext_dir).collect()}
+    full = {(r.vec_a, r.vec_b, r.cos) for r in
+            q_embedding_neardup_multi(spark, bitext_dir).collect()}
+    assert capped == full and len(full) > 0
+
+
+def test_bucket_cap_bounds_dense_region(spark, tmp_path_factory):
+    """A planted dense region (200 near-identical vectors, bucket size
+    >> EMB_BUCKET_CAP) must be DROPPED from candidate generation by
+    the capped variant — the quadratic the cap exists to prevent —
+    while pairs among the well-clustered rest survive."""
+    import numpy as np
+
+    from tpg_weather_etl_spark.queries_embeddings import (
+        EMB_BUCKET_CAP,
+        q_embedding_neardup_capped,
+        q_embedding_neardup_multi,
+    )
+
+    root = tmp_path_factory.mktemp("dense_sf")
+    rng = np.random.RandomState(3)
+    rows = []
+    dense = rng.randn(64) * 4.0
+    for v in range(200):  # the hostile dense bucket
+        rows.append((v, [float(x) for x in dense + rng.randn(64) * 0.01],
+                     "dense"))
+    pair_center = rng.randn(64) * 4.0
+    for v in range(200, 204):  # a small healthy cluster
+        rows.append((v, [float(x) for x in
+                         pair_center + rng.randn(64) * 0.02], "ok"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).write.mode("overwrite").parquet(str(root / "embeddings.parquet"))
+
+    assert 200 > EMB_BUCKET_CAP  # the planted bucket must overflow
+    capped = q_embedding_neardup_capped(spark, str(root)).collect()
+    full = q_embedding_neardup_multi(spark, str(root)).collect()
+    dense_capped = [r for r in capped if r.vec_a < 200]
+    dense_full = [r for r in full if r.vec_a < 200]
+    # uncapped pays the quadratic (~C(200,2) verified pairs);
+    # capped drops the over-full bucket entirely
+    assert len(dense_full) > 10_000
+    assert dense_capped == []
+    # the healthy cluster's pairs survive in both
+    ok_capped = {(r.vec_a, r.vec_b) for r in capped if r.vec_a >= 200}
+    ok_full = {(r.vec_a, r.vec_b) for r in full if r.vec_a >= 200}
+    assert ok_capped == ok_full and len(ok_capped) == 6

