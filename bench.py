@@ -120,6 +120,7 @@ HEADLINE = [
     "minhash_est_accuracy",
     "bitext_mining_pairs",
     "embedding_neardup_capped",
+    "jl_topk",
 ]
 
 

@@ -412,3 +412,22 @@ def test_bucket_cap_bounds_dense_region(spark, tmp_path_factory):
     ok_capped = {(r.vec_a, r.vec_b) for r in capped if r.vec_a >= 200}
     ok_full = {(r.vec_a, r.vec_b) for r in full if r.vec_a >= 200}
     assert ok_capped == ok_full and len(ok_capped) == 6
+
+
+def test_jl_topk_recovers_clusters(spark, clustered_vec_dir):
+    """On clustered vectors (the regime JL targets) the compressed
+    scan + exact rerank must agree with the exact brute force: the
+    16-d projection preserves cluster geometry, so every top-5
+    neighbour is same-cluster and matches q_embedding_topk exactly."""
+    from tpg_weather_etl_spark.queries_embeddings import (
+        q_embedding_topk,
+        q_jl_topk,
+    )
+
+    jl = {(r.qid, r.vec_id, r.rank) for r in
+          q_jl_topk(spark, clustered_vec_dir).collect()}
+    exact = {(r.qid, r.vec_id, r.rank) for r in
+             q_embedding_topk(spark, clustered_vec_dir).collect()}
+    assert jl == exact and len(jl) == 50
+    for qid, vec_id, _ in jl:
+        assert vec_id % 4 == qid % 4  # same cluster

@@ -23,6 +23,9 @@ BNLJ_ALLOWED = {
     # brute-force cosine baseline: 10 query vectors broadcast on
     # purpose (the ANN variants are the scale path)
     "embedding_topk": "10-row query side, deliberate baseline",
+    # JL compressed scan: same bounded 10-query broadcast, but over
+    # the 16-double projection column (4x less scan bandwidth)
+    "jl_topk": "10-row query side over the compressed column",
     # levenshtein dictionary self-join: ~20 distinct sources
     "fuzzy_match_sources": "distinct key vocabulary, bounded",
     # IVF centroid assignment: corpus × broadcast fixed-k centroid

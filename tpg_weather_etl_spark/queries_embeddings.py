@@ -90,6 +90,115 @@ WHERE rank <= 5
 
 
 # ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss compressed scan + exact rerank — the third
+# ANN compression axis (SQ8 quantizes values, PQ quantizes subspaces,
+# JL reduces DIMENSIONS). At 100 TB the win is scan bandwidth: the
+# brute-force pass reads a 16-double projection column instead of the
+# 64-float vectors (4x less), and the full vectors are touched only
+# for the bounded rerank candidate set.
+# ---------------------------------------------------------------------------
+
+JL_DIM = 16
+JL_H0 = 500      # plane-index offset: a fresh draw from the same
+                 # decorrelated integer weight family as the LSH
+JL_RERANK = 20   # JL-space candidates per query before exact rerank
+
+
+def _jl_project(col) -> Column:
+    """16-double JL projection of an embedding array — same
+    engine-portable weight family as the LSH planes (the h·j cross
+    term matters here for the same reason: correlated rows of a
+    projection matrix squash the projected geometry)."""
+    xd = F.transform(col, lambda x: x.cast("double"))
+    idx = F.sequence(F.lit(0), F.size(col) - 1)
+    return F.transform(
+        F.sequence(F.lit(JL_H0), F.lit(JL_H0 + JL_DIM - 1)),
+        lambda h: F.aggregate(
+            F.zip_with(
+                xd, idx,
+                lambda x, j: x * (((h * 73 + j * 37 + h * j * 29) % 97)
+                                  - 48).cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x),
+    )
+
+
+def q_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbours per query via JL-compressed scan + exact
+    rerank: brute-force cosine in the 16-d projection space selects
+    JL_RERANK candidates; the 64-d vectors are read back only for
+    those, and the final top-5 ranks by exact cosine.
+
+    Scale shape: the projection is computed ONCE per vector (a narrow
+    16-double column — project at ingest and the scan reads 4x fewer
+    bytes than the raw vectors); the JL pass is the same broadcast
+    crossJoin as the exact baseline but over compressed rows; the
+    rerank joins the full embeddings against a (queries x JL_RERANK)-
+    bounded candidate list. Ordering ties at both cut points are
+    deterministic (6dp-rounded cos, vec_id tiebreak).
+    """
+    e = t(spark, sf_dir, "embeddings")
+    jl = e.select("vec_id", _jl_project(F.col("embedding")).alias("y"))
+    qj = jl.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("y").alias("qy"))
+    jp = (
+        jl.crossJoin(F.broadcast(qj))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id",
+                _cos_rounded(F.col("qy"), F.col("y")).alias("jl_cos"))
+    )
+    wj = Window.partitionBy("qid").orderBy(
+        F.desc("jl_cos"), F.asc("vec_id"))
+    cand = (jp.withColumn("rn", F.row_number().over(wj))
+            .filter(F.col("rn") <= JL_RERANK)
+            .select("qid", "vec_id"))
+    qe = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+    ce = e.select("vec_id", F.col("embedding").alias("c_emb"))
+    exact = (
+        cand.join(F.broadcast(qe), "qid").join(ce, "vec_id")
+        .select("qid", "vec_id",
+                _cos_rounded(F.col("q_emb"), F.col("c_emb")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5))
+
+
+SQL_JL_TOPK = f"""
+WITH eb AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+jl AS (SELECT vec_id,
+         list_transform(range({JL_H0}, {JL_H0 + JL_DIM}), h ->
+           list_sum(list_transform(range(1, {EMB_DIM} + 1),
+             j -> e[j] * (((h*73 + (j-1)*37 + h*(j-1)*29) % 97) - 48))))
+           AS y
+       FROM eb),
+q AS (SELECT vec_id AS qid, y AS qy FROM jl
+      WHERE vec_id < {N_QUERY_VECS}),
+jp AS (SELECT qid, vec_id,
+         round(list_dot_product(qy, y)
+               / (sqrt(list_dot_product(qy, qy))
+                  * sqrt(list_dot_product(y, y))), 6) + 0.0 AS jl_cos
+       FROM q CROSS JOIN jl WHERE vec_id != qid),
+cand AS (SELECT qid, vec_id FROM
+           (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY jl_cos DESC, vec_id ASC) AS rn FROM jp)
+         WHERE rn <= {JL_RERANK}),
+x AS (SELECT c.qid, c.vec_id,
+        round(list_dot_product(qe.e, ce.e)
+              / (sqrt(list_dot_product(qe.e, qe.e))
+                 * sqrt(list_dot_product(ce.e, ce.e))), 6) + 0.0 AS cos
+      FROM cand c JOIN eb qe ON qe.vec_id = c.qid
+      JOIN eb ce ON ce.vec_id = c.vec_id)
+SELECT qid, vec_id, cos, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        ORDER BY cos DESC, vec_id ASC) AS rank FROM x)
+WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Random-hyperplane LSH buckets (deterministic, engine-portable)
 # ---------------------------------------------------------------------------
 
@@ -1545,6 +1654,7 @@ QUERIES = {
     "embedding_neardup_multi": q_embedding_neardup_multi,
     "bitext_mining_pairs": q_bitext_mining_pairs,
     "embedding_neardup_capped": q_embedding_neardup_capped,
+    "jl_topk": q_jl_topk,
     "ivf_topk": q_ivf_topk,
     "kmeans_ivf_topk": q_kmeans_ivf_topk,
     "pq_topk": q_pq_topk,
@@ -1571,6 +1681,7 @@ ORACLE = {
     "embedding_neardup_multi": SQL_EMBEDDING_NEARDUP_MULTI,
     "bitext_mining_pairs": SQL_BITEXT_MINING_PAIRS,
     "embedding_neardup_capped": SQL_EMBEDDING_NEARDUP_CAPPED,
+    "jl_topk": SQL_JL_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "contrastive_triplets": SQL_CONTRASTIVE_TRIPLETS,
 }

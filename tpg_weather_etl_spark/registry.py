@@ -127,6 +127,7 @@ _RUN_MID = [
     "minhash_est_accuracy",
     "bitext_mining_pairs",
     "embedding_neardup_capped",
+    "jl_topk",
     "numeric_profile",
     "source_priority_dedup",
     "domain_curation",
@@ -172,12 +173,12 @@ _RUN_MID = [
     "pagerank_parts",
     "degree_distribution",
     "zipf_slope",
-    "basket_lift_pairs",
 ]
 
 # Tail, stalest-first: the remaining r6-green block, then the 50
 # names refreshed to driver-green in round 7 (freshest).
 _RUN_LAST = [
+    "basket_lift_pairs",
     "ngram_novelty",
     "nb_source_confusion",
     "event_transitions",
