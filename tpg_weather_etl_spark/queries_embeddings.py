@@ -99,8 +99,13 @@ WHERE rank <= 5
 # ---------------------------------------------------------------------------
 
 JL_DIM = 16
-JL_H0 = 500      # plane-index offset: a fresh draw from the same
-                 # decorrelated integer weight family as the LSH
+JL_H0 = 40       # plane-index offset: a fresh draw from the same
+                 # decorrelated integer weight family as the LSH.
+                 # The plane VECTOR is a function of h mod 97, so the
+                 # family holds exactly 97 distinct planes and offsets
+                 # must stay inside [0, 97) to be actually fresh —
+                 # an offset of 500 (= 15 mod 97) silently REUSED LSH
+                 # planes 15-30 (caught by test_lsh_family)
 JL_RERANK = 20   # JL-space candidates per query before exact rerank
 
 
