@@ -43,86 +43,18 @@ except ImportError:
 
 
 # The driver caps each round at 50 checked queries of the registry,
-# walking it in order. ROUND-8 ROTATION (staged in round 7, executed
-# here): head = the 23 r4-green names whose driver rows were three
-# rounds old, then the 11 round-7 additions (never driver-checked;
-# judge-verified green locally in round 7), filled to 50 with the 16
-# stalest r5-green names — which deliberately includes
-# `multimodal_features` (stale r05 `err: no_oracle` row; full
-# value-hash oracle since round 6) and `approx_stats` (round 8 gave
-# it a value-hash oracle in the `approx_accuracy` pattern, clearing
-# the last permanently-red driver cell). _RUN_MID is the staged
-# ROUND-9 head: the remaining 34 r5-green names plus the 16 stalest
-# r6-green names. The tail is ordered stalest-first: the remaining 34
-# r6-green names, then the 50 r7-green names (freshest rows, last to
-# win a cap slot). New round-8 additions default to the unordered
-# middle right behind _RUN_MID, per the standing stalest-first
-# discipline.
+# walking it in order. ROUND-9 ROTATION (staged in round 8, executed
+# here): head = the 5 round-8 additions (never driver-checked;
+# judge-verified 5/5 green locally at sf0.01 in round 8), then the
+# remaining 34 r5-green names (driver rows three rounds old), filled
+# to 50 with the 11 stalest r6-green names. _RUN_MID is the staged
+# ROUND-10 head: the remaining 39 r6-green names plus the 11 stalest
+# r7-green names. The tail is ordered stalest-first: the remaining 39
+# r7-green names, then the 50 names refreshed to driver-green in
+# round 8 (freshest rows, last to win a cap slot). New round-9
+# additions default to the unordered middle right behind _RUN_MID,
+# per the standing stalest-first discipline.
 _RUN_FIRST = [
-    # r4-green refresh block (last driver row: CORRECTNESS_r04)
-    "gopher_quality",
-    "source_mix_weights",
-    "mixed_sample",
-    "embedding_topk",
-    "ann_buckets",
-    "ann_topk",
-    "embedding_neardup",
-    "ivf_topk",
-    "scalar_normalize",
-    "heatmap_hour_dow",
-    "kpi_summary",
-    "cohort_retention",
-    "funnel_steps",
-    "tfidf_top_terms",
-    "bigram_topk",
-    "dominant_event_type",
-    "distinct_months",
-    "minmax_bounds",
-    "null_profile",
-    "topk_latest",
-    "deterministic_sample",
-    "contains_filter",
-    "union_shards",
-    # round-7 additions (first driver check)
-    "pq_topk",
-    "dsir_importance",
-    "quality_filter_funnel",
-    "temperature_mix_weights",
-    "boilerplate_prefixes",
-    "char_entropy",
-    "source_overlap_jaccard",
-    "contrastive_triplets",
-    "pack_efficiency",
-    "perplexity_filter_apply",
-    "ngram_coverage_curve",
-    # stalest r5-green block, part 1 (incl. the two stale
-    # `err: no_oracle` rows: multimodal_features, approx_stats)
-    "containment_pairs",
-    "dedup_keeper",
-    "minhash_pairs",
-    "dedup_clusters",
-    "kmeans_ivf_topk",
-    "ngram_jaccard_pairs",
-    "label_centroids",
-    "embedding_dedup_clusters",
-    "multimodal_features",
-    "rollup_revenue",
-    "pivot_event_values",
-    "intersect_except",
-    "array_agg_types",
-    "approx_stats",
-    "session_window_agg",
-    "bpe_token_stats",
-]
-
-# Staged ROUND-9 head: the round-8 additions first (never
-# driver-checked names are the stalest of all), then the remaining
-# r5-green block (driver rows three rounds old by r9), filled to 50
-# with the stalest r6-green names. Kept ordered so the r9 rotation is
-# a mechanical swap.
-_RUN_MID = [
-    # round-8 additions (judge-gated at add time: plain sf0.01, NTZ,
-    # sf0.001)
     "curation_e2e",
     "minhash_est_accuracy",
     "bitext_mining_pairs",
@@ -175,9 +107,10 @@ _RUN_MID = [
     "zipf_slope",
 ]
 
-# Tail, stalest-first: the remaining r6-green block, then the 50
-# names refreshed to driver-green in round 7 (freshest).
-_RUN_LAST = [
+# Staged ROUND-10 head: the remaining r6-green block (driver rows
+# three rounds old by r10), filled to 50 with the stalest r7-green
+# names. Kept ordered so the r10 rotation is a mechanical swap.
+_RUN_MID = [
     "basket_lift_pairs",
     "ngram_novelty",
     "nb_source_confusion",
@@ -217,7 +150,6 @@ _RUN_LAST = [
     "activity_bitmask",
     "bitmap_distinct_users",
     "int8_quant_topk",
-    # green in round 7 (CORRECTNESS_r07)
     "variant_extract",
     "lateral_top_items",
     "sequence_gaps",
@@ -229,6 +161,11 @@ _RUN_LAST = [
     "neardup_eval",
     "cluster_split",
     "bpe_encode",
+]
+
+# Tail, stalest-first: the remaining r7-green block, then the 50
+# names refreshed to driver-green in round 8 (freshest).
+_RUN_LAST = [
     "bigram_logprob",
     "centroid_shift",
     "ann_recall_eval",
@@ -268,6 +205,56 @@ _RUN_LAST = [
     "contamination_ngrams",
     "stratified_sample",
     "length_buckets",
+    "gopher_quality",
+    "source_mix_weights",
+    "mixed_sample",
+    "embedding_topk",
+    "ann_buckets",
+    "ann_topk",
+    "embedding_neardup",
+    "ivf_topk",
+    "scalar_normalize",
+    "heatmap_hour_dow",
+    "kpi_summary",
+    "cohort_retention",
+    "funnel_steps",
+    "tfidf_top_terms",
+    "bigram_topk",
+    "dominant_event_type",
+    "distinct_months",
+    "minmax_bounds",
+    "null_profile",
+    "topk_latest",
+    "deterministic_sample",
+    "contains_filter",
+    "union_shards",
+    "pq_topk",
+    "dsir_importance",
+    "quality_filter_funnel",
+    "temperature_mix_weights",
+    "boilerplate_prefixes",
+    "char_entropy",
+    "source_overlap_jaccard",
+    "contrastive_triplets",
+    "pack_efficiency",
+    "perplexity_filter_apply",
+    "ngram_coverage_curve",
+    "containment_pairs",
+    "dedup_keeper",
+    "minhash_pairs",
+    "dedup_clusters",
+    "kmeans_ivf_topk",
+    "ngram_jaccard_pairs",
+    "label_centroids",
+    "embedding_dedup_clusters",
+    "multimodal_features",
+    "rollup_revenue",
+    "pivot_event_values",
+    "intersect_except",
+    "array_agg_types",
+    "approx_stats",
+    "session_window_agg",
+    "bpe_token_stats",
 ]
 
 
