@@ -37,16 +37,34 @@ def _weights(h_values):
 
 
 def test_plane_vectors_pairwise_distinct():
-    # every h the engine ever uses: the LSH tables (incl. the probe's
-    # scaled 13-plane configuration) and the JL draw
-    hs = list(range(NEARDUP_TABLES * 13)) + list(
-        range(JL_H0, JL_H0 + JL_DIM))
+    # every h the engine can use BEFORE the LSH range reaches the JL
+    # draw: the sizing rule is n_planes ~ log2(n_vectors/16) per
+    # table x NEARDUP_TABLES tables, so LSH planes run over
+    # [0, NEARDUP_TABLES*n_planes). Derive the tested range from
+    # JL_H0 itself instead of pinning a literal plane count — a probe
+    # config whose sizing reaches the JL offset fails HERE, not as a
+    # silent plane-reuse in a half-hour stress run (the round-8 bug
+    # class; the round-9 ADVICE found the literal-13 pin left planes
+    # 40-41 uncovered at ~260k docs with the old JL_H0=40).
+    hs = list(range(JL_H0)) + list(range(JL_H0, JL_H0 + JL_DIM))
     W = _weights(hs)
     seen = {tuple(row) for row in W.tolist()}
     assert len(seen) == len(hs), "duplicate hyperplanes in the family"
     # and no two planes are exact negations either (same partition)
     neg = {tuple((-row).tolist()) for row in W}
     assert not (seen & neg)
+
+
+def test_jl_offset_beyond_any_feasible_lsh_sizing():
+    # The LSH side collides with the JL draw once
+    # NEARDUP_TABLES * n_planes > JL_H0. Assert the corpus size at
+    # which that happens is absurd (>1e8 vectors), so no realistic
+    # probe or production sizing can reach the JL planes.
+    max_safe_planes = JL_H0 // NEARDUP_TABLES          # per table
+    n_at_collision = 16 * 2 ** (max_safe_planes + 1)   # n ~ 16*2^p
+    assert n_at_collision > 10 ** 8, (max_safe_planes, n_at_collision)
+    # and the JL draw itself stays inside the 97-plane family
+    assert JL_H0 + JL_DIM <= 97
 
 
 def test_bucket_distribution_on_clustered_corpus():

@@ -51,8 +51,15 @@ def load_recorded(path: Path) -> dict:
     # (bench.py also writes BENCH_last_parsed.json now, but driver
     # records from other machines only carry the tail.)
     tail = data.get("tail", "")
+    # Anchor the scrape on the queries map: a truncated record can
+    # also embed an "error" payload (captured stdout) whose stray
+    # '"key": number' pairs would otherwise inject bogus query names
+    # into the recovered baseline. Only text after '"queries": {' is
+    # per-query timings by construction of bench.py's output line.
+    anchor = re.search(r'\\?"queries\\?":\s*\{', tail)
+    scan = tail[anchor.end():] if anchor else ""
     q = {k: float(v) for k, v in re.findall(
-        r'\\?"([a-z0-9_]+)\\?": ([0-9.]+)', tail)}
+        r'\\?"([a-z0-9_]+)\\?": ([0-9.]+)', scan)}
     q.pop("value", None)
     q.pop("sf", None)
     if not q:

@@ -38,6 +38,11 @@ sys.path.insert(0, str(ROOT))
 # quadratic term would show
 LINEARITY_MAX = 3.0
 
+# Corpus size at which the DSIR hashed-feature space provably fills
+# every bucket (measured: all DSIR_BUCKETS occupied from ~50k docs);
+# strict ==DSIR_BUCKETS saturation is only enforced from here up.
+DSIR_SATURATION_DOCS = 50_000
+
 QUERIES = [
     "dsir_importance",
     "char_entropy",
@@ -197,13 +202,20 @@ def main() -> int:
     bad = [f"{q}: {r}x" for q, r in ratios.items()
            if r > LINEARITY_MAX
            and timings[q][sizes[0]] >= RATIO_FLOOR_SEC]
-    # Strict equality, not <= (which is tautological for hash % N):
-    # at 50k+ docs the feature space saturates all DSIR_BUCKETS
-    # buckets, so any value below means the hash is concentrating —
-    # the failure mode that would silently skew importance weights.
-    if any(v != DSIR_BUCKETS for v in bucket_rows.values()):
-        bad.append(f"dsir bucket table not saturated at "
-                   f"{DSIR_BUCKETS}: {bucket_rows}")
+    # Overflow (> DSIR_BUCKETS) is impossible for a healthy hash % N
+    # and checked unconditionally. Strict saturation (== DSIR_BUCKETS)
+    # only holds once the corpus is large enough to populate every
+    # bucket (~50k docs); below that threshold under-saturation is
+    # expected for a configurable --base, so enforcing equality there
+    # would false-fail small probe runs.
+    for n, v in bucket_rows.items():
+        if v > DSIR_BUCKETS:
+            bad.append(f"dsir bucket table overflows {DSIR_BUCKETS} "
+                       f"at n={n}: {v}")
+        elif n >= DSIR_SATURATION_DOCS and v != DSIR_BUCKETS:
+            bad.append(f"dsir bucket table not saturated at "
+                       f"{DSIR_BUCKETS} for n={n}: {v} (hash is "
+                       f"concentrating)")
     if len(set(overlap_rows.values())) != 1:
         bad.append(f"overlap row count varies with corpus "
                    f"size: {overlap_rows}")

@@ -99,13 +99,20 @@ WHERE rank <= 5
 # ---------------------------------------------------------------------------
 
 JL_DIM = 16
-JL_H0 = 40       # plane-index offset: a fresh draw from the same
+JL_H0 = 80       # plane-index offset: a fresh draw from the same
                  # decorrelated integer weight family as the LSH.
                  # The plane VECTOR is a function of h mod 97, so the
                  # family holds exactly 97 distinct planes and offsets
                  # must stay inside [0, 97) to be actually fresh —
                  # an offset of 500 (= 15 mod 97) silently REUSED LSH
-                 # planes 15-30 (caught by test_lsh_family)
+                 # planes 15-30 (caught by test_lsh_family). 80, not
+                 # 40: the production sizing rule (~log2(n/16) planes
+                 # x NEARDUP_TABLES tables) reaches LSH plane 42 at
+                 # ~260k docs, which would have overlapped a 40-offset
+                 # JL draw; at 80 the LSH side would need n_planes>=27
+                 # (~2e9 vectors) before colliding, and
+                 # test_lsh_family derives its distinctness range from
+                 # this offset so any future overlap fails there first
 JL_RERANK = 20   # JL-space candidates per query before exact rerank
 
 

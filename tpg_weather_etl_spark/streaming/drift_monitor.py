@@ -110,6 +110,30 @@ def batch_kl(batch: DataFrame, baseline: DataFrame,
     )
 
 
+def _has_root_part_files(spark, out_dir: str) -> bool:
+    """True when ``out_dir`` holds root-level ``part-*`` files (the
+    pre-round-7 unpartitioned layout). Local paths go through os so
+    the check works without a JVM round-trip; any non-local scheme
+    (s3a/hdfs/dbfs/...) lists via Hadoop's FileSystem so the eager
+    legacy-layout guard protects remote sinks too, not only the local
+    filesystem it was first written against."""
+    import os
+    from urllib.parse import urlparse
+
+    scheme = urlparse(out_dir).scheme
+    if scheme in ("", "file"):
+        path = urlparse(out_dir).path if scheme == "file" else out_dir
+        return os.path.isdir(path) and any(
+            f.startswith("part-") for f in os.listdir(path))
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    return any(st.getPath().getName().startswith("part-")
+               for st in fs.listStatus(hpath))
+
+
 def start_drift_monitor(stream: DataFrame, baseline: DataFrame,
                         out_dir: str, checkpoint_dir: str,
                         alert_kl: float = DRIFT_ALERT_KL,
@@ -133,11 +157,7 @@ def start_drift_monitor(stream: DataFrame, baseline: DataFrame,
     raises here at start() time with a migration hint instead of
     failing obscurely at first read. Recreate legacy sinks or move the
     old part files into a ``batch_id=-1`` subdirectory."""
-    import os
-
-    if os.path.isdir(out_dir) and any(
-        f.startswith("part-") for f in os.listdir(out_dir)
-    ):
+    if _has_root_part_files(stream.sparkSession, out_dir):
         raise ValueError(
             f"drift sink {out_dir!r} holds root-level part files from "
             "the pre-partitioned layout; recreate it or move them into "
