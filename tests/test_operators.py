@@ -265,7 +265,8 @@ def test_neardup_eval_cap_binds_and_matches_oracle(spark, tmp_path):
         docs, "doc_id", EVAL_SAMPLE_PCT, EVAL_SAMPLE_MAX)
     # the pct sample alone exceeds the cap, so the cap binds exactly
     n_pct = docs.filter(
-        ((F.col("doc_id") * 1103515245 + 12345) % 2147483648) % 100
+        F.floor((((F.col("doc_id") * 1103515245 + 12345) % 2147483648)
+                 * 100) / 2147483648)
         < EVAL_SAMPLE_PCT).count()
     assert n_pct > EVAL_SAMPLE_MAX
     assert sampled.count() == EVAL_SAMPLE_MAX

@@ -665,9 +665,9 @@ def test_deterministic_sample_capped_properties(spark, keys, pct, cap,
                       deterministic_sample(df, "k", pct).collect())
     assert set(got) <= set(uncapped)
     assert len(got) == min(cap, len(uncapped))
-    # single-node replay
+    # single-node replay (high-bit bucket, as lcg_bucket computes)
     lcg = lambda k: (k * LCG_A + LCG_C) % LCG_M  # noqa: E731
     expect = sorted(
-        [k for k in keys if lcg(k) % 100 < pct],
+        [k for k in keys if (lcg(k) * 100) // LCG_M < pct],
         key=lambda k: (lcg(k), k))[:cap]
     assert got == sorted(expect)

@@ -22,8 +22,21 @@ LCG_M = 2147483648  # 2^31
 
 
 def lcg_bucket(key: Column, buckets: int = 100) -> Column:
-    """((a*key + c) mod 2^31) mod buckets — portable pseudo-random bucket."""
-    return ((key.cast("long") * LCG_A + LCG_C) % LCG_M) % buckets
+    """floor(((a*key + c) mod 2^31) * buckets / 2^31) — portable
+    pseudo-random bucket from the LCG state's HIGH bits.
+
+    High bits, not ``state % buckets``: with a power-of-two modulus
+    the LCG's low bits are weak — state parity equals key parity (a
+    odd, c odd), and an even modulo preserves it, so ``% 100`` on an
+    all-even key column reached only the 50 odd buckets and
+    ``percent=1`` (bucket 0) selected NOTHING (caught by
+    test_hash_health's strided-key spread pin, round 9). The high-bit
+    quotient is parity-free and exact in both engines: state*buckets
+    < 2^38 is exactly representable, and division by 2^31 is a power-
+    of-two scaling, so floor() agrees bit-for-bit with integer
+    division."""
+    state = (key.cast("long") * LCG_A + LCG_C) % LCG_M
+    return F.floor((state * buckets) / F.lit(LCG_M)).cast("long")
 
 
 def deterministic_sample(df: DataFrame, key: str, percent: int) -> DataFrame:
@@ -33,7 +46,8 @@ def deterministic_sample(df: DataFrame, key: str, percent: int) -> DataFrame:
 
 def deterministic_sample_sql(key: str, percent: int) -> str:
     """The oracle-side SQL predicate equivalent of deterministic_sample."""
-    return f"((({key} * {LCG_A} + {LCG_C}) % {LCG_M}) % 100) < {percent}"
+    return (f"CAST(floor(((({key} * {LCG_A} + {LCG_C}) % {LCG_M}) * 100)"
+            f" / {LCG_M}) AS BIGINT) < {percent}")
 
 
 def deterministic_sample_capped(df: DataFrame, key: str, percent: int,
@@ -59,5 +73,6 @@ def deterministic_sample_capped_sql(key: str, percent: int,
     """Oracle-side subquery equivalent of deterministic_sample_capped
     (a FROM-able `(SELECT * ... LIMIT n)` string)."""
     lcg = f"(({key} * {LCG_A} + {LCG_C}) % {LCG_M})"
-    return (f"(SELECT * FROM {table} WHERE ({lcg} % 100) < {percent} "
+    bucket = f"CAST(floor(({lcg} * 100) / {LCG_M}) AS BIGINT)"
+    return (f"(SELECT * FROM {table} WHERE {bucket} < {percent} "
             f"ORDER BY {lcg}, {key} LIMIT {max_rows})")

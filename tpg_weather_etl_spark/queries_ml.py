@@ -2215,21 +2215,19 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cluster_split_oracle() -> str:
     from tpg_weather_etl_spark.operators.sampling import (
-        LCG_A,
-        LCG_C,
-        LCG_M,
+        deterministic_sample_sql,
     )
     from tpg_weather_etl_spark.queries_text import SQL_MINHASH_PAIRS
     inner = SQL_MINHASH_PAIRS.strip().rstrip(";")
     ctes, prev = _cc_label_ctes(f"SELECT doc_a, doc_b FROM ({inner})")
+    pred = deterministic_sample_sql("cluster_id", 80)
     return (
         "WITH " + ",\n".join(ctes) + f""",
 asn AS (
   SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS cluster_id
   FROM documents d LEFT JOIN {prev} l ON l.node = d.doc_id)
 SELECT doc_id, cluster_id,
-  CASE WHEN ((cluster_id * {LCG_A} + {LCG_C}) % {LCG_M}) % 100 < 80
-       THEN 'train' ELSE 'test' END AS split
+  CASE WHEN {pred} THEN 'train' ELSE 'test' END AS split
 FROM asn, guard WHERE guard.ok = 1
 ORDER BY doc_id
 """

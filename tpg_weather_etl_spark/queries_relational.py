@@ -657,8 +657,13 @@ def _obs_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = e.groupBy("event_type", "obin").agg(
         (_dsum(F.col("value")) / F.count("value")).alias("obs_value")
     )
-    # deterministically knock out ~30% of grid cells → as-of has real work
-    keep = ((F.unix_timestamp("obin") / 1800).cast("long") * 1103515245 + 12345) % 2147483648 % 100 < 70
+    # deterministically knock out ~30% of grid cells → as-of has real
+    # work (high-bit LCG bucket — see operators/sampling.py:lcg_bucket
+    # for why not `state % 100`: 30-min bins make the key column
+    # all-even-epochs half the day, where low bits degenerate)
+    state = ((F.unix_timestamp("obin") / 1800).cast("long")
+             * 1103515245 + 12345) % 2147483648
+    keep = F.floor((state * 100) / F.lit(2147483648)) < 70
     return g.filter(keep)
 
 
@@ -682,7 +687,7 @@ WITH g AS (
   FROM events GROUP BY 1,2),
 obs AS (
   SELECT * FROM g
-  WHERE ((CAST(floor(epoch(obin)/1800) AS BIGINT) * 1103515245 + 12345) % 2147483648) % 100 < 70),
+  WHERE CAST(floor((((CAST(floor(epoch(obin)/1800) AS BIGINT) * 1103515245 + 12345) % 2147483648) * 100) / 2147483648) AS BIGINT) < 70),
 e AS (
   SELECT event_id, event_type,
     make_timestamp((CAST(floor(epoch(ts)/1800) AS BIGINT))*1800*1000000) AS ebin
