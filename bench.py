@@ -136,6 +136,72 @@ GRAPH = [
 ]
 
 
+# Box-noise canaries: headline queries whose code is byte-unchanged
+# since round 1 (see SCALE.md rule 4 — driver boxes ran unchanged
+# queries at up to 2.27x across rounds). Their round-over-round ratio
+# measures the BOX, not the code; tools/bench_guard.py divides every
+# comparison by it so noise can't fake or mask a regression.
+CANARIES = ["pricing_summary", "region_revenue", "top_orders"]
+
+# Second recorded tier (VERDICT r8 item 5): every bench run also
+# times the ROTATION_SIZE registry queries with the OLDEST wall-clock
+# record among those not in the headline, appending to
+# BENCH_rotation.json. ~100 non-headline queries / 20 per run means
+# every query has a time-series point within ~5 rounds. Rotation
+# timings stay OUT of the printed JSON line (the driver's record
+# format is tail-truncated; the sidecar is the durable copy).
+ROTATION_SIZE = 20
+
+
+def _rotation_pick(all_names: list[str], sidecar: dict) -> list[str]:
+    pool = [n for n in all_names
+            if n not in set(HEADLINE) | set(GRAPH)]
+    hist = sidecar.get("history", {})
+    last_run = {n: (hist[n][-1][0] if hist.get(n) else 0) for n in pool}
+    pool.sort(key=lambda n: (last_run[n], n))
+    return pool[:ROTATION_SIZE]
+
+
+def _run_rotation(spark, qs, sf_dir: str, headline: dict[str, float],
+                  root: Path, sf: float) -> None:
+    path = root / "BENCH_rotation.json"
+    try:
+        sidecar = json.loads(path.read_text())
+    except (OSError, ValueError):
+        sidecar = {"run": 0, "history": {}, "errors": {}}
+    names = _rotation_pick(list(qs), sidecar)
+    run_no = int(sidecar.get("run", 0)) + 1
+    # the run's canary total rides along with every sample so a
+    # consumer can normalize cross-run comparisons (same discipline
+    # as bench_guard's live normalization)
+    canary_total = round(sum(headline.get(c, 0.0) for c in CANARIES), 3)
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — rotation is a
+            # recording tier; one broken query must not sink the run
+            sidecar.setdefault("errors", {})[name] = (
+                f"run {run_no}: {type(exc).__name__}: {exc}"[:500])
+            continue
+        sec = round(time.perf_counter() - t0, 3)
+        # sample = [run, sec, canary_total, sf]: canary_total lets a
+        # consumer divide out box noise; sf keeps local small-scale
+        # test runs distinguishable from driver sf0.1 records
+        sidecar.setdefault("history", {}).setdefault(name, []).append(
+            [run_no, sec, canary_total, sf])
+        sidecar["history"][name] = sidecar["history"][name][-10:]
+        sidecar.setdefault("errors", {}).pop(name, None)
+    sidecar["run"] = run_no
+    hist = sidecar.get("history", {})
+    pool = [n for n in qs if n not in set(HEADLINE) | set(GRAPH)]
+    sidecar["last_benched_run"] = {
+        n: (hist[n][-1][0] if hist.get(n) else None) for n in pool}
+    sidecar["canaries"] = CANARIES
+    path.write_text(json.dumps(sidecar, indent=1, sort_keys=True) + "\n")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -182,6 +248,15 @@ def main() -> None:
                 failure = f"{name}: {type(exc).__name__}: {exc}"
                 break
             timings[name] = round(time.perf_counter() - t0, 3)
+        # rotation tier runs after the full headline (incl. graph) so
+        # it can't perturb the recorded per-query signal, and inside
+        # the try so release_all still covers its persisted
+        # intermediates
+        if (failure is None and not only
+                and os.environ.get("SPARK_GRAFT_BENCH_ROTATION", "1")
+                != "0"):
+            _run_rotation(spark, qs, sf_dir, timings,
+                          Path(__file__).resolve().parent, sf)
     finally:
         # Free every persisted intermediate accumulated by the sweep
         # (deliberately AFTER all queries: dedup_clusters reuses the

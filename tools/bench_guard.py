@@ -28,6 +28,12 @@ REGRESSION_X = 2.0
 # wall-clock on a shared box jitters sub-second queries by far more
 # than 2x run to run; only a ratio+magnitude breach is signal.
 MIN_DELTA_SEC = 2.0
+# Backstop on the RAW (un-normalized) shared total: if the box is so
+# slow that even canary-normalization can't explain it, fail anyway.
+RAW_CEILING_X = 3.0
+# Canary ratio is clamped to this band — a canary that itself
+# regresses catastrophically must not normalize real regressions away.
+CANARY_CLAMP = (0.33, 3.0)
 
 ROOT = Path(__file__).resolve().parent.parent
 
@@ -91,22 +97,45 @@ def main() -> int:
 
     old_q, new_q = base["queries"], now["queries"]
     shared = [n for n in old_q if n in new_q]
+
+    # Box-noise normalization (SCALE.md rule 4, made mechanical):
+    # canaries are byte-unchanged-since-r1 queries, so their ratio is
+    # pure box. Gate on ratios AFTER dividing by it, clamped so a
+    # genuinely-regressed canary can't normalize everything away.
+    sys.path.insert(0, str(ROOT))
+    from bench import CANARIES  # single source of truth
+    c_old = sum(old_q[c] for c in CANARIES if c in old_q and c in new_q)
+    c_new = sum(new_q[c] for c in CANARIES if c in old_q and c in new_q)
+    canary = c_new / c_old if c_old > 0 else 1.0
+    canary = max(CANARY_CLAMP[0], min(CANARY_CLAMP[1], canary))
+    print(f"canary ratio (box noise): {canary:.3f} "
+          f"({c_new:.2f}s vs {c_old:.2f}s over "
+          f"{[c for c in CANARIES if c in old_q and c in new_q]})")
+
     failures = []
     for n in shared:
-        if (new_q[n] > REGRESSION_X * old_q[n]
+        norm = new_q[n] / canary
+        if (norm > REGRESSION_X * old_q[n]
                 and new_q[n] - old_q[n] > MIN_DELTA_SEC):
             failures.append(
-                f"{n}: {new_q[n]:.2f}s vs {old_q[n]:.2f}s "
-                f"(> {REGRESSION_X}x and > +{MIN_DELTA_SEC}s)")
+                f"{n}: {new_q[n]:.2f}s raw / {norm:.2f}s normalized vs "
+                f"{old_q[n]:.2f}s (> {REGRESSION_X}x normalized and "
+                f"> +{MIN_DELTA_SEC}s)")
     old_total = sum(old_q[n] for n in shared)
     new_total = sum(new_q[n] for n in shared)
-    print(f"shared-set total: {new_total:.1f}s vs {old_total:.1f}s "
-          f"({base_path.name}); new-only queries: "
-          f"{sorted(set(new_q) - set(old_q))}")
-    if new_total > REGRESSION_X * old_total:
+    norm_total = new_total / canary
+    print(f"shared-set total: {new_total:.1f}s raw / {norm_total:.1f}s "
+          f"normalized vs {old_total:.1f}s ({base_path.name}); "
+          f"new-only queries: {sorted(set(new_q) - set(old_q))}")
+    if norm_total > REGRESSION_X * old_total:
         failures.append(
-            f"shared total {new_total:.1f}s > "
+            f"shared total {norm_total:.1f}s normalized > "
             f"{REGRESSION_X}x {old_total:.1f}s")
+    if new_total > RAW_CEILING_X * old_total:
+        failures.append(
+            f"shared total {new_total:.1f}s raw > "
+            f"{RAW_CEILING_X}x {old_total:.1f}s (beyond what box "
+            f"noise can explain)")
 
     for f in failures:
         print("REGRESSION:", f)
