@@ -39,7 +39,9 @@ ROOT = Path(__file__).resolve().parent.parent
 
 
 def latest_recorded() -> Path | None:
-    recs = sorted(ROOT.glob("BENCH_r*.json"),
+    # BENCH_r[0-9]*: the driver's numbered records only — NOT the
+    # rotation sidecar (BENCH_rotation.json) or other BENCH_* files
+    recs = sorted(ROOT.glob("BENCH_r[0-9]*.json"),
                   key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
     return recs[-1] if recs else None
 
@@ -57,17 +59,23 @@ def load_recorded(path: Path) -> dict:
     # (bench.py also writes BENCH_last_parsed.json now, but driver
     # records from other machines only carry the tail.)
     tail = data.get("tail", "")
-    # Anchor the scrape on the queries map: a truncated record can
-    # also embed an "error" payload (captured stdout) whose stray
-    # '"key": number' pairs would otherwise inject bogus query names
-    # into the recovered baseline. Only text after '"queries": {' is
-    # per-query timings by construction of bench.py's output line.
+    # Guard the scrape against non-timing '"key": number' pairs (a
+    # truncated record can embed an error payload with stray numeric
+    # pairs): prefer text after the '"queries": {' anchor; when the
+    # tail starts MID-map (the anchor itself was truncated away —
+    # BENCH_r08), scan the whole tail but drop the first pair, whose
+    # key may be a mid-cut name that collides with a real one (e.g.
+    # 'semantic_dedup_apply' cut to 'dedup_apply'). Either way,
+    # whitelist keys against the benched-name set.
     anchor = re.search(r'\\?"queries\\?":\s*\{', tail)
-    scan = tail[anchor.end():] if anchor else ""
-    q = {k: float(v) for k, v in re.findall(
-        r'\\?"([a-z0-9_]+)\\?": ([0-9.]+)', scan)}
-    q.pop("value", None)
-    q.pop("sf", None)
+    scan = tail[anchor.end():] if anchor else tail
+    pairs = re.findall(r'\\?"([a-z0-9_]+)\\?": ([0-9.]+)', scan)
+    if not anchor and pairs:
+        pairs = pairs[1:]
+    sys.path.insert(0, str(ROOT))
+    from bench import GRAPH, HEADLINE
+    benched = set(HEADLINE) | set(GRAPH)
+    q = {k: float(v) for k, v in pairs if k in benched}
     if not q:
         raise SystemExit(
             f"{path} has neither parsed queries nor a parseable tail")
