@@ -1627,6 +1627,89 @@ FROM tk LEFT JOIN kept ON tk.doc_id = kept.doc_id
 """
 
 
+# Minimum length (tokens) of an emitted maximal duplicated region —
+# strictly longer than one W-span, so only genuinely MERGED runs
+# qualify (production: Lee et al.'s 50-token threshold with W~50 BPE).
+DUP_REGION_MIN = 12
+
+
+def q_dup_span_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated regions per document (the completion of the
+    Lee et al. substring-dedup story beyond coverage/apply): the
+    interval union of all duplicated W-token spans, merged per doc
+    into maximal runs, emitted as (doc_id, span_start, span_end,
+    span_len) for every region of ≥ DUP_REGION_MIN tokens.
+
+    A duplicated substring of length ≥ W contributes ALL its W-windows
+    to the duplicated-start set, so merging overlapping/abutting
+    starts (gap ≤ W) reconstructs exactly the maximal duplicated
+    regions the sorted-suffix-array construction would report, using
+    two shuffles instead of a suffix sort: the corpus-wide W-gram
+    hash count (map-side partial agg), then one per-doc window for
+    gaps-and-islands; the islands groupBy reuses the window's doc_id
+    partitioning (subset rule — verify with plan budget).
+
+    Scale shape: positions explode linearly in corpus tokens; the
+    duplicated-start set is duplication-sized, not corpus-sized, and
+    everything after the hash-count keys on doc_id. No suffix array,
+    no global sort.
+    """
+    base = _doc_tokens_base(spark, sf_dir)
+    dup_starts = _dup_span_starts(base)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    brk = F.when(
+        F.col("i") - F.lag("i").over(w) > DUP_SPAN_W, 1).otherwise(0)
+    grp = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        dup_starts.withColumn("g", grp)
+        .groupBy("doc_id", "g")
+        .agg(F.min("i").alias("span_start"),
+             (F.max("i") + DUP_SPAN_W).alias("span_end"))
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start")).cast("bigint")
+            .alias("span_len"),
+        )
+        .filter(F.col("span_len") >= DUP_REGION_MIN)
+    )
+
+
+SQL_DUP_SPAN_REGIONS = f"""
+WITH d AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+           FROM documents),
+tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d),
+sp AS (SELECT doc_id, i,
+         ('0x' || substr(md5(
+            array_to_string(toks[i+1 : i+{DUP_SPAN_W}], ' ')), 1, 15))::BIGINT
+           AS sp_hash
+       FROM (SELECT doc_id, toks,
+               unnest(range(0, len(toks) - {DUP_SPAN_W} + 1)) AS i
+             FROM tk WHERE len(toks) >= {DUP_SPAN_W})),
+fr AS (SELECT sp_hash FROM sp GROUP BY 1 HAVING COUNT(*) >= 2),
+ds AS (SELECT doc_id, i FROM sp
+       WHERE sp_hash IN (SELECT sp_hash FROM fr)),
+mk AS (SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   > {DUP_SPAN_W} THEN 1 ELSE 0 END AS brk
+       FROM ds),
+gr AS (SELECT doc_id, i,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS g
+       FROM mk),
+reg AS (SELECT doc_id,
+          CAST(MIN(i) AS BIGINT) AS span_start,
+          CAST(MAX(i) + {DUP_SPAN_W} AS BIGINT) AS span_end
+        FROM gr GROUP BY doc_id, g)
+SELECT doc_id, span_start, span_end,
+       span_end - span_start AS span_len
+FROM reg WHERE span_end - span_start >= {DUP_REGION_MIN}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sequence packing — concatenate the (deterministically
 # shuffled) corpus and cut every PACK_CAP tokens, GPT-style. The
@@ -2942,6 +3025,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "dup_span_fraction": q_dup_span_fraction,
     "dup_span_apply": q_dup_span_apply,
+    "dup_span_regions": q_dup_span_regions,
     "sequence_pack": q_sequence_pack,
     "bpe_token_stats": q_bpe_token_stats,
     "char_fingerprints": q_char_fingerprints,
@@ -2985,6 +3069,7 @@ ORACLE = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "dup_span_fraction": SQL_DUP_SPAN_FRACTION,
     "dup_span_apply": SQL_DUP_SPAN_APPLY,
+    "dup_span_regions": SQL_DUP_SPAN_REGIONS,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "char_fingerprints": SQL_CHAR_FINGERPRINTS,
