@@ -187,3 +187,44 @@ def test_ml_lsh_recall_pinned_vs_gate_pairs(spark, _need_testdata):
     nd_recall = len(gate_nd & ml_nd) / len(gate_nd)
     assert nd_recall >= 0.9, \
         f"BucketedRandomProjectionLSH recall {nd_recall:.2f}"
+
+
+def test_hot_band_bucket_cap_binding_and_inert(spark):
+    """filter_hot_band_buckets: inert when no bucket exceeds the cap;
+    drops the mega-bucket (and its quadratic pair blob) when one
+    does — the text-side analogue of the embedding family's
+    filter_hot_buckets (round-9 probe find: boilerplate-heavy corpora
+    grow one shared header bucket per band linearly with the corpus,
+    so uncapped candidates grow quadratically)."""
+    from pyspark.sql import functions as F
+
+    from tpg_weather_etl_spark.queries_text import (
+        bands_from_shingles,
+        filter_hot_band_buckets,
+        shingles_from_docs,
+    )
+
+    # 12 identical docs -> every band bucket holds all 12
+    body = " ".join(f"w{i}" for i in range(30))
+    rows = [(i, body) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = bands_from_shingles(shingles_from_docs(docs))
+
+    capped_inert = filter_hot_band_buckets(bands, cap=50)
+    assert capped_inert.count() == bands.count()  # inert above size
+
+    capped = filter_hot_band_buckets(bands, cap=5)
+    assert capped.count() == 0  # the mega-bucket is dropped whole
+
+    # mixed corpus: mega-cluster + 3 small near-dup pairs -> cap keeps the
+    # small buckets intact while dropping only the hot one
+    rows2 = rows + [(100 + i, " ".join(f"p{i}_{j}" for j in range(30)))
+                    for i in range(3)]
+    rows2 += [(200 + i, " ".join(f"p{i}_{j}" for j in range(29)) + " zz")
+              for i in range(3)]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    bands2 = bands_from_shingles(shingles_from_docs(docs2))
+    kept = filter_hot_band_buckets(bands2, cap=5)
+    kept_docs = {r.doc_id for r in kept.select("doc_id").distinct().collect()}
+    assert not kept_docs & set(range(12))
+    assert {100, 101, 102, 200, 201, 202} <= kept_docs

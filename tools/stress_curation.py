@@ -60,7 +60,28 @@ QUERIES = [
     # doc_id joins.)
     "minhash_est_accuracy",
     "bitext_mining_pairs",
+    # round-9 additions: maximal duplicated regions (the W-gram hash
+    # count + per-doc islands must scale linearly in corpus tokens)
+    # and the hot-band-bucket-capped MinHash variant — the text-side
+    # scale path this probe's own round-9 run motivated (see below)
+    "dup_span_regions",
+    "minhash_pairs_capped",
 ]
+
+# minhash_est_accuracy runs on the UNCAPPED candidate set, which this
+# probe measured growing QUADRATICALLY on its 30%-boilerplate corpus:
+# ONE header-dominant band bucket grows linearly with the corpus
+# (2921 -> 5986 members at 250k -> 500k docs) and contributes 94-97%
+# of total candidate volume (4.26M -> 17.9M pairs, 4.07x on 2x docs)
+# while everything else stays linear (2.08x). That quadratic is the
+# WORKLOAD's (the cap guard minhash_pairs_capped is the engineered
+# answer); the estimator itself must still be LINEAR IN ITS INPUT, so
+# its gate normalizes by the measured candidate volume instead of the
+# plain corpus ratio: wall-clock ratio <= max(LINEARITY_MAX,
+# EST_VOLUME_SLACK x candidate-volume ratio). An accidental
+# O(candidates^2) in the overlay still fails this.
+EST_VOLUME_SLACK = 1.2
+EST_QUERY = "minhash_est_accuracy"
 
 # bitext is probed with a corpus-scaled plane count (the production
 # sizing rule), NOT the gate's fixed 8 planes: the bucket space is
@@ -148,6 +169,8 @@ def main() -> int:
     timings: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
     bucket_rows: dict[int, int] = {}
     overlap_rows: dict[int, int] = {}
+    cand_volume: dict[int, int] = {}
+    max_bucket: dict[int, int] = {}
 
     for n in sizes:
         out_dir = Path(f"/tmp/spark_graft_stress_curation_{n}")
@@ -174,6 +197,24 @@ def main() -> int:
         overlap_rows[n] = qs["source_overlap_jaccard"](
             spark, str(out_dir)).count()
         release_all()
+        # measured UNCAPPED candidate volume + max bucket size — the
+        # input-size normalizer for EST_QUERY's gate and the direct
+        # record of the mega-bucket growth the cap guard bounds
+        from pyspark.sql import functions as F
+
+        from tpg_weather_etl_spark.queries_text import (
+            _shingle_df,
+            bands_from_shingles,
+        )
+        bsz = (bands_from_shingles(_shingle_df(spark, str(out_dir)))
+               .groupBy("band", "bkey")
+               .agg(F.count(F.lit(1)).alias("s")))
+        row = bsz.agg(
+            F.sum(F.col("s") * (F.col("s") - 1) / 2).alias("vol"),
+            F.max("s").alias("mx")).collect()[0]
+        cand_volume[n] = int(row.vol)
+        max_bucket[n] = int(row.mx)
+        release_all()
         shutil.rmtree(out_dir, ignore_errors=True)
 
     ratios = {q: round(timings[q][sizes[1]] / max(timings[q][sizes[0]],
@@ -194,14 +235,29 @@ def main() -> int:
         "dsir_bucket_rows": bucket_rows,
         "dsir_buckets_const": DSIR_BUCKETS,
         "source_overlap_rows": overlap_rows,
+        "mh_candidate_volume": cand_volume,
+        "mh_max_bucket": max_bucket,
+        "est_volume_slack": EST_VOLUME_SLACK,
     }
     (ROOT / "STRESS_curation.json").write_text(
         json.dumps(rec, indent=2) + "\n")
     print(json.dumps(rec["ratio_2x_docs"], indent=1))
+    vol_ratio = cand_volume[sizes[1]] / max(cand_volume[sizes[0]], 1)
+    print(f"uncapped candidate volume: {cand_volume} "
+          f"(ratio {vol_ratio:.2f}), max bucket: {max_bucket}")
 
-    bad = [f"{q}: {r}x" for q, r in ratios.items()
-           if r > LINEARITY_MAX
-           and timings[q][sizes[0]] >= RATIO_FLOOR_SEC]
+    bad = []
+    for q, r in ratios.items():
+        if timings[q][sizes[0]] < RATIO_FLOOR_SEC:
+            continue
+        allowed = LINEARITY_MAX
+        if q == EST_QUERY:
+            # uncapped-input query: linear in the MEASURED candidate
+            # volume, which the boilerplate mega-bucket makes
+            # quadratic in docs (see EST_QUERY comment at QUERIES)
+            allowed = max(LINEARITY_MAX, EST_VOLUME_SLACK * vol_ratio)
+        if r > allowed:
+            bad.append(f"{q}: {r}x > {allowed:.2f}")
     # Overflow (> DSIR_BUCKETS) is impossible for a healthy hash % N
     # and checked unconditionally. Strict saturation (== DSIR_BUCKETS)
     # only holds once the corpus is large enough to populate every

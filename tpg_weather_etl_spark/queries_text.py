@@ -698,6 +698,66 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Hot-band-bucket-capped MinHash pairs — the text-side analogue of
+# the embedding family's filter_hot_buckets (SCALE.md rule 11), added
+# after the round-9 curation probe measured the uncapped candidate
+# volume growing QUADRATICALLY on a boilerplate-heavy corpus: 30% of
+# docs sharing one 15-word header put every "header-dominant" doc
+# (all 4 band minima drawn from header shingles, P≈0.2⁴ per band)
+# into ONE shared bucket per band whose size grows linearly with the
+# corpus — so its pair contribution grows quadratically even though
+# no true near-dups live there (header-pair Jaccard ≈0.12, all
+# verify-rejected at cost). The cap drops over-full buckets before
+# candidate generation, bounding per-bucket work at cap²/2 on ANY
+# corpus composition. Tension, same as the embedding side: a TRUE
+# mega-cluster (STRESS_giant's 1000 near-identical docs) also lives
+# in over-full buckets, so the capped variant trades its recovery
+# for the work bound — both variants stay first-class, the pipeline
+# picks per corpus-profile (boilerplate_prefixes tells you which).
+# ---------------------------------------------------------------------------
+
+MH_BUCKET_CAP = 200   # max members per (band, bkey) bucket
+
+
+def filter_hot_band_buckets(bands: DataFrame,
+                            cap: int = MH_BUCKET_CAP) -> DataFrame:
+    """Drop (band, bkey) buckets with more than ``cap`` members.
+
+    One aggregation over the band table (docs×8 rows, not
+    candidate-sized) and a co-partitioned join; after it no bucket
+    contributes more than cap·(cap−1)/2 candidate pairs."""
+    sizes = bands.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).alias("n_in_bucket"))
+    return (bands.join(sizes, ["band", "bkey"])
+            .filter(F.col("n_in_bucket") <= cap)
+            .drop("n_in_bucket"))
+
+
+def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str,
+                           cap: int = MH_BUCKET_CAP) -> DataFrame:
+    """`minhash_pairs` with the hot-band-bucket cap applied before
+    candidate generation: identical output when no bucket exceeds
+    ``cap`` (gate SFs — pytest-pinned), bounded candidate work on
+    boilerplate-heavy corpora where the uncapped join goes quadratic
+    (probe-measured, see filter_hot_band_buckets)."""
+    sh = _shingle_df_shared(spark, sf_dir)
+    bands = filter_hot_band_buckets(bands_from_shingles(sh), cap=cap)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("band").alias("band_b"),
+                     F.col("bkey").alias("bkey_b"))
+    cand = (
+        a.join(b, (F.col("band") == F.col("band_b"))
+               & (F.col("bkey") == F.col("bkey_b"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b").distinct()
+    )
+    return _pair_jaccard(sh, cand=cand).filter(F.col("jaccard") >= 0.5)
+
+
+
+
 # Shared oracle-side band CTEs — the SQL mirror of
 # bands_from_shingles: two disjoint 16-hash families (MH_FAMILIES),
 # 8 bands of 4, band index i//4 so bands 4-7 are the second pass.
@@ -724,6 +784,29 @@ WITH {_SQL_SHINGLES},
 {_SQL_MH_BANDS},
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shx a JOIN shx b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter,
+  CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN shn na ON na.doc_id = doc_a
+JOIN shn nb ON nb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.5
+"""
+
+
+SQL_MINHASH_PAIRS_CAPPED = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_MH_BANDS},
+keep AS (SELECT band, bkey FROM bands GROUP BY band, bkey
+         HAVING COUNT(*) <= {MH_BUCKET_CAP}),
+bc AS (SELECT b.* FROM bands b JOIN keep USING (band, bkey)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bc a JOIN bc b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -3026,6 +3109,7 @@ QUERIES = {
     "dup_span_fraction": q_dup_span_fraction,
     "dup_span_apply": q_dup_span_apply,
     "dup_span_regions": q_dup_span_regions,
+    "minhash_pairs_capped": q_minhash_pairs_capped,
     "sequence_pack": q_sequence_pack,
     "bpe_token_stats": q_bpe_token_stats,
     "char_fingerprints": q_char_fingerprints,
@@ -3070,6 +3154,7 @@ ORACLE = {
     "dup_span_fraction": SQL_DUP_SPAN_FRACTION,
     "dup_span_apply": SQL_DUP_SPAN_APPLY,
     "dup_span_regions": SQL_DUP_SPAN_REGIONS,
+    "minhash_pairs_capped": SQL_MINHASH_PAIRS_CAPPED,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "char_fingerprints": SQL_CHAR_FINGERPRINTS,

@@ -64,7 +64,12 @@ class SyntheticEventsReader(DataSourceReader):
         hi = min(self.rows, lo + per)
         for rid in range(lo, hi):
             h = _lcg(self.seed * 2_654_435_761 + rid)
-            user = h % 1000
+            # high-bit extraction, not `h % k`: with a power-of-two
+            # modulus the LCG's low bits are weak — h's parity tracks
+            # rid's, so `% 1000` made user_id parity a pure function
+            # of row parity (see operators/sampling.py:lcg_bucket,
+            # same fix)
+            user = (h * 1000) // _LCG_M
             h2 = _lcg(h)
-            value = (h2 % 100_000) / 100.0
+            value = ((h2 * 100_000) // _LCG_M) / 100.0
             yield (rid, user, value)
