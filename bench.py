@@ -137,11 +137,16 @@ GRAPH = [
 
 
 # Box-noise canaries: headline queries whose code is byte-unchanged
-# since round 1 (see SCALE.md rule 4 — driver boxes ran unchanged
+# across rounds (see SCALE.md rule 4 — driver boxes ran unchanged
 # queries at up to 2.27x across rounds). Their round-over-round ratio
 # measures the BOX, not the code; tools/bench_guard.py divides every
-# comparison by it so noise can't fake or mask a regression.
-CANARIES = ["pricing_summary", "region_revenue", "top_orders"]
+# comparison by whichever canaries appear in BOTH runs. The first
+# three (unchanged since r1) sit at the headline FRONT, which the
+# driver's tail-truncated record loses — the last three (unchanged
+# since r6, cheap scalar aggs) sit late in the headline so at least
+# one canary survives truncation from either end.
+CANARIES = ["pricing_summary", "region_revenue", "top_orders",
+            "winsorized_stats", "token_gini", "chi2_source_lang"]
 
 # Second recorded tier (VERDICT r8 item 5): every bench run also
 # times the ROTATION_SIZE registry queries with the OLDEST wall-clock
