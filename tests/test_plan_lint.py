@@ -58,6 +58,8 @@ BNLJ_ALLOWED = {
     "neardup_eval": "1-row x 1-row report aggregates",
     # bigram LM: 1-row vocabulary-size scalar broadcast
     "bigram_logprob": "single-row scalar V broadcast",
+    "kn_bigram_logprob": "single-row scalar B (distinct-bigram count) "
+                         "broadcast",
     # KS drift: ~20-source dictionary × distinct-length grid + 1-row N
     "source_ks_drift": "bounded dictionary x distinct-values grid",
     # chi2 audit: |sources|×|langs| dictionary grid + 1-row N/total

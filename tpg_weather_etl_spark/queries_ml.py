@@ -561,6 +561,113 @@ FROM lp GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram cross-entropy — the top rung of the
+# perplexity-filter ladder (unigram MLE → add-one bigram → KN), i.e.
+# the smoothing KenLM actually uses in CCNet-style quality filtering.
+# KN replaces the raw unigram backoff with the CONTINUATION
+# distribution (how many distinct contexts a word follows), which is
+# what stops boilerplate-frequent-but-context-poor tokens from
+# looking probable.
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75
+
+
+def q_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under an interpolated Kneser-Ney bigram
+    LM with fixed discount D: P(w2|w1) = max(c12−D, 0)/c1 +
+    (D·N1+(w1·)/c1) · (N1+(·w2)/B), where N1+(w1·)/N1+(·w2) are the
+    distinct-continuation fan-outs and B the distinct-bigram count.
+
+    Cross-engine exactness: all model terms derive from integer
+    counts off ONE (w1,w2) shuffle (c1 and N1+(w1·) come from the
+    SAME aggregate over the distinct-pair table — sum and count);
+    the probability is evaluated in the identical parenthesization in
+    both engines (IEEE ops are exactly rounded, so same inputs + same
+    op order = bit-identical doubles), then the per-bigram −ln p goes
+    through the established transcendental discipline (round 6 →
+    DECIMAL(24,8) sum → average).
+
+    Scale shape: identical to q_bigram_logprob — map-side bigram
+    build, model joins co-partitioned on their group keys, the only
+    broadcast is the 1-row B scalar."""
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    toks = F.split(norm_text(F.col("text")), " ")
+    bg = track(
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> struct(element_at(toks, i) AS w1, "
+            "element_at(toks, i + 1) AS w2))")).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # c12 rows are distinct (w1,w2) pairs, so one agg yields both the
+    # marginal and the forward continuation fan-out
+    ctx = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                                F.count(F.lit(1)).alias("n1f"))
+    n1b = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    btot = c12.agg(F.count(F.lit(1)).alias("b"))
+    p = (
+        (F.greatest(F.col("c12") - KN_DISCOUNT, F.lit(0.0))
+         / F.col("c1"))
+        + ((KN_DISCOUNT * F.col("n1f")) / F.col("c1"))
+        * (F.col("n1b") / F.col("b").cast("double"))
+    )
+    nll = (
+        bg.join(c12, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(n1b, "w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "doc_id",
+            F.round(-F.log(p), 6).cast("decimal(24,8)").alias("nll"),
+        )
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6)
+         + F.lit(0.0)).alias("kn_xent"),
+    ).orderBy("doc_id")
+
+
+SQL_KN_BIGRAM_LOGPROB = f"""
+WITH d AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')), ' ') AS toks
+           FROM documents),
+bg AS (
+  SELECT doc_id, u.w1, u.w2 FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(toks)),
+        i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS u
+    FROM d WHERE len(toks) >= 2)),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM c12 GROUP BY 1),
+n1b AS (SELECT w2, COUNT(*) AS n1b FROM c12 GROUP BY 1),
+btot AS (SELECT COUNT(*) AS b FROM c12),
+nll AS (
+  SELECT bg.doc_id,
+    CAST(round(-ln(
+      (greatest(c12.c12 - {KN_DISCOUNT}, 0.0) / ctx.c1)
+      + (({KN_DISCOUNT} * ctx.n1f) / ctx.c1)
+        * (n1b.n1b / CAST(btot.b AS DOUBLE))
+    ), 6) AS DECIMAL(24,8)) AS nll
+  FROM bg JOIN c12 USING (w1, w2) JOIN ctx USING (w1)
+  JOIN n1b USING (w2) CROSS JOIN btot)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) + 0.0 AS kn_xent
+FROM nll GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-label embedding centroids (vector aggregation, long form)
 # ---------------------------------------------------------------------------
 
@@ -2787,6 +2894,7 @@ QUERIES = {
     "token_gini": q_token_gini,
     "cluster_size_histogram": q_cluster_size_histogram,
     "bigram_logprob": q_bigram_logprob,
+    "kn_bigram_logprob": q_kn_bigram_logprob,
     "centroid_shift": q_centroid_shift,
     "source_kl_drift": q_source_kl_drift,
     "source_lang_entropy": q_source_lang_entropy,
@@ -2823,6 +2931,7 @@ QUERIES = {
 ORACLE = {
     "source_kl_drift": SQL_SOURCE_KL_DRIFT,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "kn_bigram_logprob": SQL_KN_BIGRAM_LOGPROB,
     "centroid_shift": SQL_CENTROID_SHIFT,
     "token_gini": SQL_TOKEN_GINI,
     "part_triangles": SQL_PART_TRIANGLES,
