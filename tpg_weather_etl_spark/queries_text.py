@@ -116,15 +116,12 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def bands_from_shingles(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, bkey) MinHash-LSH band keys from a shingle
-    table — the signature is 32 aggregate expressions (two disjoint
-    16-hash families, map-side partial min), not a 32× explode;
-    shared by the batch gate query and the streaming near-dup store.
-    The two 4-band passes are concatenated (bands 0-3 = family 0,
-    bands 4-7 = family 1), so the downstream band self-join is one
-    join regardless of pass count — see MH_FAMILIES for why two."""
-    sig = minhash_signatures(sh)
+def bands_from_signatures(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) band keys as a pure projection over a
+    signature table — split out of ``bands_from_shingles`` (round 9)
+    so gate queries can build bands from the SHARED persisted
+    signature table and the estimator-parity gate can reuse the same
+    cached aggregate instead of re-running the 32-expression agg."""
     n_bands = MH_NUM_HASHES // MH_BAND_ROWS
     band_keys = F.array(*[
         F.concat_ws("_", *[
@@ -136,6 +133,37 @@ def bands_from_shingles(sh: DataFrame) -> DataFrame:
     ])
     return sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    )
+
+
+def bands_from_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) MinHash-LSH band keys from a shingle
+    table — the signature is 32 aggregate expressions (two disjoint
+    16-hash families, map-side partial min), not a 32× explode;
+    shared by the batch gate query and the streaming near-dup store.
+    The two 4-band passes are concatenated (bands 0-3 = family 0,
+    bands 4-7 = family 1), so the downstream band self-join is one
+    join regardless of pass count — see MH_FAMILIES for why two."""
+    return bands_from_signatures(minhash_signatures(sh))
+
+
+def minhash_signatures_shared(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Persisted signature table over the shared shingle cache — the
+    second natural reuse point of the MinHash DAG (after the shingle
+    table itself): the band builder consumes it as a projection and
+    the estimator-parity gate consumes the raw 32 columns, so
+    persisting HERE (round 9) is what lets Spark's cache manager
+    resolve both to one aggregate run. Persisting only the band table
+    (the round-8 design) cached a PROJECTION of the agg, which the
+    estimator's plan is not a subtree match for — its signature agg
+    silently re-ran (sf0.1 A/B below in the commit)."""
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+    return track(
+        minhash_signatures(_shingle_df_shared(spark, sf_dir))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -636,20 +664,6 @@ WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter)
 # join produces candidates; exact Jaccard verifies them)
 # ---------------------------------------------------------------------------
 
-def _minhash_bands(spark: SparkSession, sf_dir: str,
-                   shingles: DataFrame | None = None) -> DataFrame:
-    """(doc_id, band, bkey) minhash band keys.
-
-    One shuffle total: the 16 per-hash minima are 16 aggregate
-    expressions over the shingle rows (map-side partial min), NOT a
-    16× row explode — at 100 TB the explode version shuffles 16× the
-    shingle volume for no reason. Band keys are then pure projection.
-    """
-    return bands_from_shingles(
-        shingles if shingles is not None else _shingle_df(spark, sf_dir)
-    )
-
-
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: banded-LSH candidates + exact-Jaccard verify.
 
@@ -663,19 +677,15 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tpg_weather_etl_spark.caching import track
     sh = _shingle_df_shared(spark, sf_dir)
-    # Persisted: the band table feeds BOTH sides of the self-join
-    # below — without materialization the 32-expression signature
-    # aggregation runs twice (once per join side; exchange reuse does
-    # not collapse it because each side re-aggregates above the
-    # shuffle). The table is (docs × 8 bands) rows of (long, int,
-    # string) — a natural second reuse point at any scale, and the
-    # signature agg is the single most expensive expression tree in
-    # the family since the dual-family change (r7 bench creep, task 3
-    # of the r7 verdict).
-    bands = track(
-        _minhash_bands(spark, sf_dir, shingles=sh)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # Bands as a projection over the SHARED persisted signature table
+    # (round 9; previously the band table itself was persisted, which
+    # still ran the 32-expression signature agg once per consumer
+    # that needed raw signature columns — the estimator gate). Both
+    # self-join sides and the estimator now resolve to ONE cached
+    # aggregate; the explode projection is recomputed per side, which
+    # is cheap next to the agg it replaced.
+    bands = bands_from_signatures(
+        minhash_signatures_shared(spark, sf_dir))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("doc_b"),
                      F.col("band").alias("band_b"),
@@ -742,7 +752,9 @@ def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str,
     boilerplate-heavy corpora where the uncapped join goes quadratic
     (probe-measured, see filter_hot_band_buckets)."""
     sh = _shingle_df_shared(spark, sf_dir)
-    bands = filter_hot_band_buckets(bands_from_shingles(sh), cap=cap)
+    bands = filter_hot_band_buckets(
+        bands_from_signatures(minhash_signatures_shared(spark, sf_dir)),
+        cap=cap)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("doc_b"),
                      F.col("band").alias("band_b"),
@@ -840,18 +852,17 @@ def q_minhash_est_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: O(pairs x 32) — the pair list is near-dup-sized (the
     persisted q_minhash_pairs output, tiny next to the corpus), the
-    signature table aggregates map-side into 32 fixed columns (one
-    shuffle shared with the band builder via the cached shingle
-    table), and the two signature joins are doc_id equi joins whose
-    probe side is the pair list. Nothing quadratic, nothing
-    corpus-wide beyond what the detector already computed.
+    signature table IS the shared persisted aggregate the band
+    builder projects from (minhash_signatures_shared — one agg run
+    for detector + estimator), and the two signature joins are doc_id
+    equi joins whose probe side is the pair list. Nothing quadratic,
+    nothing corpus-wide beyond what the detector already computed.
     """
-    sh = _shingle_df_shared(spark, sf_dir)
     pairs = q_minhash_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", "jaccard")
     cols = [f"s{p}_{i}" for p in range(len(MH_FAMILIES))
             for i in range(MH_NUM_HASHES)]
-    sig = minhash_signatures(sh)
+    sig = minhash_signatures_shared(spark, sf_dir)
     arr = F.array(*cols)
     sa = sig.select(F.col("doc_id").alias("doc_a"), arr.alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), arr.alias("sig_b"))
