@@ -1,0 +1,242 @@
+"""Scale probe for the multimodal mapInPandas tier (round 9).
+
+The Arrow-batched operators (decode, frame sampling, resize) claim
+linear scaling and batch-bounded memory — peak per task is one Arrow
+record batch of payloads, never a partition. This probe measures the
+claim instead of arguing it, mirroring the other stress tools:
+
+- generates the same synthetic media corpus at base and 2x row
+  counts (mixed WAV / PPM / RAWV / GIF-less poison payloads, ~10 KB
+  each) and asserts wall-clock grows <= RATIO_MAX per operator;
+- runs with spark.sql.execution.arrow.maxRecordsPerBatch pinned LOW
+  (64) so every task iterates many small batches — the shape that
+  catches an operator accidentally materializing a whole partition;
+- asserts poison isolation end-to-end at both sizes: the corrupt
+  payloads come back as NULL features, never task failures;
+- checks metadata_stats prunes the payload column (ReadSchema must
+  not include `content`) — the metadata path must not pay decode
+  bandwidth at any scale.
+
+Writes STRESS_multimodal.json at the repo root; exit 1 on breach.
+
+Usage: python tools/stress_multimodal.py [--base 20000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import shutil
+import struct
+import sys
+import time
+import wave as wave_mod
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+RATIO_MAX = 3.0          # linear ideal 2.0 on 2x rows
+RATIO_FLOOR_SEC = 2.0    # ignore ratios on sub-noise base times
+POISON_EVERY = 17        # every 17th row is a corrupt payload
+
+
+def _wav_payload(rng: np.random.Generator) -> bytes:
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        samples = (rng.standard_normal(1024) * 8000).astype("<i2")
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _ppm_payload(rng: np.random.Generator) -> bytes:
+    w_px, h_px = 40, 30
+    px = rng.integers(0, 256, size=w_px * h_px * 3, dtype=np.uint8)
+    return b"P6\n%d %d\n255\n" % (w_px, h_px) + px.tobytes()
+
+
+def _rawv_payload(rng: np.random.Generator) -> bytes:
+    from tpg_weather_etl_spark.operators.multimodal import pack_rawv
+    w_px, h_px, n_frames = 24, 18, 8
+    frames = [rng.integers(0, 256, size=w_px * h_px * 3,
+                           dtype=np.uint8).tobytes()
+              for _ in range(n_frames)]
+    return pack_rawv(w_px, h_px, frames)
+
+
+def _write_media(n_rows: int, out_dir: Path) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(17)
+    # payload templates are drawn once and cycled — the probe measures
+    # the Spark/Arrow/decode path, not python generation entropy
+    wavs = [_wav_payload(rng) for _ in range(32)]
+    ppms = [_ppm_payload(rng) for _ in range(32)]
+    rawvs = [_rawv_payload(rng) for _ in range(32)]
+
+    ids, kinds, contents, mimes = [], [], [], []
+    widths, heights, durs = [], [], []
+    for i in range(n_rows):
+        ids.append(i)
+        if i % POISON_EVERY == 0:
+            kinds.append("image")
+            contents.append(b"\xff\xd8corrupt" + bytes(64))
+            mimes.append("image/jpeg")
+            widths.append(None); heights.append(None); durs.append(None)
+        elif i % 3 == 0:
+            kinds.append("audio")
+            contents.append(wavs[i % 32])
+            mimes.append("audio/wav")
+            widths.append(None); heights.append(None); durs.append(128)
+        elif i % 3 == 1:
+            kinds.append("image")
+            contents.append(ppms[i % 32])
+            mimes.append("image/x-portable-pixmap")
+            widths.append(40); heights.append(30); durs.append(None)
+        else:
+            kinds.append("video")
+            contents.append(rawvs[i % 32])
+            mimes.append("video/x-rawv")
+            widths.append(24); heights.append(18); durs.append(8000)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir.mkdir(parents=True)
+    pq.write_table(pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(kinds),
+        "content": pa.array(contents, pa.binary()),
+        "mime": pa.array(mimes),
+        "width": pa.array(widths, pa.int32()),
+        "height": pa.array(heights, pa.int32()),
+        "duration_ms": pa.array(durs, pa.int64()),
+    }), out_dir / "media.parquet")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", type=int, default=20000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from tpg_weather_etl_spark.operators.multimodal import (
+        extract_features,
+        metadata_stats,
+        resize_ppm,
+        sample_frames,
+        stdlib_decode_features,
+    )
+    from tpg_weather_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="stress_multimodal")
+    spark.sparkContext.setLogLevel("ERROR")
+    # small Arrow batches: many-batch iteration per task is the shape
+    # that catches whole-partition materialization
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+
+    sizes = [args.base, args.base * 2]
+    ops = ["extract_features", "sample_frames", "resize_ppm",
+           "metadata_stats"]
+    timings: dict[str, dict[int, float]] = {o: {} for o in ops}
+    poison_nulls: dict[int, int] = {}
+    frames_rows: dict[int, int] = {}
+
+    bad: list[str] = []
+    for n in sizes:
+        out_dir = Path(f"/tmp/spark_graft_stress_mm_{n}")
+        _write_media(n, out_dir)
+        media = spark.read.parquet(str(out_dir / "media.parquet")) \
+            .repartition(spark.sparkContext.defaultParallelism)
+        print(f"== {n} media rows ==")
+        # warm the JVM + Arrow + python workers untimed, else the
+        # first timed operator absorbs startup and fakes its ratio
+        extract_features(media.limit(512),
+                         decode_fn=stdlib_decode_features) \
+            .write.format("noop").mode("overwrite").save()
+
+        t0 = time.perf_counter()
+        feats = extract_features(media,
+                                 decode_fn=stdlib_decode_features)
+        n_null = feats.filter(F.col("feature").isNull()
+                              & F.col("n_bytes").isNotNull()).count()
+        timings["extract_features"][n] = round(
+            time.perf_counter() - t0, 2)
+        poison_nulls[n] = n_null
+        # NULL features = corrupt payloads + RAWV videos (the stdlib
+        # decoder handles WAV/PPM only — video goes through
+        # sample_frames, so its decode raise IS the designed path)
+        expect_null = sum(1 for i in range(n)
+                          if i % POISON_EVERY == 0
+                          or (i % 3 == 2))
+        if n_null != expect_null:
+            bad.append(f"poison isolation at n={n}: {n_null} NULL "
+                       f"features vs {expect_null} expected "
+                       f"(poison + rawv)")
+        print(f"  extract_features: "
+              f"{timings['extract_features'][n]}s ({n_null} poison)")
+
+        t0 = time.perf_counter()
+        frames_rows[n] = sample_frames(media, every_k=2).count()
+        timings["sample_frames"][n] = round(time.perf_counter() - t0, 2)
+        print(f"  sample_frames: {timings['sample_frames'][n]}s "
+              f"({frames_rows[n]} frames)")
+
+        t0 = time.perf_counter()
+        resize_ppm(media, max_px=16).write.format("noop").mode(
+            "overwrite").save()
+        timings["resize_ppm"][n] = round(time.perf_counter() - t0, 2)
+        print(f"  resize_ppm: {timings['resize_ppm'][n]}s")
+
+        t0 = time.perf_counter()
+        stats = metadata_stats(media)
+        stats.write.format("noop").mode("overwrite").save()
+        timings["metadata_stats"][n] = round(time.perf_counter() - t0, 2)
+        print(f"  metadata_stats: {timings['metadata_stats'][n]}s")
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    # payload pruning on the metadata-only aggregate: avg_bytes needs
+    # length(content), so `content` legitimately appears; the PRUNED
+    # claim is about the pure-metadata projection
+    media = None
+    ratios = {o: round(t[sizes[1]] / max(t[sizes[0]], 0.01), 2)
+              for o, t in timings.items()}
+    rec = {
+        "sizes_rows": sizes,
+        "timings_sec": {o: {str(k): v for k, v in t.items()}
+                        for o, t in timings.items()},
+        "ratio_2x_rows": ratios,
+        "ratio_max": RATIO_MAX,
+        "poison_nulls": {str(k): v for k, v in poison_nulls.items()},
+        "sampled_frame_rows": {str(k): v for k, v in frames_rows.items()},
+        "arrow_max_records_per_batch": 64,
+    }
+    (ROOT / "STRESS_multimodal.json").write_text(
+        json.dumps(rec, indent=2) + "\n")
+    print(json.dumps(ratios, indent=1))
+
+    for o, r in ratios.items():
+        if timings[o][sizes[0]] >= RATIO_FLOOR_SEC and r > RATIO_MAX:
+            bad.append(f"{o}: {r}x")
+    # frame expansion must scale with input videos (every 3rd row,
+    # 8 frames sampled every 2 -> 4 rows per video)
+    for n in sizes:
+        n_videos = sum(1 for i in range(n)
+                       if i % POISON_EVERY != 0 and i % 3 == 2)
+        if frames_rows[n] != 4 * n_videos:
+            bad.append(f"frame rows at n={n}: {frames_rows[n]} "
+                       f"vs expected {4 * n_videos}")
+    if bad:
+        print("STRESS FAIL:", bad)
+        return 1
+    print("STRESS OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
