@@ -43,18 +43,176 @@ except ImportError:
 
 
 # The driver caps each round at 50 checked queries of the registry,
-# walking it in order. ROUND-9 ROTATION (staged in round 8, executed
-# here): head = the 5 round-8 additions (never driver-checked;
-# judge-verified 5/5 green locally at sf0.01 in round 8), then the
-# remaining 34 r5-green names (driver rows three rounds old), filled
-# to 50 with the 11 stalest r6-green names. _RUN_MID is the staged
-# ROUND-10 head: the remaining 39 r6-green names plus the 11 stalest
-# r7-green names. The tail is ordered stalest-first: the remaining 39
-# r7-green names, then the 50 names refreshed to driver-green in
-# round 8 (freshest rows, last to win a cap slot). New round-9
-# additions default to the unordered middle right behind _RUN_MID,
-# per the standing stalest-first discipline.
+# walking it in order. ROUND-10 ROTATION (staged in round 9, executed
+# here with the VERDICT r9 amendment: changed/new queries jump the
+# queue): head = the 3 round-9 additions (never driver-checked;
+# judge-verified 3/3 green locally at sf0.01 in round 9) plus
+# deterministic_sample (its r8 driver row predates the round-9
+# lcg_bucket parity fix, so the ledger must re-prove the POST-fix
+# semantics), then the first 46 of the staged r6/r7-green block. The
+# 4 names those priority slots displaced (doc_chunks, neardup_eval,
+# cluster_split, bpe_encode) lead _RUN_MID — the staged ROUND-11
+# head — followed by the remaining 39 r7-green names and the 7
+# stalest r8-green names. The tail is ordered stalest-first: the
+# remaining r8-green names, then the 50 refreshed to driver-green in
+# round 9 (freshest, last to win a cap slot). Staleness/changed-query
+# placement is now AUDITED mechanically (tools/rotation_audit.py,
+# run by close_round): any query whose output fingerprint changed
+# after its latest driver row must sit in the _RUN_FIRST head.
 _RUN_FIRST = [
+    "dup_span_regions",
+    "kn_bigram_logprob",
+    "minhash_pairs_capped",
+    "deterministic_sample",
+    "basket_lift_pairs",
+    "ngram_novelty",
+    "nb_source_confusion",
+    "event_transitions",
+    "token_budget_sample",
+    "train_test_split",
+    "key_skew_profile",
+    "source_quality_matrix",
+    "approx_accuracy",
+    "group_mad",
+    "gap_fill_interpolate",
+    "trend_by_type",
+    "value_outliers",
+    "fk_integrity",
+    "cube_revenue",
+    "disjunctive_pred_revenue",
+    "idle_customer_balance",
+    "promo_revenue",
+    "volume_shipping",
+    "market_share",
+    "returned_items",
+    "top_supplier",
+    "priority_late_orders",
+    "min_cost_supplier",
+    "profit_by_nation_year",
+    "important_parts",
+    "supplier_cnt_by_type",
+    "waiting_orders",
+    "skyline_parts",
+    "decile_stats",
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "returnflag_priority_counts",
+    "excess_suppliers",
+    "unpivot_metrics",
+    "activity_bitmask",
+    "bitmap_distinct_users",
+    "int8_quant_topk",
+    "variant_extract",
+    "lateral_top_items",
+    "sequence_gaps",
+    "revenue_share",
+    "bpe_merges",
+    "heavy_hitters",
+    "source_kl_drift",
+]
+
+# Staged ROUND-11 head: the 4 names displaced by the round-10
+# priority jumpers, then the remaining r7-green block, filled to 50
+# with the stalest r8-green names.
+_RUN_MID = [
+    "doc_chunks",
+    "neardup_eval",
+    "cluster_split",
+    "bpe_encode",
+    "bigram_logprob",
+    "centroid_shift",
+    "ann_recall_eval",
+    "rrf_fusion",
+    "dedup_rate_by_source",
+    "winsorized_stats",
+    "source_ks_drift",
+    "chi2_source_lang",
+    "token_gini",
+    "lang_agreement",
+    "cluster_size_histogram",
+    "embedding_norm_profile",
+    "rolling_7d",
+    "sessionize",
+    "interval_join",
+    "pattern_within",
+    "asof_join",
+    "lag_grid",
+    "pricing_summary",
+    "top_orders",
+    "region_revenue",
+    "semi_join_parts",
+    "anti_join_customers",
+    "left_join_enrich",
+    "dedupe_exact",
+    "dedupe_priority",
+    "group_median",
+    "agg_by_bin",
+    "latest_per_user",
+    "scalar_bins",
+    "time_features",
+    "text_stats",
+    "lang_quality",
+    "fingerprint_dedup",
+    "simhash",
+    "simhash_pairs",
+    "contamination_ngrams",
+    "stratified_sample",
+    "length_buckets",
+    "gopher_quality",
+    "source_mix_weights",
+    "mixed_sample",
+    "embedding_topk",
+    "ann_buckets",
+    "ann_topk",
+    "embedding_neardup",
+]
+
+# Tail, stalest-first: the remaining r8-green names, then the 50
+# names refreshed to driver-green in round 9 (freshest).
+_RUN_LAST = [
+    "ivf_topk",
+    "scalar_normalize",
+    "heatmap_hour_dow",
+    "kpi_summary",
+    "cohort_retention",
+    "funnel_steps",
+    "tfidf_top_terms",
+    "bigram_topk",
+    "dominant_event_type",
+    "distinct_months",
+    "minmax_bounds",
+    "null_profile",
+    "topk_latest",
+    "contains_filter",
+    "union_shards",
+    "pq_topk",
+    "dsir_importance",
+    "quality_filter_funnel",
+    "temperature_mix_weights",
+    "boilerplate_prefixes",
+    "char_entropy",
+    "source_overlap_jaccard",
+    "contrastive_triplets",
+    "pack_efficiency",
+    "perplexity_filter_apply",
+    "ngram_coverage_curve",
+    "containment_pairs",
+    "dedup_keeper",
+    "minhash_pairs",
+    "dedup_clusters",
+    "kmeans_ivf_topk",
+    "ngram_jaccard_pairs",
+    "label_centroids",
+    "embedding_dedup_clusters",
+    "multimodal_features",
+    "rollup_revenue",
+    "pivot_event_values",
+    "intersect_except",
+    "array_agg_types",
+    "approx_stats",
+    "session_window_agg",
+    "bpe_token_stats",
     "curation_e2e",
     "minhash_est_accuracy",
     "bitext_mining_pairs",
@@ -105,156 +263,6 @@ _RUN_FIRST = [
     "pagerank_parts",
     "degree_distribution",
     "zipf_slope",
-]
-
-# Staged ROUND-10 head: the remaining r6-green block (driver rows
-# three rounds old by r10), filled to 50 with the stalest r7-green
-# names. Kept ordered so the r10 rotation is a mechanical swap.
-_RUN_MID = [
-    "basket_lift_pairs",
-    "ngram_novelty",
-    "nb_source_confusion",
-    "event_transitions",
-    "token_budget_sample",
-    "train_test_split",
-    "key_skew_profile",
-    "source_quality_matrix",
-    "approx_accuracy",
-    "group_mad",
-    "gap_fill_interpolate",
-    "trend_by_type",
-    "value_outliers",
-    "fk_integrity",
-    "cube_revenue",
-    "disjunctive_pred_revenue",
-    "idle_customer_balance",
-    "promo_revenue",
-    "volume_shipping",
-    "market_share",
-    "returned_items",
-    "top_supplier",
-    "priority_late_orders",
-    "min_cost_supplier",
-    "profit_by_nation_year",
-    "important_parts",
-    "supplier_cnt_by_type",
-    "waiting_orders",
-    "skyline_parts",
-    "decile_stats",
-    "shipping_priority",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "returnflag_priority_counts",
-    "excess_suppliers",
-    "unpivot_metrics",
-    "activity_bitmask",
-    "bitmap_distinct_users",
-    "int8_quant_topk",
-    "variant_extract",
-    "lateral_top_items",
-    "sequence_gaps",
-    "revenue_share",
-    "bpe_merges",
-    "heavy_hitters",
-    "source_kl_drift",
-    "doc_chunks",
-    "neardup_eval",
-    "cluster_split",
-    "bpe_encode",
-]
-
-# Tail, stalest-first: the remaining r7-green block, then the 50
-# names refreshed to driver-green in round 8 (freshest).
-_RUN_LAST = [
-    "bigram_logprob",
-    "centroid_shift",
-    "ann_recall_eval",
-    "rrf_fusion",
-    "dedup_rate_by_source",
-    "winsorized_stats",
-    "source_ks_drift",
-    "chi2_source_lang",
-    "token_gini",
-    "lang_agreement",
-    "cluster_size_histogram",
-    "embedding_norm_profile",
-    "rolling_7d",
-    "sessionize",
-    "interval_join",
-    "pattern_within",
-    "asof_join",
-    "lag_grid",
-    "pricing_summary",
-    "top_orders",
-    "region_revenue",
-    "semi_join_parts",
-    "anti_join_customers",
-    "left_join_enrich",
-    "dedupe_exact",
-    "dedupe_priority",
-    "group_median",
-    "agg_by_bin",
-    "latest_per_user",
-    "scalar_bins",
-    "time_features",
-    "text_stats",
-    "lang_quality",
-    "fingerprint_dedup",
-    "simhash",
-    "simhash_pairs",
-    "contamination_ngrams",
-    "stratified_sample",
-    "length_buckets",
-    "gopher_quality",
-    "source_mix_weights",
-    "mixed_sample",
-    "embedding_topk",
-    "ann_buckets",
-    "ann_topk",
-    "embedding_neardup",
-    "ivf_topk",
-    "scalar_normalize",
-    "heatmap_hour_dow",
-    "kpi_summary",
-    "cohort_retention",
-    "funnel_steps",
-    "tfidf_top_terms",
-    "bigram_topk",
-    "dominant_event_type",
-    "distinct_months",
-    "minmax_bounds",
-    "null_profile",
-    "topk_latest",
-    "deterministic_sample",
-    "contains_filter",
-    "union_shards",
-    "pq_topk",
-    "dsir_importance",
-    "quality_filter_funnel",
-    "temperature_mix_weights",
-    "boilerplate_prefixes",
-    "char_entropy",
-    "source_overlap_jaccard",
-    "contrastive_triplets",
-    "pack_efficiency",
-    "perplexity_filter_apply",
-    "ngram_coverage_curve",
-    "containment_pairs",
-    "dedup_keeper",
-    "minhash_pairs",
-    "dedup_clusters",
-    "kmeans_ivf_topk",
-    "ngram_jaccard_pairs",
-    "label_centroids",
-    "embedding_dedup_clusters",
-    "multimodal_features",
-    "rollup_revenue",
-    "pivot_event_values",
-    "intersect_except",
-    "array_agg_types",
-    "approx_stats",
-    "session_window_agg",
-    "bpe_token_stats",
 ]
 
 
