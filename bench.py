@@ -1,7 +1,12 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
+the JSON record
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+twice: first the full named map (long line), then a COMPACT final
+line sized to survive the driver's ~2000-char stdout-tail record,
+with all timings as a `times` array aligned to the committed
+append-only manifest BENCH_names.json and a named canary/graph/top-10
+subset inline.
 
 Each query is fully materialized with the noop sink (no driver-side
 collect, no disk write) so the measured time is scan+compute+shuffle.
@@ -162,7 +167,12 @@ def _rotation_pick(all_names: list[str], sidecar: dict) -> list[str]:
     pool = [n for n in all_names
             if n not in set(HEADLINE) | set(GRAPH)]
     hist = sidecar.get("history", {})
-    last_run = {n: (hist[n][-1][0] if hist.get(n) else 0) for n in pool}
+    # last_attempt covers queries whose run ERRORED: without it a
+    # permanently-broken query keeps last_run=0 and wins a rotation
+    # slot every run, starving the recording tier (ADVICE r9).
+    att = sidecar.get("last_attempt", {})
+    last_run = {n: max(hist[n][-1][0] if hist.get(n) else 0,
+                       int(att.get(n, 0))) for n in pool}
     pool.sort(key=lambda n: (last_run[n], n))
     return pool[:ROTATION_SIZE]
 
@@ -176,6 +186,8 @@ def _run_rotation(spark, qs, sf_dir: str, headline: dict[str, float],
         sidecar = {"run": 0, "history": {}, "errors": {}}
     names = _rotation_pick(list(qs), sidecar)
     run_no = int(sidecar.get("run", 0)) + 1
+    for name in names:
+        sidecar.setdefault("last_attempt", {})[name] = run_no
     # the run's canary total rides along with every sample so a
     # consumer can normalize cross-run comparisons (same discipline
     # as bench_guard's live normalization)
@@ -281,15 +293,64 @@ def main() -> None:
     }
     if failure is not None:
         record["error"] = failure[:2000]
-    # Sidecar copy: the driver records only the tail of stdout, which
-    # truncates the JSON line once the headline passed ~70 queries
-    # (BENCH_r07's first six timings + total were cut). The sidecar is
-    # the full parsed record, so no consumer depends on the driver's
-    # tail buffer.
-    Path(__file__).resolve().parent.joinpath(
-        "BENCH_last_parsed.json").write_text(json.dumps(record, indent=1)
-                                             + "\n")
+    root = Path(__file__).resolve().parent
+    # Sidecar copy: the full parsed record, committed each round, so
+    # no local consumer depends on the driver's stdout buffer.
+    root.joinpath("BENCH_last_parsed.json").write_text(
+        json.dumps(record, indent=1) + "\n")
+
+    # The driver's record keeps only the LAST ~2000 chars of stdout
+    # (BENCH_r07-r09 each lost the head of the single long JSON line:
+    # r9 preserved 74 of 87 timings). The full named map alone is
+    # >2000 chars, so no one-line format with inline names can ever
+    # survive. Fix (VERDICT r9 item 4): print the full record FIRST
+    # (best-effort copy), then a COMPACT line, guaranteed under the
+    # tail window, carrying 100% of the timings as a `times` array
+    # aligned to the append-only name manifest BENCH_names.json
+    # (committed; names are appended in first-benched order and never
+    # reordered, so old driver records stay decodable), plus a named
+    # subset (canaries + graph + top-10 by time) readable without the
+    # manifest.
+    man_path = root / "BENCH_names.json"
+    try:
+        manifest = json.loads(man_path.read_text())["names"]
+    except (OSError, ValueError, KeyError):
+        manifest = []
+    new_names = [n for n in names if n in timings and n not in
+                 set(manifest)]
+    if new_names:
+        manifest = manifest + new_names
+        man_path.write_text(
+            json.dumps({"names": manifest}, indent=1) + "\n")
+    idx = {n: i for i, n in enumerate(manifest)}
+    times: list[float | None] = [None] * len(manifest)
+    for n, v in timings.items():
+        if n in idx:
+            times[idx[n]] = v
+    top10 = sorted(timings, key=timings.get, reverse=True)[:10]
+    subset = {n: timings[n] for n in (*CANARIES, *GRAPH, *top10)
+              if n in timings}
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": subset,
+        "times": times,
+        "names": "BENCH_names.json",
+        "n_timed": len(timings),
+    }
+    if failure is not None:
+        compact["error"] = failure[:300]
     print(json.dumps(record))
+    out = json.dumps(compact, separators=(",", ":"))
+    # Hard guarantee, not a hope: the compact line must fit the
+    # driver's tail window with margin. Trim the named subset first,
+    # never the times array.
+    while len(out) > 1800 and subset:
+        subset.pop(next(iter(subset)))
+        out = json.dumps(compact, separators=(",", ":"))
+    print(out)
     if failure is not None:
         sys.exit(1)
 

@@ -31,6 +31,11 @@ MIN_DELTA_SEC = 2.0
 # Backstop on the RAW (un-normalized) shared total: if the box is so
 # slow that even canary-normalization can't explain it, fail anyway.
 RAW_CEILING_X = 3.0
+# Per-query raw backstop: a single query slower than this many times
+# its recorded time fails even if canary normalization would excuse
+# it (the clamp below caps the excuse at 3x; 4x raw + MIN_DELTA_SEC
+# is outside any box-noise explanation we've measured).
+RAW_QUERY_CEILING_X = 4.0
 # Canary ratio is clamped to this band — a canary that itself
 # regresses catastrophically must not normalize real regressions away.
 CANARY_CLAMP = (0.33, 3.0)
@@ -49,6 +54,25 @@ def latest_recorded() -> Path | None:
 def load_recorded(path: Path) -> dict:
     data = json.loads(path.read_text())
     parsed = data.get("parsed") or data
+    if "times" in parsed:
+        # Compact driver record (round 10+): full timings ride as an
+        # array aligned to the append-only BENCH_names.json manifest;
+        # the named subset (canaries/graph/top10) overlays it.
+        try:
+            manifest = json.loads(
+                (ROOT / "BENCH_names.json").read_text())["names"]
+        except (OSError, ValueError, KeyError):
+            manifest = []
+        q = {n: float(v) for n, v in zip(manifest, parsed["times"])
+             if v is not None}
+        q.update({k: float(v)
+                  for k, v in parsed.get("queries", {}).items()})
+        if q:
+            n_timed = parsed.get("n_timed")
+            if n_timed is not None and len(q) != n_timed:
+                print(f"note: {path.name} decodes {len(q)} of "
+                      f"{n_timed} timings (manifest drift)")
+            return {"queries": q}
     if "queries" in parsed:
         return parsed
     # Driver wrapper with a TRUNCATED tail (the stdout buffer cuts the
@@ -98,10 +122,18 @@ def main() -> int:
     proc = subprocess.run(
         [sys.executable, str(ROOT / "bench.py")],
         capture_output=True, text=True, check=True)
-    line = [ln for ln in proc.stdout.splitlines()
-            if ln.startswith("{")][-1]
-    now = json.loads(line)
-    print(line)
+    # bench.py prints the full named record first, then the compact
+    # driver-tail line — pick whichever parses with the most named
+    # timings (the full one, unless something mangled it).
+    cands = []
+    for ln in proc.stdout.splitlines():
+        if ln.startswith("{"):
+            try:
+                cands.append(json.loads(ln))
+            except ValueError:
+                pass
+    now = max(cands, key=lambda r: len(r.get("queries", {})))
+    print(json.dumps({k: v for k, v in now.items() if k != "times"}))
 
     old_q, new_q = base["queries"], now["queries"]
     shared = [n for n in old_q if n in new_q]
@@ -120,6 +152,19 @@ def main() -> int:
           f"({c_new:.2f}s vs {c_old:.2f}s over "
           f"{[c for c in CANARIES if c in old_q and c in new_q]})")
 
+    # The two iterative graph loops are 10%+ of the headline and the
+    # likeliest place a lost checkpoint/persist shows up — surface
+    # their normalized ratios every run so one round of driver record
+    # is enough to spot a loop-discipline regression (VERDICT r9
+    # item 7). ROUNDS.md records these at round close.
+    from bench import GRAPH
+    gshared = [n for n in GRAPH if n in old_q and n in new_q]
+    if gshared:
+        print("graph-query normalized ratios: " + ", ".join(
+            f"{n} {new_q[n] / canary / old_q[n]:.2f}x "
+            f"({new_q[n]:.2f}s raw vs {old_q[n]:.2f}s)"
+            for n in gshared))
+
     failures = []
     for n in shared:
         norm = new_q[n] / canary
@@ -129,6 +174,16 @@ def main() -> int:
                 f"{n}: {new_q[n]:.2f}s raw / {norm:.2f}s normalized vs "
                 f"{old_q[n]:.2f}s (> {REGRESSION_X}x normalized and "
                 f"> +{MIN_DELTA_SEC}s)")
+        elif (new_q[n] > RAW_QUERY_CEILING_X * old_q[n]
+                and new_q[n] - old_q[n] > MIN_DELTA_SEC):
+            # Raw per-query backstop (ADVICE r9): the canary clamp of
+            # 3.0 could normalize a genuine 5x single-query regression
+            # down to a pass while the shared-total raw ceiling never
+            # notices a query that is a small share of the total.
+            failures.append(
+                f"{n}: {new_q[n]:.2f}s raw vs {old_q[n]:.2f}s "
+                f"(> {RAW_QUERY_CEILING_X}x raw — beyond what the "
+                f"canary clamp can explain)")
     old_total = sum(old_q[n] for n in shared)
     new_total = sum(new_q[n] for n in shared)
     norm_total = new_total / canary
