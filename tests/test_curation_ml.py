@@ -431,3 +431,83 @@ def test_jl_topk_recovers_clusters(spark, clustered_vec_dir):
     assert jl == exact and len(jl) == 50
     for qid, vec_id, _ in jl:
         assert vec_id % 4 == qid % 4  # same cluster
+
+
+@pytest.fixture(scope="module")
+def boiler_sf_dir(spark, tmp_path_factory):
+    """Boilerplate-heavy corpus for the composed-pipeline near-dup
+    profile switch: 300 'tmpl' docs share a 61-word body and differ
+    by ONE trailing token (unique fingerprint, pairwise Jaccard
+    ~0.97, and all land in band buckets of ~280 >> MH_BUCKET_CAP),
+    plus 20 fully distinct 'web' docs. doc_ids skip multiples of 100
+    so the pseudo-benchmark contamination set is empty."""
+    root = tmp_path_factory.mktemp("boiler_sf")
+    stop = ["the", "a", "of", "and", "to", "in", "is", "for",
+            "the", "and", "of"]
+    body = []
+    for i in range(50):
+        body.append(f"word{i:02d}")
+        if i % 5 == 0 and stop:
+            body.append(stop.pop())
+    body = " ".join(body)
+    ids = (i for i in range(1, 10_000) if i % 100 != 0)
+    rows = [(next(ids), f"{body} zq{k}end", "en", "tmpl", 400)
+            for k in range(300)]
+    for k in range(20):
+        toks = []
+        for i in range(40):
+            toks.append(f"item{k:02d}n{i:02d}")
+            if i % 5 == 0:
+                toks.append(["the", "of", "and", "is", "to", "in",
+                             "for", "a"][i // 5 % 8])
+        rows.append((next(ids), " ".join(toks), "en", "web", 300))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.mode("overwrite").parquet(str(root / "documents.parquet"))
+    return str(root)
+
+
+def test_curation_e2e_near_dup_profile_switch(spark, boiler_sf_dir):
+    """VERDICT r9 item 3: the composed pipeline must bound candidate
+    volume on a boilerplate corpus when told to (capped), keep the
+    oracle-pinned exact behavior by default (uncapped), and pick
+    capped by itself in 'auto' when boilerplate_prefixes flags a
+    templated source."""
+    from tpg_weather_etl_spark.queries_ml import (
+        BOILER_HOT_SHARE,
+        q_curation_e2e,
+    )
+    from tpg_weather_etl_spark.queries_text import (
+        MH_BUCKET_CAP,
+        q_boilerplate_prefixes,
+    )
+
+    # precondition: the planted bucket must overflow the cap and the
+    # profile must trip the auto threshold
+    assert 300 > MH_BUCKET_CAP
+    shares = {r.source: r.share for r in
+              q_boilerplate_prefixes(spark, boiler_sf_dir).collect()}
+    assert shares["tmpl"] >= BOILER_HOT_SHARE > shares["web"]
+
+    un = q_curation_e2e(spark, boiler_sf_dir).collect()[0]
+    cp = q_curation_e2e(spark, boiler_sf_dir,
+                        near_dup="capped").collect()[0]
+    au = q_curation_e2e(spark, boiler_sf_dir,
+                        near_dup="auto").collect()[0]
+
+    # every doc is unique text -> exact dedup keeps all 320, in all
+    # three variants (stages before near-dup are unaffected)
+    assert un.n_exact_kept == cp.n_exact_kept == 320
+    # uncapped: the 300-doc template cluster collapses to one keeper
+    assert un.n_neardup_kept <= 25
+    # capped: every template band bucket is over the cap and dropped,
+    # the escaped singleton buckets pair with nobody -> candidate
+    # volume is BOUNDED inside the composed pipeline and no template
+    # doc is lost to the near-dup stage
+    assert cp.n_neardup_kept == cp.n_exact_kept
+    # auto consults the boilerplate profile and lands on capped
+    assert (au.n_neardup_kept, au.n_clean) == (cp.n_neardup_kept,
+                                               cp.n_clean)
+    with pytest.raises(ValueError):
+        q_curation_e2e(spark, boiler_sf_dir, near_dup="bogus")

@@ -391,3 +391,36 @@ def test_gif_through_spark_seam(spark):
     assert out[3].feature is None and out[3].n_bytes == 20
     assert out[4].feature is None
     assert out[5].feature is None and out[5].n_bytes is None
+
+
+def test_gif_malformed_raise_valueerror_contract():
+    """ADVICE r9: a zero-area image descriptor and pixel indices
+    beyond the color table must raise ValueError like every other
+    malformed-payload path — direct callers of the decoder get one
+    consistent exception type, not ZeroDivisionError/IndexError."""
+    import struct
+
+    import pytest
+
+    from tpg_weather_etl_spark.operators.multimodal import (
+        gif_decode_features,
+    )
+
+    # zero-area: descriptor says 0x0 but carries an LZW block
+    g = _make_gif(1, 1, [(1, 2, 3), (4, 5, 6)], [0])
+    zero = bytearray(g)
+    # image descriptor starts after header(13) + GCT(2*3) + ext(8):
+    # 0x2C, then <HHHH> left, top, width, height
+    off = 13 + 6 + 8
+    assert zero[off] == 0x2C
+    zero[off + 5:off + 9] = struct.pack("<HH", 0, 0)
+    with pytest.raises(ValueError):
+        gif_decode_features(bytes(zero))
+
+    # index beyond the declared color table: a 2-entry palette padded
+    # to 2 slots, but the raster references index 2 via a forged
+    # min_code_size of 3 (8-entry code space, 2-entry table)
+    bad = _make_gif(2, 1, [(1, 2, 3), (4, 5, 6)], [2, 3],
+                    min_code_size=3)
+    with pytest.raises(ValueError):
+        gif_decode_features(bad)

@@ -59,6 +59,13 @@ def main() -> int:
                     help="force TIMESTAMP_NTZ parquet inference on, "
                          "bypassing the session defaults, to prove the "
                          "gate survives the hostile read path")
+    ap.add_argument("--fingerprints", default=None, metavar="PATH",
+                    help="write per-query output fingerprints (sha1 of "
+                         "canonicalized columns+rows, plus sha1 of the "
+                         "oracle SQL) to PATH — consumed by "
+                         "tools/rotation_audit.py to detect queries "
+                         "whose behavior changed after their latest "
+                         "driver correctness row")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -90,6 +97,7 @@ def main() -> int:
         oracles = entry_mod.oracle_sql()
     names = args.names or list(qs)
     n_pass = n_fail = 0
+    fingerprints: dict[str, dict[str, str]] = {}
     for name in names:
         if name not in qs:
             print(f"  {name}: NO SUCH QUERY")
@@ -105,6 +113,17 @@ def main() -> int:
             n_fail += 1
             continue
         t_spark = time.time() - t0
+        if args.fingerprints:
+            import hashlib
+            ccols, crows = canon_rows(scols, srows)
+            h = hashlib.sha1(repr(ccols).encode())
+            for r in crows:
+                h.update(repr(r).encode())
+            fingerprints[name] = {
+                "out": h.hexdigest()[:16],
+                "sql": hashlib.sha1(
+                    oracles.get(name, "").encode()).hexdigest()[:16],
+            }
         if name not in oracles:
             print(f"~ {name}: rows-only ({len(srows)} rows, {t_spark:.1f}s) — no oracle")
             n_pass += 1
@@ -160,6 +179,13 @@ def main() -> int:
         else:
             print(f"✓ {name} ({len(srows)} rows, {t_spark:.1f}s)")
             n_pass += 1
+
+    if args.fingerprints:
+        import json
+        Path(args.fingerprints).write_text(
+            json.dumps(fingerprints, indent=1, sort_keys=True) + "\n")
+        print(f"fingerprints for {len(fingerprints)} queries -> "
+              f"{args.fingerprints}")
 
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0

@@ -4,11 +4,13 @@ prints a single summary block for SURVEY.
 Order (fail-fast, each step's artifact still written on failure):
 1. full oracle gate, plain, sf0.01    (tools/check_oracle.py)
 2. full oracle gate, forced NTZ      (tools/check_oracle.py --ntz)
-3. full oracle gate, sf0.001         (tools/check_oracle.py --sf ...)
-4. bench + regression guard          (tools/bench_guard.py)
-5. graph-loop bench + guard          (tools/bench_graph.py)
-6. similarity skew stress, 50k docs  (tools/stress_similarity.py)
-7. giant-cluster stress              (tools/stress_similarity.py --giant)
+3. full oracle gate, sf0.001 + output fingerprints
+4. rotation audit: behavior-changed queries must lead the rotation
+   (tools/rotation_audit.py, fed by step 3's fingerprints)
+5. bench + regression guard          (tools/bench_guard.py)
+6. graph-loop bench + guard          (tools/bench_graph.py)
+7. similarity skew stress, 50k docs  (tools/stress_similarity.py)
+8. giant-cluster stress              (tools/stress_similarity.py --giant)
 
 Steps 1-3 are the triple gate (VERDICT r6 item 4): every registry
 query at plain sf0.01, NTZ sf0.01, and sf0.001 from ONE command.
@@ -59,7 +61,15 @@ def main() -> int:
     step("oracle gate (plain)", ["tools/check_oracle.py"])
     step("oracle gate (--ntz)", ["tools/check_oracle.py", "--ntz"])
     step("oracle gate (sf0.001)",
-         ["tools/check_oracle.py", "--sf", "/root/testdata/sf0.001"])
+         ["tools/check_oracle.py", "--sf", "/root/testdata/sf0.001",
+          "--fingerprints", "/tmp/query_fp_sf0001.json"])
+    # behavior-changed => head-of-rotation policy, made mechanical
+    # (VERDICT r9 item 2): any query whose sf0.001 output fingerprint
+    # or oracle SQL changed after its latest driver row must be in
+    # _RUN_FIRST's 50-name driver window.
+    step("rotation audit (changed=>head)",
+         ["tools/rotation_audit.py",
+          "--fingerprints", "/tmp/query_fp_sf0001.json", "--update"])
     step("bench + guard", ["tools/bench_guard.py"])
     step("graph bench + guard", ["tools/bench_graph.py"])
     if not args.skip_stress:

@@ -216,10 +216,14 @@ def gif_decode_features(content: bytes | None) -> list[float]:
             data += content[pos + 1:pos + 1 + ln]
             pos += 1 + ln
         pos += 1
+        if iw * ih == 0:
+            raise ValueError("zero-area image descriptor")
         indices = _lzw_decode(bytes(data), min_code, iw * ih)
         table = lct or gct
         if table is None:
             raise ValueError("no color table")
+        if max(indices) >= len(table) // 3:
+            raise ValueError("pixel index beyond color table")
         rs = gs = bs = 0
         for i in indices:
             rs += table[3 * i]

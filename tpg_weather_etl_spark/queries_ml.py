@@ -21,6 +21,15 @@ from tpg_weather_etl_spark.sources.tables import read_table as t
 
 TOP_TERMS = 3
 
+# curation_e2e "auto" profile: a source whose single most common
+# document prefix covers at least this share of the source is
+# templated boilerplate — its header band-buckets grow linearly with
+# the corpus and the near-dup candidate join goes quadratic, so the
+# pipeline switches to the hot-band-bucket-capped variant (SCALE.md
+# rule 11.4; probe-measured threshold — the round-9 quadratic showed
+# at a 0.30 planted share).
+BOILER_HOT_SHARE = 0.3
+
 
 # ---------------------------------------------------------------------------
 # Token table (shared): one row per (doc_id, token) with counts
@@ -1015,9 +1024,14 @@ FROM a
 # Dedup clustering: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tpg_weather_etl_spark.queries_text import q_minhash_pairs
-    return q_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+def _edges(spark: SparkSession, sf_dir: str,
+           capped: bool = False) -> DataFrame:
+    from tpg_weather_etl_spark.queries_text import (
+        q_minhash_pairs,
+        q_minhash_pairs_capped,
+    )
+    fn = q_minhash_pairs_capped if capped else q_minhash_pairs
+    return fn(spark, sf_dir).select("doc_a", "doc_b")
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1314,12 +1328,26 @@ WHERE guard.ok = 1
 # STAGES' INTERACTION — the one thing the individual gates can't see.
 # ---------------------------------------------------------------------------
 
-def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_curation_e2e(spark: SparkSession, sf_dir: str,
+                   near_dup: str = "uncapped") -> DataFrame:
     """One-row funnel of the full pretraining curation pipeline:
     total -> language filter -> Gopher quality -> exact-dedup keeper
     -> MinHash near-dup survivor -> decontaminated, plus the packing
     summary of the final corpus (token mass and number of PACK_CAP
     sequences the survivors fill).
+
+    ``near_dup`` picks the near-dup stage per corpus profile
+    (SCALE.md rule 11.4, VERDICT r9 item 3):
+    - ``"uncapped"`` (default, the gate's oracle-pinned behavior):
+      exact banded-LSH recall, candidate volume can grow
+      quadratically on boilerplate-heavy corpora;
+    - ``"capped"``: the hot-band-bucket-capped variant — bounded
+      candidate work on ANY corpus, trades mega-cluster recovery;
+    - ``"auto"``: consult ``boilerplate_prefixes`` (one bounded
+      per-source collect — rows = number of sources) and use the
+      capped path iff any source's dominant prefix share is >=
+      ``BOILER_HOT_SHARE`` — the templated-source signature whose
+      header buckets are exactly what goes quadratic.
 
     Scale shape: the corpus is scanned by the underlying stage
     operators; this query adds only doc_id/fp-keyed joins against
@@ -1344,12 +1372,26 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_lang_quality,
     )
 
+    if near_dup not in ("uncapped", "capped", "auto"):
+        raise ValueError(f"near_dup must be uncapped|capped|auto, "
+                         f"got {near_dup!r}")
+    capped = near_dup == "capped"
+    if near_dup == "auto":
+        from tpg_weather_etl_spark.queries_text import (
+            q_boilerplate_prefixes,
+        )
+        # bounded collect: one row per SOURCE (a handful), not per doc
+        shares = q_boilerplate_prefixes(spark, sf_dir).select(
+            "share").collect()
+        capped = any(r["share"] >= BOILER_HOT_SHARE for r in shares)
+
     d = t(spark, sf_dir, "documents")
     lq = q_lang_quality(spark, sf_dir).select("doc_id", "lang_pred")
     gq = q_gopher_quality(spark, sf_dir).select("doc_id", "keep")
     fpk = q_fingerprint_dedup(spark, sf_dir).select("fp", "keeper_doc_id")
 
-    labels = connected_components_min_label(_edges(spark, sf_dir))
+    labels = connected_components_min_label(
+        _edges(spark, sf_dir, capped=capped))
     m = labels.join(d.select("doc_id", "n_chars"),
                     labels.doc == F.col("doc_id")).select(
         "doc", "cluster", "n_chars")
