@@ -6,8 +6,8 @@ record batch of payloads, never a partition. This probe measures the
 claim instead of arguing it, mirroring the other stress tools:
 
 - generates the same synthetic media corpus at base and 2x row
-  counts (mixed WAV / PPM / RAWV / GIF-less poison payloads, ~10 KB
-  each) and asserts wall-clock grows <= RATIO_MAX per operator;
+  counts (mixed WAV / PPM / RAWV / baseline-JPEG / poison payloads,
+  JPEG sides 8..48 px so per-row decode cost varies inside a batch) and asserts wall-clock grows <= RATIO_MAX per operator;
 - runs with spark.sql.execution.arrow.maxRecordsPerBatch pinned LOW
   (64) so every task iterates many small batches — the shape that
   catches an operator accidentally materializing a whole partition;
@@ -38,6 +38,7 @@ import numpy as np
 
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tests"))  # jpeg_encoder_ref fixtures
 
 RATIO_MAX = 3.0          # linear ideal 2.0 on 2x rows
 RATIO_FLOOR_SEC = 2.0    # ignore ratios on sub-noise base times
@@ -61,6 +62,17 @@ def _ppm_payload(rng: np.random.Generator) -> bytes:
     return b"P6\n%d %d\n255\n" % (w_px, h_px) + px.tobytes()
 
 
+def _jpeg_payload(rng: np.random.Generator, side: int) -> bytes:
+    """Baseline grayscale JPEG via the independent test encoder —
+    the DCT-class row the probe was missing (VERDICT r9 item 5).
+    Sides vary 8..48 so per-row decode cost varies ~36x within one
+    Arrow batch, the shape that catches batch-level stragglers."""
+    from jpeg_encoder_ref import encode_gray_jpeg
+    img = (rng.standard_normal((side, side)) * 30 + 128).clip(
+        0, 255).astype(np.uint8)
+    return encode_gray_jpeg(img)
+
+
 def _rawv_payload(rng: np.random.Generator) -> bytes:
     from tpg_weather_etl_spark.operators.multimodal import pack_rawv
     w_px, h_px, n_frames = 24, 18, 8
@@ -80,6 +92,8 @@ def _write_media(n_rows: int, out_dir: Path) -> None:
     wavs = [_wav_payload(rng) for _ in range(32)]
     ppms = [_ppm_payload(rng) for _ in range(32)]
     rawvs = [_rawv_payload(rng) for _ in range(32)]
+    jpegs = [_jpeg_payload(rng, side=8 + 5 * (k % 9))
+             for k in range(32)]
 
     ids, kinds, contents, mimes = [], [], [], []
     widths, heights, durs = [], [], []
@@ -90,21 +104,27 @@ def _write_media(n_rows: int, out_dir: Path) -> None:
             contents.append(b"\xff\xd8corrupt" + bytes(64))
             mimes.append("image/jpeg")
             widths.append(None); heights.append(None); durs.append(None)
-        elif i % 3 == 0:
+        elif i % 4 == 0:
             kinds.append("audio")
             contents.append(wavs[i % 32])
             mimes.append("audio/wav")
             widths.append(None); heights.append(None); durs.append(128)
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             kinds.append("image")
             contents.append(ppms[i % 32])
             mimes.append("image/x-portable-pixmap")
             widths.append(40); heights.append(30); durs.append(None)
-        else:
+        elif i % 4 == 2:
             kinds.append("video")
             contents.append(rawvs[i % 32])
             mimes.append("video/x-rawv")
             widths.append(24); heights.append(18); durs.append(8000)
+        else:
+            side = 8 + 5 * (i % 9)
+            kinds.append("image")
+            contents.append(jpegs[i % 32])
+            mimes.append("image/jpeg")
+            widths.append(side); heights.append(side); durs.append(None)
     shutil.rmtree(out_dir, ignore_errors=True)
     out_dir.mkdir(parents=True)
     pq.write_table(pa.table({
@@ -128,9 +148,9 @@ def main() -> int:
     from tpg_weather_etl_spark.operators.multimodal import (
         extract_features,
         metadata_stats,
+        real_decode_features,
         resize_ppm,
         sample_frames,
-        stdlib_decode_features,
     )
     from tpg_weather_etl_spark.session import get_spark
 
@@ -157,23 +177,24 @@ def main() -> int:
         # warm the JVM + Arrow + python workers untimed, else the
         # first timed operator absorbs startup and fakes its ratio
         extract_features(media.limit(512),
-                         decode_fn=stdlib_decode_features) \
+                         decode_fn=real_decode_features) \
             .write.format("noop").mode("overwrite").save()
 
         t0 = time.perf_counter()
         feats = extract_features(media,
-                                 decode_fn=stdlib_decode_features)
+                                 decode_fn=real_decode_features)
         n_null = feats.filter(F.col("feature").isNull()
                               & F.col("n_bytes").isNotNull()).count()
         timings["extract_features"][n] = round(
             time.perf_counter() - t0, 2)
         poison_nulls[n] = n_null
-        # NULL features = corrupt payloads + RAWV videos (the stdlib
-        # decoder handles WAV/PPM only — video goes through
-        # sample_frames, so its decode raise IS the designed path)
+        # NULL features = corrupt payloads + RAWV videos (no real
+        # decoder handles RAWV features — video goes through
+        # sample_frames, so its decode raise IS the designed path);
+        # WAV, PPM, and now baseline JPEG all REALLY decode
         expect_null = sum(1 for i in range(n)
                           if i % POISON_EVERY == 0
-                          or (i % 3 == 2))
+                          or (i % 4 == 2))
         if n_null != expect_null:
             bad.append(f"poison isolation at n={n}: {n_null} NULL "
                        f"features vs {expect_null} expected "
@@ -215,6 +236,10 @@ def main() -> int:
         "poison_nulls": {str(k): v for k, v in poison_nulls.items()},
         "sampled_frame_rows": {str(k): v for k, v in frames_rows.items()},
         "arrow_max_records_per_batch": 64,
+        "row_classes": ["wav", "ppm", "rawv", "jpeg(8..48px)",
+                        "poison"],
+        "decoder": "real_decode_features (WAV/PPM stdlib, GIF LZW, "
+                   "baseline-JPEG huffman+IDCT)",
     }
     (ROOT / "STRESS_multimodal.json").write_text(
         json.dumps(rec, indent=2) + "\n")
@@ -227,7 +252,7 @@ def main() -> int:
     # 8 frames sampled every 2 -> 4 rows per video)
     for n in sizes:
         n_videos = sum(1 for i in range(n)
-                       if i % POISON_EVERY != 0 and i % 3 == 2)
+                       if i % POISON_EVERY != 0 and i % 4 == 2)
         if frames_rows[n] != 4 * n_videos:
             bad.append(f"frame rows at n={n}: {frames_rows[n]} "
                        f"vs expected {4 * n_videos}")

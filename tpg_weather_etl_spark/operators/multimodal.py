@@ -235,6 +235,27 @@ def gif_decode_features(content: bytes | None) -> list[float]:
     raise ValueError("no image data block")
 
 
+def real_decode_features(content: bytes | None) -> list[float]:
+    """Magic-byte dispatcher over every REAL decoder in the seam:
+    WAV/PPM (stdlib), GIF87a/89a (pure-python LZW), and baseline
+    grayscale JPEG (pure-python Huffman + IDCT, operators/jpeg.py).
+    Lead tags: WAV=1.0, PPM=2.0, GIF=3.0, JPEG=4.0. Anything else —
+    including out-of-scope JPEG variants (progressive, chroma
+    subsampled) — raises ValueError into the poison -> NULL path,
+    exactly where PIL/ffmpeg would slot in production."""
+    if content is None:
+        raise ValueError("no content")
+    head = bytes(content[:6])
+    if head[:2] == b"\xff\xd8":
+        from tpg_weather_etl_spark.operators.jpeg import (
+            jpeg_decode_features,
+        )
+        return jpeg_decode_features(content)
+    if head in (b"GIF87a", b"GIF89a"):
+        return gif_decode_features(content)
+    return stdlib_decode_features(content)
+
+
 def extract_features(
     media: DataFrame,
     decode_fn: Callable[[bytes | None], list[float]] = fake_decode_features,
