@@ -65,3 +65,70 @@ def test_stream_neardup_three_gates(spark, tmp_path):
     band_docs = {r.doc_id
                  for r in spark.read.parquet(str(bands)).collect()}
     assert band_docs == {1, 2, 5}
+
+
+def test_flood_keeps_band_store_bounded(spark, tmp_path):
+    """VERDICT r9 item 8: a boilerplate flood — docs sharing a 30-word
+    header with unique 30-word bodies, Jaccard ~0.33 so every one is
+    legitimately ADMITTED — must not grow any band-store bucket past
+    bucket_cap, while cross-batch near-dup detection through healthy
+    buckets keeps working. Without the cap the same corpus provably
+    overflows the bucket (asserted on recomputed bands), so the
+    boundedness is the cap's doing, not the fixture's."""
+    from pyspark.sql import functions as F
+
+    from tpg_weather_etl_spark.queries_text import (
+        bands_from_shingles,
+        shingles_from_docs,
+    )
+
+    CAP = 5
+    header = " ".join(f"hdr{j:02d}" for j in range(30))
+
+    def flood_doc(i):
+        body = " ".join(f"b{i:03d}w{j:02d}" for j in range(30))
+        return _doc(1000 + i, f"{header} {body}")
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out, bands, ckpt = tmp_path / "corpus", tmp_path / "bands", \
+        tmp_path / "ckpt"
+
+    def run_capped():
+        q = incremental_neardup(spark, str(inbox), str(out), str(bands),
+                                str(ckpt), bucket_cap=CAP)
+        q.awaitTermination(300)
+
+    novel = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+    (inbox / "w1.jsonl").write_text("\n".join(
+        [_doc(1, novel)] + [flood_doc(i) for i in range(150)]))
+    run_capped()
+    (inbox / "w2.jsonl").write_text("\n".join(
+        [flood_doc(i) for i in range(150, 300)]))
+    run_capped()
+    (inbox / "w3.jsonl").write_text("\n".join(
+        # 2 = true near-dup of stored doc 1 -> must still be dropped
+        [_doc(2, novel + " chi"), *(flood_doc(i)
+                                    for i in range(300, 450))]))
+    run_capped()
+
+    corpus = spark.read.parquet(str(out))
+    got = {r.doc_id for r in corpus.select("doc_id").collect()}
+    # all flood docs admitted (J ~ 0.33 < tau), doc 1 kept, its
+    # near-dup 2 dropped through a HEALTHY (uncapped) bucket
+    assert 1 in got and 2 not in got
+    n_flood = len([d for d in got if d >= 1000])
+    assert n_flood == 450
+
+    # the STORE never exceeds the cap in any bucket...
+    store_max = (spark.read.parquet(str(bands))
+                 .groupBy("band", "bkey").count()
+                 .agg(F.max("count")).collect()[0][0])
+    assert store_max <= CAP
+    # ...although the admitted corpus, re-banded WITHOUT the cap,
+    # does overflow it — the pressure was real
+    uncapped_max = (bands_from_shingles(shingles_from_docs(corpus))
+                    .groupBy("band", "bkey").count()
+                    .agg(F.max("count")).collect()[0][0])
+    assert uncapped_max > CAP

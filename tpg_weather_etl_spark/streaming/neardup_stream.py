@@ -40,7 +40,46 @@ from tpg_weather_etl_spark.streaming.corpus_dedup import _path_exists
 NEARDUP_TAU = 0.5
 
 
-def _novel_in_batch(batch: DataFrame) -> DataFrame:
+def cap_new_bands(new_bands: DataFrame, store_bands: DataFrame | None,
+                  cap: int) -> DataFrame:
+    """Append-time enforcement of the band-store bucket cap: a
+    (band, bkey) bucket never grows past ``cap`` members, so every
+    FUTURE batch's probe join against the store is bounded at
+    cap x batch_bands candidates no matter how much boilerplate the
+    stream has absorbed (SCALE.md rule 11.4's streaming flavor — a
+    boilerplate flood arrives unannounced, and unlike the batch
+    query there is no second chance to re-plan).
+
+    Scale shape: existing bucket sizes are counted ONLY for the
+    buckets this batch touches (left-semi prune on the batch's
+    distinct band keys), so the store is never aggregated wholesale;
+    the row_number window partitions by (band, bkey) over the BATCH's
+    bands. Saturated buckets stop recruiting — the same recall trade
+    as filter_hot_band_buckets, made once per bucket instead of per
+    probe."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bkey").orderBy("doc_id")
+    ranked = new_bands.withColumn("__rk", F.row_number().over(w))
+    if store_bands is None:
+        return ranked.filter(F.col("__rk") <= cap).drop("__rk")
+    touched = (
+        store_bands
+        .join(new_bands.select("band", "bkey").distinct(),
+              ["band", "bkey"], "left_semi")
+        .groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("__n_store"))
+    )
+    return (
+        ranked.join(touched, ["band", "bkey"], "left")
+        .filter(F.coalesce(F.col("__n_store"), F.lit(0))
+                + F.col("__rk") <= cap)
+        .drop("__rk", "__n_store")
+    )
+
+
+def _novel_in_batch(batch: DataFrame,
+                    bucket_cap: int | None = None) -> DataFrame:
     """Exact + near-dup dedup WITHIN one micro-batch."""
     from pyspark.sql import Window
 
@@ -50,6 +89,7 @@ def _novel_in_batch(batch: DataFrame) -> DataFrame:
     from tpg_weather_etl_spark.queries_text import (
         _pair_jaccard,
         bands_from_shingles,
+        filter_hot_band_buckets,
         shingles_from_docs,
     )
 
@@ -62,6 +102,9 @@ def _novel_in_batch(batch: DataFrame) -> DataFrame:
     )
     sh = shingles_from_docs(exact)
     bands = bands_from_shingles(sh)
+    if bucket_cap is not None:
+        # a flood batch must not pay batch^2 inside its own self-join
+        bands = filter_hot_band_buckets(bands, cap=bucket_cap)
     a = bands.select(F.col("doc_id").alias("doc_a"), "bkey")
     b = bands.select(F.col("doc_id").alias("doc_b"), "bkey")
     cand = (
@@ -81,26 +124,35 @@ def _novel_in_batch(batch: DataFrame) -> DataFrame:
 
 
 def batch_novel_vs_store(batch: DataFrame, store_docs: DataFrame | None,
-                         store_bands: DataFrame | None) -> DataFrame:
+                         store_bands: DataFrame | None,
+                         bucket_cap: int | None = None) -> DataFrame:
     """Drop batch docs that near-dup anything already stored.
 
     Module-level so tests can drive it directly and assert the plan:
     the candidate semi-join prunes the store scan to matched ids
     before any re-shingling happens.
+
+    With ``bucket_cap`` set, the store side is assumed cap-maintained
+    (cap_new_bands at append time — the invariant the sink keeps), so
+    the probe join is bounded without re-aggregating the store; the
+    batch's own band table is capped here.
     """
     from tpg_weather_etl_spark.queries_text import (
         _pair_jaccard,
         bands_from_shingles,
+        filter_hot_band_buckets,
         shingles_from_docs,
     )
 
-    novel = _novel_in_batch(batch)
+    novel = _novel_in_batch(batch, bucket_cap=bucket_cap)
     if store_docs is None or store_bands is None:
         return novel
     # exact replay gate first (idempotent foreachBatch contract)
     novel = novel.join(store_docs.select("fp"), "fp", "left_anti")
     sh_new = shingles_from_docs(novel)
     bands_new = bands_from_shingles(sh_new)
+    if bucket_cap is not None:
+        bands_new = filter_hot_band_buckets(bands_new, cap=bucket_cap)
     cand = (
         bands_new.select(F.col("doc_id").alias("doc_a"), "bkey")
         .join(store_bands.select(F.col("doc_id").alias("doc_b"), "bkey"),
@@ -125,9 +177,18 @@ def batch_novel_vs_store(batch: DataFrame, store_docs: DataFrame | None,
 
 def incremental_neardup(spark: SparkSession, input_dir: str,
                         out_dir: str, bands_dir: str,
-                        checkpoint_dir: str):
+                        checkpoint_dir: str,
+                        bucket_cap: int | None = None):
     """Start the stream: drop-directory JSONL in, near-dup-free
-    corpus out, band store maintained alongside."""
+    corpus out, band store maintained alongside.
+
+    ``bucket_cap`` (off by default — behavior identical to previous
+    rounds) bounds every (band, bkey) bucket in the BAND STORE at
+    append time and caps the batch-side band tables, so a boilerplate
+    flood cannot grow a hot bucket linearly with the corpus and turn
+    each future batch's probe quadratic. Saturated buckets stop
+    recruiting: a true mega-cluster arriving after saturation is the
+    recall trade, same as the batch-side cap (SCALE.md rule 11.4)."""
     from tpg_weather_etl_spark.queries_text import (
         bands_from_shingles,
         shingles_from_docs,
@@ -151,13 +212,16 @@ def incremental_neardup(spark: SparkSession, input_dir: str,
         # corpus updated, band store silently not). Checkpointing
         # truncates the lineage, so both writes read frozen data.
         survivors = batch_novel_vs_store(
-            batch_df, store_docs, store_bands
+            batch_df, store_docs, store_bands, bucket_cap=bucket_cap
         ).localCheckpoint(eager=True)
         if survivors.isEmpty():
             return
         survivors.write.mode("append").parquet(out_dir)
-        bands_from_shingles(shingles_from_docs(survivors)).write.mode(
-            "append").parquet(bands_dir)
+        new_bands = bands_from_shingles(shingles_from_docs(survivors))
+        if bucket_cap is not None:
+            new_bands = cap_new_bands(new_bands, store_bands,
+                                      bucket_cap)
+        new_bands.write.mode("append").parquet(bands_dir)
 
     return (
         stream_documents(spark, input_dir)
