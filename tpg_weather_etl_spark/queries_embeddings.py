@@ -611,6 +611,87 @@ WHERE round(list_dot_product(a.e, b.e)
 
 
 # ---------------------------------------------------------------------------
+# Embedding-level benchmark decontamination (round 10): the semantic
+# second rung above contamination_ngrams — n-gram decontamination
+# misses paraphrases; comparing corpus embeddings against the
+# benchmark set's embeddings is the standard answer (e.g. the
+# semantic dedup/decontamination step in LLM data pipelines). Same
+# pseudo-benchmark convention as the n-gram gate: vec_id % 100 == 0.
+# ---------------------------------------------------------------------------
+
+# Deliberately loose: the synthetic test embeddings are near-
+# orthogonal (max bench-corpus cosine ~0.35 at gate SFs), so the gate
+# pins the MACHINERY at a threshold that yields rows; a production
+# corpus with real encoder outputs runs the same query at ~0.8+.
+CONTAM_COS_TAU = 0.25
+
+
+def q_embedding_contamination(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Corpus vectors semantically close (cos >= CONTAM_COS_TAU) to
+    any pseudo-benchmark vector: (vec_id, n_bench_hits, max_cos).
+
+    Scale shape: candidates come from the multi-table LSH buckets
+    (one bucket join per table, bucket-bounded like the near-dup
+    family — never corpus x benchmark brute force); the benchmark
+    embedding side is corpus/100 and broadcast for the verify join.
+    The exact-cosine verify touches candidate pairs only. At 100 TB
+    this is the same plan as embedding_neardup_multi with one side
+    shrunk 100x, so every bound that held there holds here.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    bkt = _bucketed_multi(spark, sf_dir)
+    bench_b = (bkt.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("bench_vec"),
+                       F.col("tbl").alias("tbl_b"),
+                       F.col("bucket").alias("bucket_b")))
+    corp_b = bkt.filter(F.col("vec_id") % 100 != 0)
+    cand = (
+        corp_b.join(bench_b, (F.col("tbl") == F.col("tbl_b"))
+                    & (F.col("bucket") == F.col("bucket_b")))
+        .select("vec_id", "bench_vec").distinct()
+    )
+    ec = e.select("vec_id", F.col("embedding").alias("emb_c"))
+    ebn = e.select(F.col("vec_id").alias("bench_vec"),
+                   F.col("embedding").alias("emb_b"))
+    hits = (
+        cand.join(ec, "vec_id")
+        .join(F.broadcast(ebn), "bench_vec")
+        .select("vec_id", "bench_vec",
+                _cos_rounded(F.col("emb_c"), F.col("emb_b"))
+                .alias("cos"))
+        .filter(F.col("cos") >= CONTAM_COS_TAU)
+    )
+    return (hits.groupBy("vec_id")
+            .agg(F.count_distinct(F.col("bench_vec"))
+                 .alias("n_bench_hits"),
+                 F.max("cos").alias("max_cos"))
+            .orderBy("vec_id"))
+
+
+SQL_EMBEDDING_CONTAMINATION = f"""
+WITH {_SQL_MULTI_BUCKETS},
+cand AS (
+  SELECT DISTINCT c.vec_id, b.vec_id AS bench_vec
+  FROM bktm c JOIN bktm b ON c.tbl = b.tbl AND c.bucket = b.bucket
+  WHERE b.vec_id % 100 = 0 AND c.vec_id % 100 != 0),
+eb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       FROM embeddings),
+hits AS (
+  SELECT cand.vec_id, bench_vec,
+    round(list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))), 6) + 0.0 AS cos
+  FROM cand JOIN eb a ON a.vec_id = cand.vec_id
+            JOIN eb b ON b.vec_id = bench_vec)
+SELECT vec_id, COUNT(DISTINCT bench_vec) AS n_bench_hits,
+       MAX(cos) AS max_cos
+FROM hits WHERE cos >= {CONTAM_COS_TAU}
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Margin-based bitext mining (Artetxe & Schwenk 2019): cross-lingual
 # pair candidates from the multi-table LSH buckets, scored by the
 # ratio of pair cosine to the average of each side's K-nearest
@@ -1666,6 +1747,7 @@ QUERIES = {
     "embedding_neardup_multi": q_embedding_neardup_multi,
     "bitext_mining_pairs": q_bitext_mining_pairs,
     "embedding_neardup_capped": q_embedding_neardup_capped,
+    "embedding_contamination": q_embedding_contamination,
     "jl_topk": q_jl_topk,
     "ivf_topk": q_ivf_topk,
     "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -1693,6 +1775,7 @@ ORACLE = {
     "embedding_neardup_multi": SQL_EMBEDDING_NEARDUP_MULTI,
     "bitext_mining_pairs": SQL_BITEXT_MINING_PAIRS,
     "embedding_neardup_capped": SQL_EMBEDDING_NEARDUP_CAPPED,
+    "embedding_contamination": SQL_EMBEDDING_CONTAMINATION,
     "jl_topk": SQL_JL_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "contrastive_triplets": SQL_CONTRASTIVE_TRIPLETS,

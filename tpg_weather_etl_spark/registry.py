@@ -64,6 +64,7 @@ _RUN_FIRST = [
     "kn_bigram_logprob",
     "minhash_pairs_capped",
     "deterministic_sample",
+    "embedding_contamination",
     "basket_lift_pairs",
     "ngram_novelty",
     "nb_source_confusion",
@@ -109,13 +110,14 @@ _RUN_FIRST = [
     "revenue_share",
     "bpe_merges",
     "heavy_hitters",
-    "source_kl_drift",
 ]
 
-# Staged ROUND-11 head: the 4 names displaced by the round-10
-# priority jumpers, then the remaining r7-green block, filled to 50
-# with the stalest r8-green names.
+# Staged ROUND-11 head: the names displaced by the round-10 priority
+# jumpers (source_kl_drift by the new embedding_contamination gate,
+# then the 4 original displacements), the remaining r7-green block,
+# and the 7 stalest r8-green names.
 _RUN_MID = [
+    "source_kl_drift",
     "doc_chunks",
     "neardup_eval",
     "cluster_split",
