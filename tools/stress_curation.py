@@ -154,7 +154,19 @@ def _write_corpus(n_docs: int, out_dir: Path) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", type=int, default=50000)
+    ap.add_argument("--skip", default="",
+                    help="comma-separated query names to leave out of "
+                         "this run (recorded in the artifact with "
+                         "--skip-note so the omission is auditable)")
+    ap.add_argument("--skip-note", default="",
+                    help="why the skipped queries are skipped; stored "
+                         "verbatim in STRESS_curation.json")
     args = ap.parse_args()
+    skip = {s for s in args.skip.split(",") if s}
+    unknown = skip - set(QUERIES)
+    if unknown:
+        print(f"--skip names not in QUERIES: {sorted(unknown)}")
+        return 2
 
     from tpg_weather_etl_spark.caching import release_all
     from tpg_weather_etl_spark.queries_ml import DSIR_BUCKETS
@@ -166,7 +178,9 @@ def main() -> int:
     qs = all_queries()
 
     sizes = [args.base, args.base * 2]
-    timings: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    run_queries = [q for q in QUERIES if q not in skip]
+    timings: dict[str, dict[int, float]] = {q: {} for q in run_queries}
+    errors: dict[str, dict[int, str]] = {}
     bucket_rows: dict[int, int] = {}
     overlap_rows: dict[int, int] = {}
     cand_volume: dict[int, int] = {}
@@ -180,12 +194,22 @@ def main() -> int:
         qs["temperature_mix_weights"](spark, str(out_dir)).write.format(
             "noop").mode("overwrite").save()
         release_all()
-        for q in QUERIES:
+        for q in run_queries:
             fn = (_bitext_scaled(n) if q == "bitext_mining_pairs"
                   else qs[q])
             t0 = time.perf_counter()
-            df = fn(spark, str(out_dir))
-            df.write.format("noop").mode("overwrite").save()
+            # a query that dies (e.g. spill disk exhausted) is a
+            # probe FINDING, not a reason to lose every later
+            # query's measurement: record the error, keep going
+            try:
+                df = fn(spark, str(out_dir))
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:
+                msg = f"{type(exc).__name__}: {str(exc)[:300]}"
+                errors.setdefault(q, {})[n] = msg
+                print(f"  {q}: ERROR {msg}")
+                release_all()
+                continue
             dt = round(time.perf_counter() - t0, 2)
             timings[q][n] = dt
             print(f"  {q}: {dt}s")
@@ -219,7 +243,8 @@ def main() -> int:
 
     ratios = {q: round(timings[q][sizes[1]] / max(timings[q][sizes[0]],
                                                   0.01), 2)
-              for q in QUERIES}
+              for q in run_queries
+              if sizes[0] in timings[q] and sizes[1] in timings[q]}
     # Minimum-absolute-time floor (ADVICE r7): several queries run in
     # low single-digit seconds at base=50k, where JVM/GC noise alone
     # can push a ratio past LINEARITY_MAX. Only enforce the ratio when
@@ -239,6 +264,12 @@ def main() -> int:
         "mh_max_bucket": max_bucket,
         "est_volume_slack": EST_VOLUME_SLACK,
     }
+    if skip:
+        rec["skipped"] = sorted(skip)
+        rec["skip_note"] = args.skip_note
+    if errors:
+        rec["errors"] = {q: {str(k): v for k, v in e.items()}
+                         for q, e in errors.items()}
     (ROOT / "STRESS_curation.json").write_text(
         json.dumps(rec, indent=2) + "\n")
     print(json.dumps(rec["ratio_2x_docs"], indent=1))
@@ -247,6 +278,8 @@ def main() -> int:
           f"(ratio {vol_ratio:.2f}), max bucket: {max_bucket}")
 
     bad = []
+    for q, e in errors.items():
+        bad.append(f"{q} errored: {list(e.values())[0]}")
     for q, r in ratios.items():
         if timings[q][sizes[0]] < RATIO_FLOOR_SEC:
             continue
