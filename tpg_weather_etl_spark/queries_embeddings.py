@@ -428,7 +428,19 @@ def _bucketed_multi(spark: SparkSession, sf_dir: str,
     n_planes=N_PLANES because their oracles inline it; a production
     deployment sizes it as ~log2(n_vectors / target_bucket_size).
     """
-    e = t(spark, sf_dir, "embeddings")
+    return buckets_for_embeddings(t(spark, sf_dir, "embeddings"),
+                                  n_tables=n_tables, n_planes=n_planes)
+
+
+def buckets_for_embeddings(e: DataFrame,
+                           n_tables: int = NEARDUP_TABLES,
+                           n_planes: int = N_PLANES) -> DataFrame:
+    """DataFrame form of ``_bucketed_multi`` — same hyperplane family,
+    same one-pass L·P plane explode — over ANY (vec_id, embedding)
+    input instead of the warehouse table. The streaming embedding
+    dedup (streaming/embedding_dedup.py) buckets each micro-batch
+    through this, so the stream and the batch gate share one hash
+    family by construction."""
     planes = e.select(
         "vec_id", "embedding",
         F.explode(F.sequence(
