@@ -30,7 +30,8 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 RECORD = ROOT / "BENCH_graph.json"
-QUERIES = ["part_triangles", "pagerank_parts", "degree_distribution"]
+QUERIES = ["part_triangles", "pagerank_parts", "degree_distribution",
+           "clustering_coeff"]
 REGRESSION_X = 2.0
 MIN_DELTA_SEC = 2.0
 

@@ -95,7 +95,8 @@ def main() -> int:
     qs = all_queries()
 
     sizes = [args.base_orders, args.base_orders * 4]
-    queries = ["degree_distribution", "part_triangles", "pagerank_parts"]
+    queries = ["degree_distribution", "part_triangles", "pagerank_parts",
+               "clustering_coeff"]
     timings: dict[str, dict[int, float]] = {
         q: {} for q in queries + ["connected_components"]}
     n_edges: dict[int, int] = {}

@@ -1934,6 +1934,112 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Local clustering coefficient: per-node triangle density — the
+# community-structure diagnostic that completes the graph family
+# (triangles = global count, degree_distribution = skew profile,
+# PageRank = centrality; lcc = how clique-like each neighborhood is,
+# the standard spam/boilerplate signal on co-occurrence graphs)
+# ---------------------------------------------------------------------------
+
+LCC_TOPK = 50
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-LCC_TOPK parts by local clustering coefficient over the
+    co-purchase graph: lcc(x) = 2·t(x) / (d(x)·(d(x)−1)), ties broken
+    by part id.
+
+    Per-node triangle counts reuse the DEGREE-ORIENTED enumeration of
+    `q_part_triangles` (each triangle materialized exactly once at
+    its lowest-(degree, id) apex — arboricity-bounded wedge fan-out,
+    the whole 100 TB story) and then credit all three corners via a
+    3-way unpivot union + one count shuffle; the top-k is a
+    TakeOrderedAndProject, never a global sort. The lcc double is
+    2.0·t exact / an exact integer product, correctly rounded
+    identically in both engines, rounded to 6dp per repo convention.
+
+    Oracle: the orientation-free canonical a<b<c 3-join, an
+    independent formulation — the gate proves the oriented
+    enumeration credits every corner of every triangle exactly once.
+    """
+    from tpg_weather_etl_spark.caching import track
+
+    e = track(_copurchase_edges(spark, sf_dir).persist())
+    deg = (e.select(F.col("u").alias("x"))
+           .unionAll(e.select(F.col("v").alias("x")))
+           .groupBy("x").agg(F.count("*").alias("d")))
+    e2 = (
+        e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")),
+               "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")),
+              "v"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = track(e2.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"))
+        .persist())
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = (
+        w1.join(w2, (F.col("w1.src") == F.col("w2.src"))
+                & (F.col("w1.dst") < F.col("w2.dst")))
+        .select(F.col("w1.src").alias("apex"),
+                F.col("w1.dst").alias("lo"), F.col("w2.dst").alias("hi")))
+    tri = (wedges.join(e, (wedges["lo"] == e["u"])
+                       & (wedges["hi"] == e["v"]))
+           .select("apex", "lo", "hi"))
+    # ONE pass over the triangle stream: a 3-way unionAll would
+    # re-plan the wedge join per branch (21-exchange plan observed);
+    # the explode is map-side and keeps the join single-consumer
+    corners = tri.select(
+        F.explode(F.array("apex", "lo", "hi")).alias("x"))
+    tcnt = corners.groupBy("x").agg(F.count("*").alias("t"))
+    lcc = F.when(
+        F.col("d") >= 2,
+        F.round(F.lit(2.0) * F.col("n_tri")
+                / (F.col("d") * (F.col("d") - 1)), 6) + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tcnt, "x", "left")
+        .select(F.col("x").alias("part"), F.col("d"),
+                F.coalesce(F.col("t"), F.lit(0)).alias("n_tri"))
+        .select("part", F.col("d").alias("degree"), "n_tri",
+                lcc.alias("lcc"))
+        .orderBy(F.desc("lcc"), F.asc("part"))
+        .limit(LCC_TOPK)
+    )
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH {_SQL_COPURCHASE_EDGES},
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+tcnt AS (
+  SELECT x, COUNT(*) AS t
+  FROM (SELECT a AS x FROM tri UNION ALL
+        SELECT b AS x FROM tri UNION ALL
+        SELECT c AS x FROM tri)
+  GROUP BY 1),
+deg AS (
+  SELECT x, COUNT(*) AS d
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+  GROUP BY 1)
+SELECT deg.x AS part, deg.d AS degree,
+       COALESCE(tcnt.t, 0) AS n_tri,
+       CASE WHEN deg.d >= 2
+            THEN round(2.0 * COALESCE(tcnt.t, 0)
+                       / (deg.d * (deg.d - 1)), 6) + 0.0
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN tcnt ON tcnt.x = deg.x
+ORDER BY lcc DESC, part ASC
+LIMIT {LCC_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Market-basket lift: association strength of co-purchased part pairs
 # ---------------------------------------------------------------------------
 
@@ -2958,6 +3064,7 @@ QUERIES = {
     "semantic_dedup_keeper": q_semantic_dedup_keeper,
     "semantic_dedup_apply": q_semantic_dedup_apply,
     "part_triangles": q_part_triangles,
+    "clustering_coeff": q_clustering_coeff,
     "pagerank_parts": q_pagerank_parts,
     "degree_distribution": q_degree_distribution,
     "zipf_slope": q_zipf_slope,
@@ -2977,6 +3084,7 @@ ORACLE = {
     "centroid_shift": SQL_CENTROID_SHIFT,
     "token_gini": SQL_TOKEN_GINI,
     "part_triangles": SQL_PART_TRIANGLES,
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
     "pagerank_parts": SQL_PAGERANK_PARTS,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "zipf_slope": SQL_ZIPF_SLOPE,

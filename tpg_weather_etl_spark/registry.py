@@ -65,6 +65,7 @@ _RUN_FIRST = [
     "minhash_pairs_capped",
     "deterministic_sample",
     "embedding_contamination",
+    "clustering_coeff",
     "basket_lift_pairs",
     "ngram_novelty",
     "nb_source_confusion",
@@ -109,14 +110,15 @@ _RUN_FIRST = [
     "sequence_gaps",
     "revenue_share",
     "bpe_merges",
-    "heavy_hitters",
 ]
 
 # Staged ROUND-11 head: the names displaced by the round-10 priority
-# jumpers (source_kl_drift by the new embedding_contamination gate,
-# then the 4 original displacements), the remaining r7-green block,
-# and the 7 stalest r8-green names.
+# jumpers (heavy_hitters and source_kl_drift by the new
+# clustering_coeff and embedding_contamination gates, then the 4
+# original displacements), the remaining r7-green block, and the 7
+# stalest r8-green names.
 _RUN_MID = [
+    "heavy_hitters",
     "source_kl_drift",
     "doc_chunks",
     "neardup_eval",
