@@ -168,3 +168,92 @@ def test_stream_embedding_bucket_cap_flood(spark, tmp_path):
         _vec(2000, _basis(3) + 0.05 * _basis(7)))
     _run(spark, inbox, out, bkt, ckpt, cap=cap)
     assert 2000 not in _ids(spark, out)
+
+
+def test_stream_embedding_auto_cap_flips_on_dense_flood(
+        spark, tmp_path):
+    """VERDICT r10 item 5, embedding side: with ``auto_cap`` the cap
+    starts OFF (benign wave — spread directions, no latch) and the
+    first dense-flood batch (≥ BOILER_HOT_SHARE of the batch in one
+    LSH bucket) flips it for itself and, durably, for later waves."""
+    from tpg_weather_etl_spark.streaming.corpus_dedup import (
+        _path_exists,
+    )
+    from tpg_weather_etl_spark.streaming.embedding_dedup import (
+        batch_is_dense_flood,
+        incremental_embedding_dedup,
+    )
+
+    cap = 4
+    flood = _same_orthant_flood(12)
+    rng = np.random.default_rng(23)
+    benign = []
+    for v in rng.standard_normal((4000, DIM)):
+        u = v / np.linalg.norm(v)
+        if all(abs(float(u @ w)) < TAU for w in benign):
+            benign.append(u)
+        if len(benign) == 10:
+            break
+
+    # fixture sanity via the profile itself (deterministic rng): the
+    # benign wave must NOT read as dense, the flood wave must
+    def df_of(vecs, base):
+        return spark.createDataFrame(
+            [(base + i, [float(x) for x in v])
+             for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+    assert not batch_is_dense_flood(df_of(benign, 0))
+    assert batch_is_dense_flood(df_of(flood, 100))
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out, bkt, ckpt = tmp_path / "vecs", tmp_path / "bkt", \
+        tmp_path / "ckpt"
+    marker = str(bkt).rstrip("/") + "__capon"
+
+    def run_auto():
+        q = incremental_embedding_dedup(
+            spark, str(inbox), str(out), str(bkt), str(ckpt),
+            tau=TAU, auto_cap=cap)
+        q.awaitTermination(300)
+
+    (inbox / "a.jsonl").write_text("\n".join(
+        _vec(i, v) for i, v in enumerate(benign)))
+    run_auto()
+    assert not _path_exists(spark, marker)
+    assert _ids(spark, out) == set(range(10))
+
+    # mid-stream dense flood: latch flips within the batch; the store
+    # invariant holds by the END of this same batch
+    (inbox / "b.jsonl").write_text("\n".join(
+        _vec(100 + i, v) for i, v in enumerate(flood)))
+    run_auto()
+    assert _path_exists(spark, marker)
+    flood_bkt = (spark.read.parquet(str(bkt))
+                 .filter(F.col("vec_id") >= 100))
+    mx = (flood_bkt.groupBy("tbl", "bucket").count()
+          .agg(F.max("count")).collect()[0][0])
+    assert mx <= cap
+    # uncapped re-bucketing of the admitted flood overflows: the
+    # boundedness is the latch's doing
+    admitted_flood = (spark.read.parquet(str(out))
+                      .filter(F.col("vec_id") >= 100))
+    mx_un = (buckets_for_embeddings(admitted_flood)
+             .groupBy("tbl", "bucket").count()
+             .agg(F.max("count")).collect()[0][0])
+    assert mx_un > cap
+
+    # later wave: latch persists even though this batch alone is tiny
+    # (2 spread vectors — not a flood); the cap stays on via marker
+    extra = []
+    for v in rng.standard_normal((4000, DIM)):
+        u = v / np.linalg.norm(v)
+        if all(abs(float(u @ w)) < TAU for w in benign + flood + extra):
+            extra.append(u)
+        if len(extra) == 2:
+            break
+    (inbox / "c.jsonl").write_text("\n".join(
+        _vec(500 + i, v) for i, v in enumerate(extra)))
+    run_auto()
+    assert _path_exists(spark, marker)
+    assert {500, 501} <= _ids(spark, out)

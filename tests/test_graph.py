@@ -214,3 +214,75 @@ def test_pagerank_matches_python_power_iteration(spark, tmp_path):
     for k, v in got.items():
         assert abs(v - r[k]) < 1e-12, (k, v, r[k])
     assert set(got) == set(adj)  # topk=25 covers all 6 nodes
+
+
+def _write_pair_lineitem(spark, tmp_path, und_edges):
+    """One 2-item order per undirected edge — direct control of the
+    co-purchase graph a test wants to build."""
+    rows = []
+    for okey, (a, b) in enumerate(sorted(und_edges)):
+        rows.append((okey, a, 0, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+        rows.append((okey, b, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+    df = spark.createDataFrame(rows, (
+        "l_orderkey long, l_partkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"))
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(sf / "lineitem.parquet"))
+    return str(sf)
+
+
+def test_wedge_apex_split_exact_when_salting_engages(
+        spark, tmp_path, monkeypatch):
+    """The heavy-hitter apex split (WEDGE_APEX_BUDGET salting in
+    `_oriented_triangles`) must be EXACT where it engages: with the
+    budget forced to 4, a 10-clique gives node 0 an oriented
+    out-degree of 9 (equal degrees, ties by id -> node 0 points at
+    all nine higher ids), so its wedge enumeration spans
+    ceil(9/4) = 3 salt keys. Triangle count and every per-node lcc
+    must still match brute force — each (lo, hi) pair met exactly
+    once, at lo's salt."""
+    import itertools
+
+    import tpg_weather_etl_spark.queries_ml as QM
+
+    monkeypatch.setattr(QM, "WEDGE_APEX_BUDGET", 4)
+
+    clique = list(range(10))
+    und = {(a, b) for a, b in itertools.combinations(clique, 2)}
+    # pendant chain + an off-clique triangle so the graph is not
+    # degree-uniform and the salted/unsalted apexes mix
+    und |= {(9, 20), (20, 21), (21, 22), (20, 22), (0, 30)}
+    sf = _write_pair_lineitem(spark, tmp_path, und)
+
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri_brute = {
+        frozenset(t) for t in itertools.combinations(sorted(adj), 3)
+        if (min(t[0], t[1]), max(t[0], t[1])) in und
+        and (min(t[1], t[2]), max(t[1], t[2])) in und
+        and (min(t[0], t[2]), max(t[0], t[2])) in und
+    }
+
+    row = QM.q_part_triangles(spark, sf).collect()[0]
+    assert row.n_edges == len(und)
+    assert row.n_triangles == len(tri_brute)  # C(10,3) + 1 = 121
+
+    per_node = {v: 0 for v in adj}
+    for t in tri_brute:
+        for v in t:
+            per_node[v] += 1
+    got = {r.part: (r.degree, r.n_tri, r.lcc)
+           for r in QM.q_clustering_coeff(spark, sf).collect()}
+    assert set(got) == set(adj)  # topk=50 covers all 14 nodes
+    for v, (d, n_tri, lcc) in got.items():
+        assert d == len(adj[v])
+        assert n_tri == per_node[v], (v, n_tri, per_node[v])
+        want = (round(2.0 * per_node[v] / (d * (d - 1)), 6)
+                if d >= 2 else 0.0)
+        assert lcc == want

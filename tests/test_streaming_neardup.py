@@ -132,3 +132,110 @@ def test_flood_keeps_band_store_bounded(spark, tmp_path):
                     .groupBy("band", "bkey").count()
                     .agg(F.max("count")).collect()[0][0])
     assert uncapped_max > CAP
+
+
+def test_auto_cap_flips_on_mid_stream_flood(spark, tmp_path):
+    """VERDICT r10 item 5: with ``auto_cap`` the cap starts OFF (wave
+    1 is benign — distinct prefixes, no latch, full recall) and the
+    FIRST templated flood batch flips it, capping that same batch's
+    appends: by the end of the flood wave no band-store bucket
+    exceeds the cap, and the durable marker keeps the cap on for
+    every later wave."""
+    from pyspark.sql import functions as F
+
+    from tpg_weather_etl_spark.queries_text import (
+        bands_from_shingles,
+        shingles_from_docs,
+    )
+    from tpg_weather_etl_spark.streaming.corpus_dedup import (
+        _path_exists,
+    )
+
+    CAP = 5
+    header = " ".join(f"hdr{j:02d}" for j in range(30))
+
+    def flood_doc(i):
+        body = " ".join(f"b{i:03d}w{j:02d}" for j in range(30))
+        return _doc(1000 + i, f"{header} {body}")
+
+    def benign_doc(i):
+        words = " ".join(f"u{i:03d}w{j:02d}" for j in range(40))
+        return _doc(i, words)
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out, bands, ckpt = tmp_path / "corpus", tmp_path / "bands", \
+        tmp_path / "ckpt"
+    marker = str(bands).rstrip("/") + "__capon"
+
+    def run_auto():
+        q = incremental_neardup(spark, str(inbox), str(out), str(bands),
+                                str(ckpt), auto_cap=CAP)
+        q.awaitTermination(300)
+
+    # wave 1: benign — every doc opens differently; the profile must
+    # NOT latch and nothing is capped
+    (inbox / "w1.jsonl").write_text("\n".join(
+        benign_doc(i) for i in range(20)))
+    run_auto()
+    assert not _path_exists(spark, marker)
+    assert {r.doc_id for r in
+            spark.read.parquet(str(out)).select("doc_id").collect()} \
+        == set(range(20))
+
+    # wave 2: mid-stream template flood — dominant prefix share ~1.0
+    # >= BOILER_HOT_SHARE; the cap must flip ON within this batch
+    (inbox / "w2.jsonl").write_text("\n".join(
+        flood_doc(i) for i in range(150)))
+    run_auto()
+    assert _path_exists(spark, marker)
+    store_max = (spark.read.parquet(str(bands))
+                 .groupBy("band", "bkey").count()
+                 .agg(F.max("count")).collect()[0][0])
+    assert store_max <= CAP
+    # the admitted corpus re-banded WITHOUT the cap overflows it —
+    # the flood pressure was real, boundedness is the latch's doing
+    corpus = spark.read.parquet(str(out))
+    assert (bands_from_shingles(shingles_from_docs(corpus))
+            .groupBy("band", "bkey").count()
+            .agg(F.max("count")).collect()[0][0]) > CAP
+
+    # wave 3: more of the same flood in a LATER batch whose own
+    # profile ALSO floods — but the point is the latch persisted:
+    # saturated buckets recruit nothing further
+    (inbox / "w3.jsonl").write_text("\n".join(
+        flood_doc(i) for i in range(150, 300)))
+    run_auto()
+    assert _path_exists(spark, marker)
+    store_max3 = (spark.read.parquet(str(bands))
+                  .groupBy("band", "bkey").count()
+                  .agg(F.max("count")).collect()[0][0])
+    assert store_max3 <= CAP
+
+
+def test_template_flood_profile_thresholds(spark):
+    """The per-batch profile itself: flood iff some source's dominant
+    5-token prefix share crosses BOILER_HOT_SHARE — computed per
+    source, so a small templated source inside a big mixed batch
+    still trips it."""
+    from tpg_weather_etl_spark.streaming.neardup_stream import (
+        batch_is_template_flood,
+    )
+
+    def rows(specs):
+        out = []
+        for i, (src, text) in enumerate(specs):
+            out.append((i, text, "en", src, len(text)))
+        return spark.createDataFrame(
+            out, "doc_id long, text string, lang string, "
+                 "source string, n_chars long")
+
+    tpl = "terms of service apply here " + "x"
+    benign = rows([("web", f"w{i} a{i} b{i} c{i} d{i} tail") for i in
+                   range(10)])
+    assert not batch_is_template_flood(benign)
+
+    flooded = rows([("web", f"w{i} a{i} b{i} c{i} d{i} tail")
+                    for i in range(10)]
+                   + [("tpl", f"{tpl} body{i}") for i in range(5)])
+    assert batch_is_template_flood(flooded)

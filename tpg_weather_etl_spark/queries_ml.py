@@ -1691,24 +1691,40 @@ e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
 # Triangle counting on the part co-purchase graph (degree-oriented)
 # ---------------------------------------------------------------------------
 
-def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangles in the part co-purchase graph (parts are adjacent iff
-    some order contains both). Edge construction is per-order pair
-    expansion — bounded by the max basket size (≤ ~13 parts/order in
-    this data and a constant at any SF), so it's a co-partitioned
-    self-join on l_orderkey, never quadratic in the table.
+# Heavy-hitter apex split (round 11, VERDICT r10 item 3): max oriented
+# edges the wedge self-join keeps on the BUILD side of one shuffle key.
+# Degree orientation bounds per-apex wedge fan-out by arboricity, but
+# "bounded by arboricity" still concentrates one apex's full d²/2 wedge
+# enumeration in ONE task; on a power-law graph the hub apex owns the
+# stage. Splitting apexes above the budget caps per-key join output at
+# ~budget·d (linear in d, not quadratic) at the cost of replicating the
+# probe side of hot apexes ceil(d/budget)×. 256 keeps the split inert
+# at gate SFs (max oriented out-degree ≲ budget there) and engages
+# exactly on the hubs the split exists for.
+WEDGE_APEX_BUDGET = 256
 
-    Counting uses the standard DEGREE ORIENTATION: every undirected
-    edge points from its lower-(degree, id) endpoint to the higher
-    one, so each wedge is enumerated exactly once at its lowest-degree
-    apex. That bounds the per-key wedge fan-out by the graph's
-    arboricity rather than its max degree — the difference between a
-    hot celebrity node exploding one task and an even spread, which is
-    the whole 100 TB story for triangle counting.
 
-    Oracle: the orientation-free canonical a<b<c three-way join — an
-    independent formulation, so the gate proves the oriented
-    enumeration counts every triangle exactly once.
+def _oriented_triangles(spark: SparkSession,
+                        sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(edges, triangles) of the part co-purchase graph.
+
+    ``edges`` is the persisted canonical (u < v) list; ``triangles``
+    is (apex, lo, hi) with every triangle materialized EXACTLY ONCE at
+    its lowest-(degree, id) apex — the standard degree orientation, so
+    wedge fan-out is arboricity-bounded, not max-degree-bounded.
+    Shared by `q_part_triangles` (counts rows) and
+    `q_clustering_coeff` (credits corners).
+
+    Skew guard: each apex's wedge enumeration is additionally SPLIT
+    across ceil(out-degree / WEDGE_APEX_BUDGET) shuffle keys — the
+    w1 side takes a deterministic per-edge salt (hash of the low
+    endpoint mod n_salts), the w2 side replicates each edge to every
+    salt of its apex, and the join key becomes (src, salt). Each
+    unordered (lo, hi) pair still meets exactly once (at lo's salt),
+    so the output is identical; per-key output drops from d²/2 to
+    ≤ budget·d. Apexes at or under the budget get n_salts = 1 — the
+    split is a no-op row-wise (salt 0 both sides) everywhere except
+    the hubs it exists for.
     """
     from tpg_weather_etl_spark.caching import track
     # The edge list feeds four consumers (both degree scans, the wedge
@@ -1726,17 +1742,62 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
               "v"))
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    # per-apex salt count from the ORIENTED out-degree (not the full
+    # undirected degree — orientation is what keeps it small, using du
+    # here would over-replicate hubs whose out-degree is tiny). A
+    # window over src annotates it in the SAME shuffle that the
+    # persist materializes, so both wedge sides are pure projections
+    # of the cached table — one exchange total instead of a separate
+    # degree agg + two src joins (17 → 14 exchanges measured; the
+    # unsalted enumeration was 13).
+    w_src = Window.partitionBy("src")
     oriented = track(e2.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"))
+        .withColumn("ns", F.greatest(
+            F.lit(1),
+            F.ceil(F.count("*").over(w_src) / F.lit(WEDGE_APEX_BUDGET))
+        ).cast("int"))
         .persist())
-    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    w1 = oriented.select(
+        "src", "dst",
+        F.pmod(F.hash("dst"), F.col("ns")).alias("salt"))
+    w2 = oriented.select(
+        F.col("src").alias("src2"),
+        F.col("dst").alias("dst2"),
+        F.explode(F.sequence(F.lit(0), F.col("ns") - 1))
+        .alias("salt2"))
     wedges = (
-        w1.join(w2, (F.col("w1.src") == F.col("w2.src"))
-                & (F.col("w1.dst") < F.col("w2.dst")))
-        .select(F.col("w1.dst").alias("lo"), F.col("w2.dst").alias("hi")))
-    tri = wedges.join(
-        e, (wedges["lo"] == e["u"]) & (wedges["hi"] == e["v"]))
+        w1.join(w2, (F.col("src") == F.col("src2"))
+                & (F.col("salt") == F.col("salt2"))
+                & (F.col("dst") < F.col("dst2")))
+        .select(F.col("src").alias("apex"),
+                F.col("dst").alias("lo"),
+                F.col("dst2").alias("hi")))
+    tri = (wedges.join(e, (wedges["lo"] == e["u"])
+                       & (wedges["hi"] == e["v"]))
+           .select("apex", "lo", "hi"))
+    return e, tri
+
+
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-purchase graph (parts are adjacent iff
+    some order contains both). Edge construction is per-order pair
+    expansion — bounded by the max basket size (≤ ~13 parts/order in
+    this data and a constant at any SF), so it's a co-partitioned
+    self-join on l_orderkey, never quadratic in the table.
+
+    Counting uses the standard DEGREE ORIENTATION with a heavy-hitter
+    apex split — see `_oriented_triangles` (shared with
+    `q_clustering_coeff`) for both the orientation argument and the
+    per-apex salting that keeps a power-law hub from concentrating
+    its whole d²/2 wedge enumeration in one task.
+
+    Oracle: the orientation-free canonical a<b<c three-way join — an
+    independent formulation, so the gate proves the oriented, salted
+    enumeration counts every triangle exactly once.
+    """
+    e, tri = _oriented_triangles(spark, sf_dir)
     n_edges = e.agg(F.count("*").alias("n_edges"))
     n_tri = tri.agg(F.count("*").alias("n_triangles"))
     return n_edges.crossJoin(n_tri)
@@ -1949,10 +2010,11 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph: lcc(x) = 2·t(x) / (d(x)·(d(x)−1)), ties broken
     by part id.
 
-    Per-node triangle counts reuse the DEGREE-ORIENTED enumeration of
-    `q_part_triangles` (each triangle materialized exactly once at
-    its lowest-(degree, id) apex — arboricity-bounded wedge fan-out,
-    the whole 100 TB story) and then credit all three corners via a
+    Per-node triangle counts reuse the DEGREE-ORIENTED, apex-split
+    enumeration shared with `q_part_triangles` (`_oriented_triangles`:
+    each triangle materialized exactly once at its lowest-(degree, id)
+    apex — arboricity-bounded wedge fan-out, hub apexes salted across
+    shuffle keys) and then credit all three corners via a
     3-way unpivot union + one count shuffle; the top-k is a
     TakeOrderedAndProject, never a global sort. The lcc double is
     2.0·t exact / an exact integer product, correctly rounded
@@ -1962,32 +2024,10 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent formulation — the gate proves the oriented
     enumeration credits every corner of every triangle exactly once.
     """
-    from tpg_weather_etl_spark.caching import track
-
-    e = track(_copurchase_edges(spark, sf_dir).persist())
+    e, tri = _oriented_triangles(spark, sf_dir)
     deg = (e.select(F.col("u").alias("x"))
            .unionAll(e.select(F.col("v").alias("x")))
            .groupBy("x").agg(F.count("*").alias("d")))
-    e2 = (
-        e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")),
-               "u")
-        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")),
-              "v"))
-    fwd = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    oriented = track(e2.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"))
-        .persist())
-    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
-    wedges = (
-        w1.join(w2, (F.col("w1.src") == F.col("w2.src"))
-                & (F.col("w1.dst") < F.col("w2.dst")))
-        .select(F.col("w1.src").alias("apex"),
-                F.col("w1.dst").alias("lo"), F.col("w2.dst").alias("hi")))
-    tri = (wedges.join(e, (wedges["lo"] == e["u"])
-                       & (wedges["hi"] == e["v"]))
-           .select("apex", "lo", "hi"))
     # ONE pass over the triangle stream: a 3-way unionAll would
     # re-plan the wedge join per branch (21-exchange plan observed);
     # the explode is map-side and keeps the join single-consumer

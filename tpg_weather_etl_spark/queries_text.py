@@ -750,7 +750,17 @@ def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str,
     candidate generation: identical output when no bucket exceeds
     ``cap`` (gate SFs — pytest-pinned), bounded candidate work on
     boilerplate-heavy corpora where the uncapped join goes quadratic
-    (probe-measured, see filter_hot_band_buckets)."""
+    (probe-measured, see filter_hot_band_buckets).
+
+    The candidate set is persisted like the uncapped variant's: the
+    verify path (`_pair_jaccard`) consumes it three times (two
+    semi-join doc-id reductions + the pair join), and round 11 made
+    this query the estimator gate's pair source — without
+    materialization each consumer re-runs the capped band self-join.
+    """
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
     sh = _shingle_df_shared(spark, sf_dir)
     bands = filter_hot_band_buckets(
         bands_from_signatures(minhash_signatures_shared(spark, sf_dir)),
@@ -759,11 +769,12 @@ def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str,
     b = bands.select(F.col("doc_id").alias("doc_b"),
                      F.col("band").alias("band_b"),
                      F.col("bkey").alias("bkey_b"))
-    cand = (
+    cand = track(
         a.join(b, (F.col("band") == F.col("band_b"))
                & (F.col("bkey") == F.col("bkey_b"))
                & (F.col("doc_a") < F.col("doc_b")))
         .select("doc_a", "doc_b").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return _pair_jaccard(sh, cand=cand).filter(F.col("jaccard") >= 0.5)
 
@@ -850,15 +861,29 @@ def q_minhash_est_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded-LSH thresholds are calibrated for a new corpus before you
     trust them (expected |err| ~ sqrt(J(1-J)/32) ≈ 0.09 at J=0.5).
 
-    Scale shape: O(pairs x 32) — the pair list is near-dup-sized (the
-    persisted q_minhash_pairs output, tiny next to the corpus), the
-    signature table IS the shared persisted aggregate the band
-    builder projects from (minhash_signatures_shared — one agg run
-    for detector + estimator), and the two signature joins are doc_id
-    equi joins whose probe side is the pair list. Nothing quadratic,
-    nothing corpus-wide beyond what the detector already computed.
+    Scale shape: O(pairs x 32) — the pair list is near-dup-sized
+    (tiny next to the corpus), the signature table IS the shared
+    persisted aggregate the band builder projects from
+    (minhash_signatures_shared — one agg run for detector +
+    estimator), and the two signature joins are doc_id equi joins
+    whose probe side is the pair list. Nothing quadratic, nothing
+    corpus-wide beyond what the detector already computed.
+
+    Round 11 (VERDICT r10 item 1): the pair source is the CAPPED
+    candidate stream (q_minhash_pairs_capped), not the uncapped
+    detector. The estimator audits sketch accuracy — |est − exact|
+    per verified pair is a property of the signature, not of which
+    candidate generator surfaced the pair — so capped pairs are a
+    valid (and at 100 TB, the only affordable) estimation sample.
+    The uncapped stream's resource envelope is quadratic on
+    boilerplate corpora in more than wall-clock (the 1M-doc probe's
+    SPILL_OUT_OF_MEMORY, STRESS_curation r10); the capped stream's
+    per-bucket work is cap²/2-bounded on ANY corpus composition.
+    Identical output at gate SFs (max bucket 5 ≪ cap 200), so the
+    sf0.01 value hash is unchanged; the oracle mirrors the capped
+    CTE so parity holds at every SF, not just where the cap is slack.
     """
-    pairs = q_minhash_pairs(spark, sf_dir).select(
+    pairs = q_minhash_pairs_capped(spark, sf_dir).select(
         "doc_a", "doc_b", "jaccard")
     cols = [f"s{p}_{i}" for p in range(len(MH_FAMILIES))
             for i in range(MH_NUM_HASHES)]
@@ -886,8 +911,11 @@ def q_minhash_est_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MINHASH_EST_ACCURACY = f"""
 WITH {_SQL_SHINGLES},
 {_SQL_MH_BANDS},
+keep AS (SELECT band, bkey FROM bands GROUP BY band, bkey
+         HAVING COUNT(*) <= {MH_BUCKET_CAP}),
+bc AS (SELECT b.* FROM bands b JOIN keep USING (band, bkey)),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b
+         FROM bc a JOIN bc b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter

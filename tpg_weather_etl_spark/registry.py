@@ -43,23 +43,177 @@ except ImportError:
 
 
 # The driver caps each round at 50 checked queries of the registry,
-# walking it in order. ROUND-10 ROTATION (staged in round 9, executed
-# here with the VERDICT r9 amendment: changed/new queries jump the
-# queue): head = the 3 round-9 additions (never driver-checked;
-# judge-verified 3/3 green locally at sf0.01 in round 9) plus
-# deterministic_sample (its r8 driver row predates the round-9
-# lcg_bucket parity fix, so the ledger must re-prove the POST-fix
-# semantics), then the first 46 of the staged r6/r7-green block. The
-# 4 names those priority slots displaced (doc_chunks, neardup_eval,
-# cluster_split, bpe_encode) lead _RUN_MID — the staged ROUND-11
-# head — followed by the remaining 39 r7-green names and the 7
-# stalest r8-green names. The tail is ordered stalest-first: the
-# remaining r8-green names, then the 50 refreshed to driver-green in
-# round 9 (freshest, last to win a cap slot). Staleness/changed-query
-# placement is now AUDITED mechanically (tools/rotation_audit.py,
-# run by close_round): any query whose output fingerprint changed
-# after its latest driver row must sit in the _RUN_FIRST head.
+# walking it in order. ROUND-11 ROTATION (staged in round 10,
+# executed here with the changed-query amendment): head =
+# minhash_est_accuracy FIRST — its round-11 re-base onto the capped
+# candidate stream changes its oracle SQL (same sf0.01 output, the
+# cap is slack at gate SFs) so rotation_audit marks it
+# behavior-changed and it must re-prove under the driver — then the
+# staged r10 _RUN_MID block (the 6 names displaced by round-10's
+# priority jumpers, the remaining r7-green names, and the stalest
+# r8-green names). Every name whose latest driver row is r7 sits in
+# this head, so r11 clears the r7 block entirely.
 _RUN_FIRST = [
+    "minhash_est_accuracy",
+    "heavy_hitters",
+    "source_kl_drift",
+    "doc_chunks",
+    "neardup_eval",
+    "cluster_split",
+    "bpe_encode",
+    "bigram_logprob",
+    "centroid_shift",
+    "ann_recall_eval",
+    "rrf_fusion",
+    "dedup_rate_by_source",
+    "winsorized_stats",
+    "source_ks_drift",
+    "chi2_source_lang",
+    "token_gini",
+    "lang_agreement",
+    "cluster_size_histogram",
+    "embedding_norm_profile",
+    "rolling_7d",
+    "sessionize",
+    "interval_join",
+    "pattern_within",
+    "asof_join",
+    "lag_grid",
+    "pricing_summary",
+    "top_orders",
+    "region_revenue",
+    "semi_join_parts",
+    "anti_join_customers",
+    "left_join_enrich",
+    "dedupe_exact",
+    "dedupe_priority",
+    "group_median",
+    "agg_by_bin",
+    "latest_per_user",
+    "scalar_bins",
+    "time_features",
+    "text_stats",
+    "lang_quality",
+    "fingerprint_dedup",
+    "simhash",
+    "simhash_pairs",
+    "contamination_ngrams",
+    "stratified_sample",
+    "length_buckets",
+    "gopher_quality",
+    "source_mix_weights",
+    "mixed_sample",
+    "embedding_topk",
+]
+
+# Stalest-first after the head: the 3 r8-green names the changed-query
+# jump displaced from the staged head (ann_buckets, ann_topk,
+# embedding_neardup — r12's natural head), then the remaining
+# r8-green block. After r11's window the stalest surviving row is r8,
+# and r12's 50-name head covers this whole list — satisfying the
+# "no driver row older than 4 rounds by r12 close" target
+# mechanically (VERDICT r10 item 6).
+_RUN_MID = [
+    "ann_buckets",
+    "ann_topk",
+    "embedding_neardup",
+    "ivf_topk",
+    "scalar_normalize",
+    "heatmap_hour_dow",
+    "kpi_summary",
+    "cohort_retention",
+    "funnel_steps",
+    "tfidf_top_terms",
+    "bigram_topk",
+    "dominant_event_type",
+    "distinct_months",
+    "minmax_bounds",
+    "null_profile",
+    "topk_latest",
+    "contains_filter",
+    "union_shards",
+    "pq_topk",
+    "dsir_importance",
+    "quality_filter_funnel",
+    "temperature_mix_weights",
+    "boilerplate_prefixes",
+    "char_entropy",
+    "source_overlap_jaccard",
+    "contrastive_triplets",
+    "pack_efficiency",
+    "perplexity_filter_apply",
+    "ngram_coverage_curve",
+    "containment_pairs",
+    "dedup_keeper",
+    "minhash_pairs",
+    "dedup_clusters",
+    "kmeans_ivf_topk",
+    "ngram_jaccard_pairs",
+    "label_centroids",
+    "embedding_dedup_clusters",
+    "multimodal_features",
+    "rollup_revenue",
+    "pivot_event_values",
+    "intersect_except",
+    "array_agg_types",
+    "approx_stats",
+    "session_window_agg",
+    "bpe_token_stats",
+]
+
+# Tail, stalest-first: the 49 names refreshed to driver-green in
+# round 9, then the 50 refreshed in round 10 (freshest, last to win
+# a cap slot).
+_RUN_LAST = [
+    "curation_e2e",
+    "bitext_mining_pairs",
+    "embedding_neardup_capped",
+    "jl_topk",
+    "numeric_profile",
+    "source_priority_dedup",
+    "domain_curation",
+    "source_lang_entropy",
+    "scd2_intervals",
+    "weighted_sample_topk",
+    "sliding_window_counts",
+    "rank_functions",
+    "fuzzy_match_sources",
+    "embedding_zscore",
+    "semantic_search",
+    "daily_value_quantiles",
+    "snapshot_diff",
+    "null_safe_join",
+    "array_hof_stats",
+    "sql_api_revenue",
+    "order_count_distribution",
+    "big_orders",
+    "small_quantity_revenue",
+    "char_fingerprints",
+    "vocab_ids",
+    "tokenized_docs",
+    "salted_join_revenue",
+    "constraint_report",
+    "json_extract",
+    "gap_fill_forward",
+    "pii_redact",
+    "chunk_dedup",
+    "sequence_pack",
+    "multimodal_metadata",
+    "embedding_neardup_multi",
+    "repetition_stats",
+    "unigram_logprob",
+    "pipeline_funnel",
+    "dedup_apply",
+    "semantic_dedup_keeper",
+    "semantic_dedup_apply",
+    "bm25_topk",
+    "dup_span_fraction",
+    "dup_span_apply",
+    "prefix_jaccard_pairs",
+    "part_triangles",
+    "pagerank_parts",
+    "degree_distribution",
+    "zipf_slope",
     "dup_span_regions",
     "kn_bigram_logprob",
     "minhash_pairs_capped",
@@ -110,163 +264,6 @@ _RUN_FIRST = [
     "sequence_gaps",
     "revenue_share",
     "bpe_merges",
-]
-
-# Staged ROUND-11 head: the names displaced by the round-10 priority
-# jumpers (heavy_hitters and source_kl_drift by the new
-# clustering_coeff and embedding_contamination gates, then the 4
-# original displacements), the remaining r7-green block, and the 7
-# stalest r8-green names.
-_RUN_MID = [
-    "heavy_hitters",
-    "source_kl_drift",
-    "doc_chunks",
-    "neardup_eval",
-    "cluster_split",
-    "bpe_encode",
-    "bigram_logprob",
-    "centroid_shift",
-    "ann_recall_eval",
-    "rrf_fusion",
-    "dedup_rate_by_source",
-    "winsorized_stats",
-    "source_ks_drift",
-    "chi2_source_lang",
-    "token_gini",
-    "lang_agreement",
-    "cluster_size_histogram",
-    "embedding_norm_profile",
-    "rolling_7d",
-    "sessionize",
-    "interval_join",
-    "pattern_within",
-    "asof_join",
-    "lag_grid",
-    "pricing_summary",
-    "top_orders",
-    "region_revenue",
-    "semi_join_parts",
-    "anti_join_customers",
-    "left_join_enrich",
-    "dedupe_exact",
-    "dedupe_priority",
-    "group_median",
-    "agg_by_bin",
-    "latest_per_user",
-    "scalar_bins",
-    "time_features",
-    "text_stats",
-    "lang_quality",
-    "fingerprint_dedup",
-    "simhash",
-    "simhash_pairs",
-    "contamination_ngrams",
-    "stratified_sample",
-    "length_buckets",
-    "gopher_quality",
-    "source_mix_weights",
-    "mixed_sample",
-    "embedding_topk",
-    "ann_buckets",
-    "ann_topk",
-    "embedding_neardup",
-]
-
-# Tail, stalest-first: the remaining r8-green names, then the 50
-# names refreshed to driver-green in round 9 (freshest).
-_RUN_LAST = [
-    "ivf_topk",
-    "scalar_normalize",
-    "heatmap_hour_dow",
-    "kpi_summary",
-    "cohort_retention",
-    "funnel_steps",
-    "tfidf_top_terms",
-    "bigram_topk",
-    "dominant_event_type",
-    "distinct_months",
-    "minmax_bounds",
-    "null_profile",
-    "topk_latest",
-    "contains_filter",
-    "union_shards",
-    "pq_topk",
-    "dsir_importance",
-    "quality_filter_funnel",
-    "temperature_mix_weights",
-    "boilerplate_prefixes",
-    "char_entropy",
-    "source_overlap_jaccard",
-    "contrastive_triplets",
-    "pack_efficiency",
-    "perplexity_filter_apply",
-    "ngram_coverage_curve",
-    "containment_pairs",
-    "dedup_keeper",
-    "minhash_pairs",
-    "dedup_clusters",
-    "kmeans_ivf_topk",
-    "ngram_jaccard_pairs",
-    "label_centroids",
-    "embedding_dedup_clusters",
-    "multimodal_features",
-    "rollup_revenue",
-    "pivot_event_values",
-    "intersect_except",
-    "array_agg_types",
-    "approx_stats",
-    "session_window_agg",
-    "bpe_token_stats",
-    "curation_e2e",
-    "minhash_est_accuracy",
-    "bitext_mining_pairs",
-    "embedding_neardup_capped",
-    "jl_topk",
-    "numeric_profile",
-    "source_priority_dedup",
-    "domain_curation",
-    "source_lang_entropy",
-    "scd2_intervals",
-    "weighted_sample_topk",
-    "sliding_window_counts",
-    "rank_functions",
-    "fuzzy_match_sources",
-    "embedding_zscore",
-    "semantic_search",
-    "daily_value_quantiles",
-    "snapshot_diff",
-    "null_safe_join",
-    "array_hof_stats",
-    "sql_api_revenue",
-    "order_count_distribution",
-    "big_orders",
-    "small_quantity_revenue",
-    "char_fingerprints",
-    "vocab_ids",
-    "tokenized_docs",
-    "salted_join_revenue",
-    "constraint_report",
-    "json_extract",
-    "gap_fill_forward",
-    "pii_redact",
-    "chunk_dedup",
-    "sequence_pack",
-    "multimodal_metadata",
-    "embedding_neardup_multi",
-    "repetition_stats",
-    "unigram_logprob",
-    "pipeline_funnel",
-    "dedup_apply",
-    "semantic_dedup_keeper",
-    "semantic_dedup_apply",
-    "bm25_topk",
-    "dup_span_fraction",
-    "dup_span_apply",
-    "prefix_jaccard_pairs",
-    "part_triangles",
-    "pagerank_parts",
-    "degree_distribution",
-    "zipf_slope",
 ]
 
 

@@ -67,6 +67,18 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def _touch_marker(spark: SparkSession, path: str) -> None:
+    """Create an empty marker directory on the store's filesystem —
+    the durable one-way latch the auto-cap streams use to remember
+    "a flood has been seen" across sink invocations AND stream
+    restarts (the latch must outlive the foreachBatch closure: a
+    restarted stream replays no history it could re-detect from)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(p)
+
+
 def batch_new_documents(batch_df: DataFrame,
                         seen: DataFrame | None) -> DataFrame:
     """One micro-batch of incremental dedup: fingerprint, keep the

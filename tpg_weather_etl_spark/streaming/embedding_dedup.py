@@ -51,7 +51,10 @@ from tpg_weather_etl_spark.queries_embeddings import (
     buckets_for_embeddings,
     filter_hot_buckets,
 )
-from tpg_weather_etl_spark.streaming.corpus_dedup import _path_exists
+from tpg_weather_etl_spark.streaming.corpus_dedup import (
+    _path_exists,
+    _touch_marker,
+)
 
 EMB_SCHEMA = T.StructType([
     T.StructField("vec_id", T.LongType(), True),
@@ -105,6 +108,31 @@ def cap_new_buckets(new_bkt: DataFrame, store_bkt: DataFrame | None,
                 + F.col("__rk") <= cap)
         .drop("__rk", "__n_store")
     )
+
+
+def batch_is_dense_flood(batch: DataFrame,
+                         hot_share: float | None = None) -> bool:
+    """Per-batch corpus-profile probe — the embedding mirror of
+    ``neardup_stream.batch_is_template_flood``: does any LSH table
+    put ≥ ``hot_share`` of THIS batch's vectors into one bucket? A
+    dense semantic region (near-identical template embeddings)
+    concentrates in the same hyperplane cell across tables — the
+    exact load the dense-bucket cap exists to bound. Threshold is the
+    same BOILER_HOT_SHARE the batch pipeline's ``auto`` path uses.
+
+    Scale shape: the bucket assignment is the family the batch will
+    compute anyway; the profile adds one (tbl, bucket) count shuffle
+    and a per-tbl max/sum agg whose collect is N_TABLES rows."""
+    from tpg_weather_etl_spark.queries_ml import BOILER_HOT_SHARE
+    if hot_share is None:
+        hot_share = BOILER_HOT_SHARE
+    counts = (buckets_for_embeddings(batch)
+              .groupBy("tbl", "bucket")
+              .agg(F.count(F.lit(1)).alias("n")))
+    shares = (counts.groupBy("tbl")
+              .agg((F.max("n") / F.sum("n")).alias("share"))
+              .collect())
+    return any(r["share"] >= hot_share for r in shares)
 
 
 def _verified_pairs(emb: DataFrame, cand: DataFrame,
@@ -208,7 +236,8 @@ def incremental_embedding_dedup(spark: SparkSession, input_dir: str,
                                 out_dir: str, buckets_dir: str,
                                 checkpoint_dir: str,
                                 tau: float = NEARDUP_TAU,
-                                bucket_cap: int | None = None):
+                                bucket_cap: int | None = None,
+                                auto_cap: int | None = None):
     """Start the stream: drop-directory JSONL in, semantically-deduped
     vector store out, bucket store maintained alongside.
 
@@ -218,10 +247,30 @@ def incremental_embedding_dedup(spark: SparkSession, input_dir: str,
     with the corpus and turn each future batch's probe quadratic.
     Saturated buckets stop recruiting: a true mega-cluster arriving
     after saturation is the recall trade, same as the batch-side cap
-    (SCALE.md rule 11)."""
+    (SCALE.md rule 11).
+
+    ``auto_cap`` (round 11, mutually exclusive with ``bucket_cap``):
+    profile-derived cap — starts OFF, every batch is probed with
+    ``batch_is_dense_flood``, and the first dense-flood batch flips
+    the cap ON at ``auto_cap`` for itself and (via a durable marker
+    next to the bucket store) every later batch and stream restart.
+    One-way latch, same rationale as the text side."""
+
+    if bucket_cap is not None and auto_cap is not None:
+        raise ValueError("bucket_cap and auto_cap are mutually "
+                         "exclusive: static cap or profile-derived "
+                         "cap, not both")
+    capon_marker = buckets_dir.rstrip("/") + "__capon"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
+        cap = bucket_cap
+        if auto_cap is not None:
+            latched = _path_exists(spark_b, capon_marker)
+            if not latched and batch_is_dense_flood(batch_df):
+                latched = True
+                _touch_marker(spark_b, capon_marker)
+            cap = auto_cap if latched else None
         store_vecs = (spark_b.read.parquet(out_dir)
                       if _path_exists(spark_b, out_dir) else None)
         store_bkt = (spark_b.read.parquet(buckets_dir)
@@ -236,14 +285,14 @@ def incremental_embedding_dedup(spark: SparkSession, input_dir: str,
         # shape here).
         survivors = batch_novel_vs_store(
             batch_df, store_vecs, store_bkt, tau=tau,
-            bucket_cap=bucket_cap,
+            bucket_cap=cap,
         ).localCheckpoint(eager=True)
         if survivors.isEmpty():
             return
         survivors.write.mode("append").parquet(out_dir)
         new_bkt = buckets_for_embeddings(survivors)
-        if bucket_cap is not None:
-            new_bkt = cap_new_buckets(new_bkt, store_bkt, bucket_cap)
+        if cap is not None:
+            new_bkt = cap_new_buckets(new_bkt, store_bkt, cap)
         new_bkt.write.mode("append").parquet(buckets_dir)
 
     return (

@@ -35,9 +35,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tpg_weather_etl_spark.functions.text import doc_fingerprint
-from tpg_weather_etl_spark.streaming.corpus_dedup import _path_exists
+from tpg_weather_etl_spark.streaming.corpus_dedup import (
+    _path_exists,
+    _touch_marker,
+)
 
 NEARDUP_TAU = 0.5
+
+
+def batch_is_template_flood(batch: DataFrame,
+                            hot_share: float | None = None) -> bool:
+    """Per-batch corpus-profile probe — the streaming mirror of the
+    batch curation pipeline's ``near_dup="auto"`` decision
+    (queries_ml.q_curation_e2e): does any source in THIS batch open
+    ≥ ``hot_share`` of its documents with the same
+    BOILER_PREFIX_TOKENS-token prefix? That is the templated-source
+    signature whose shared header shingles dominate every MinHash
+    band and grow one band bucket linearly with the corpus — the
+    exact load the bucket cap exists to bound.
+
+    Scale shape: one map-side prefix slice over the batch, one
+    (source, prefix) count shuffle, and a per-source max/sum agg
+    whose result is ONE ROW PER SOURCE IN THE BATCH — the collect is
+    bounded by the source vocabulary, not the batch size."""
+    from tpg_weather_etl_spark.functions.text import norm_text
+    from tpg_weather_etl_spark.queries_ml import BOILER_HOT_SHARE
+    from tpg_weather_etl_spark.queries_text import BOILER_PREFIX_TOKENS
+    if hot_share is None:
+        hot_share = BOILER_HOT_SHARE
+    pref = batch.select(
+        "source",
+        F.concat_ws(" ", F.slice(
+            F.split(norm_text(F.col("text")), " "),
+            1, BOILER_PREFIX_TOKENS)).alias("prefix"))
+    counts = pref.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).alias("n"))
+    shares = (counts.groupBy("source")
+              .agg((F.max("n") / F.sum("n")).alias("share"))
+              .collect())
+    return any(r["share"] >= hot_share for r in shares)
 
 
 def cap_new_bands(new_bands: DataFrame, store_bands: DataFrame | None,
@@ -178,7 +214,8 @@ def batch_novel_vs_store(batch: DataFrame, store_docs: DataFrame | None,
 def incremental_neardup(spark: SparkSession, input_dir: str,
                         out_dir: str, bands_dir: str,
                         checkpoint_dir: str,
-                        bucket_cap: int | None = None):
+                        bucket_cap: int | None = None,
+                        auto_cap: int | None = None):
     """Start the stream: drop-directory JSONL in, near-dup-free
     corpus out, band store maintained alongside.
 
@@ -188,7 +225,18 @@ def incremental_neardup(spark: SparkSession, input_dir: str,
     flood cannot grow a hot bucket linearly with the corpus and turn
     each future batch's probe quadratic. Saturated buckets stop
     recruiting: a true mega-cluster arriving after saturation is the
-    recall trade, same as the batch-side cap (SCALE.md rule 11.4)."""
+    recall trade, same as the batch-side cap (SCALE.md rule 11.4).
+
+    ``auto_cap`` (round 11, VERDICT r10 item 5, mutually exclusive
+    with ``bucket_cap``): the streaming flavor of the batch
+    pipeline's ``near_dup="auto"`` — the cap starts OFF (full recall,
+    no recruiting limit) and every batch is first profiled with
+    ``batch_is_template_flood``; the first batch whose dominant
+    per-source prefix share crosses BOILER_HOT_SHARE flips the cap ON
+    at ``auto_cap`` for that batch and, via a durable marker next to
+    the band store, for every later batch and stream restart (a
+    one-way latch: saturated buckets can't be un-recruited, so
+    flipping back off would only re-open the quadratic)."""
     from tpg_weather_etl_spark.queries_text import (
         bands_from_shingles,
         shingles_from_docs,
@@ -197,8 +245,21 @@ def incremental_neardup(spark: SparkSession, input_dir: str,
         stream_documents,
     )
 
+    if bucket_cap is not None and auto_cap is not None:
+        raise ValueError("bucket_cap and auto_cap are mutually "
+                         "exclusive: static cap or profile-derived "
+                         "cap, not both")
+    capon_marker = bands_dir.rstrip("/") + "__capon"
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
+        cap = bucket_cap
+        if auto_cap is not None:
+            latched = _path_exists(spark_b, capon_marker)
+            if not latched and batch_is_template_flood(batch_df):
+                latched = True
+                _touch_marker(spark_b, capon_marker)
+            cap = auto_cap if latched else None
         store_docs = (spark_b.read.parquet(out_dir)
                       if _path_exists(spark_b, out_dir) else None)
         store_bands = (spark_b.read.parquet(bands_dir)
@@ -212,15 +273,14 @@ def incremental_neardup(spark: SparkSession, input_dir: str,
         # corpus updated, band store silently not). Checkpointing
         # truncates the lineage, so both writes read frozen data.
         survivors = batch_novel_vs_store(
-            batch_df, store_docs, store_bands, bucket_cap=bucket_cap
+            batch_df, store_docs, store_bands, bucket_cap=cap
         ).localCheckpoint(eager=True)
         if survivors.isEmpty():
             return
         survivors.write.mode("append").parquet(out_dir)
         new_bands = bands_from_shingles(shingles_from_docs(survivors))
-        if bucket_cap is not None:
-            new_bands = cap_new_bands(new_bands, store_bands,
-                                      bucket_cap)
+        if cap is not None:
+            new_bands = cap_new_bands(new_bands, store_bands, cap)
         new_bands.write.mode("append").parquet(bands_dir)
 
     return (
