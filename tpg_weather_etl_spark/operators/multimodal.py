@@ -3,16 +3,21 @@ columns with typed metadata, processed via Arrow-batched
 ``mapInPandas`` pipelines.
 
 The Spark-side machinery — schemas, batch iteration, partition sizing,
-UDF signatures — is real and tested. Decoding comes in three flavors
-behind the same ``decode_fn`` seam: ``stdlib_decode_features`` REALLY
-decodes WAV (RIFF/PCM via ``wave``) and PPM (P6) payloads with the
-Python stdlib — golden-bytes tested — ``gif_decode_features`` REALLY
-decodes GIF87a/89a including the full variable-width LZW entropy
-decode (block walker, color tables, cScSc case, mid-stream CLEAR),
-and ``fake_decode_features`` remains the deterministic stand-in for
-the remaining codec-backed formats (JPEG/MP3/H.264) this container
-cannot parse; plug PIL/torchaudio/ffmpeg into the seam in production,
-no Spark code changes.
+UDF signatures — is real and tested. Decoding comes in several
+flavors behind the same ``decode_fn`` seam: ``stdlib_decode_features``
+REALLY decodes WAV (RIFF/PCM via ``wave``) and PPM (P6) payloads with
+the Python stdlib — golden-bytes tested — ``gif_decode_features``
+REALLY decodes GIF87a/89a including the full variable-width LZW
+entropy decode (block walker, color tables, cScSc case, mid-stream
+CLEAR), baseline JPEG (operators/jpeg.py) covers the Huffman + DCT
+transform class, MDCT audio (operators/audio_mdct.py) covers the
+lapped-transform temporal class with real cross-frame overlap-add
+state, and ``fake_decode_features`` remains the deterministic
+stand-in for real-world codec BITSTREAMS (MP3/H.264) whose
+psychoacoustic/motion layers production plugs in via
+PIL/torchaudio/ffmpeg — no Spark code changes. The seam contract is
+now proven across entropy coding (LZW, Huffman), transform coding
+(DCT), and temporal lapped-transform coding (MDCT/TDAC).
 
 Scale notes: mapInPandas streams Arrow record batches — peak memory is
 one batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
@@ -237,12 +242,13 @@ def gif_decode_features(content: bytes | None) -> list[float]:
 
 def real_decode_features(content: bytes | None) -> list[float]:
     """Magic-byte dispatcher over every REAL decoder in the seam:
-    WAV/PPM (stdlib), GIF87a/89a (pure-python LZW), and baseline
-    grayscale JPEG (pure-python Huffman + IDCT, operators/jpeg.py).
-    Lead tags: WAV=1.0, PPM=2.0, GIF=3.0, JPEG=4.0. Anything else —
-    including out-of-scope JPEG variants (progressive, chroma
-    subsampled) — raises ValueError into the poison -> NULL path,
-    exactly where PIL/ffmpeg would slot in production."""
+    WAV/PPM (stdlib), GIF87a/89a (pure-python LZW), baseline grayscale
+    JPEG (pure-python Huffman + IDCT, operators/jpeg.py), and MDCT
+    audio (sine-windowed TDAC overlap-add, operators/audio_mdct.py).
+    Lead tags: WAV=1.0, PPM=2.0, GIF=3.0, JPEG=4.0, AMDC=5.0.
+    Anything else — including out-of-scope JPEG variants (progressive,
+    chroma subsampled) — raises ValueError into the poison -> NULL
+    path, exactly where PIL/ffmpeg would slot in production."""
     if content is None:
         raise ValueError("no content")
     head = bytes(content[:6])
@@ -253,6 +259,11 @@ def real_decode_features(content: bytes | None) -> list[float]:
         return jpeg_decode_features(content)
     if head in (b"GIF87a", b"GIF89a"):
         return gif_decode_features(content)
+    if head[:4] == b"AMDC":
+        from tpg_weather_etl_spark.operators.audio_mdct import (
+            amdc_decode_features,
+        )
+        return amdc_decode_features(content)
     return stdlib_decode_features(content)
 
 
