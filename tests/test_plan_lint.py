@@ -67,6 +67,11 @@ BNLJ_ALLOWED = {
     # recall eval composes the deliberate brute-force baseline
     # (10-row query side) with the bucketed ANN
     "ann_recall_eval": "10-row query side, deliberate baseline",
+    # decontamination self-eval: capped-sample brute-force baseline
+    # (both sides <= CONTAM_EVAL_MAX rows by construction) + five
+    # 1-row count aggregates crossed into the single report row
+    "contamination_eval": "capped-sample brute force + 1-row report "
+                          "aggregates",
     # fusion composes ivf_topk (fixed-k centroid broadcast) + ann_topk
     "rrf_fusion": "fixed-k centroid broadcast",
     # SQ8: 1-row quantizer params + <=3-row query codes broadcast

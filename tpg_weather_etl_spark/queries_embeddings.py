@@ -704,6 +704,145 @@ GROUP BY vec_id ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# Decontamination-detector self-eval (round 11, VERDICT r10 item 8):
+# the semantic decontamination gate is only as good as its LSH
+# candidate recall, and that recall was previously asserted only
+# transitively through the shared bucket family. This is the
+# embedding-side mirror of q_neardup_eval: on a deterministic capped
+# sample, run the exhaustive corpus x benchmark cosine AND the
+# LSH-bucketed candidate path, report measured recall + candidate
+# precision — the audit a production pipeline runs on a new encoder /
+# corpus before trusting the approximate decontamination pass.
+# ---------------------------------------------------------------------------
+
+CONTAM_EVAL_PCT = 20
+# Absolute row cap on the evaluation sample (not just a fraction —
+# a pct-only knob still grows pct²·n² at 100x data): the exact half
+# is corpus_sample x bench_sample <= cap x cap/100, bounded at ANY
+# corpus size. At the driver's SFs the pct sample is far below the
+# cap, so the cap is inert there by design.
+CONTAM_EVAL_MAX = 5000
+
+
+def q_contamination_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the semantic-decontamination detector: on a
+    deterministic ``CONTAM_EVAL_PCT``% sample of the embeddings capped
+    at ``CONTAM_EVAL_MAX`` rows (LCG order), run the exhaustive
+    corpus-sample x benchmark-sample cosine join AND the multi-table
+    LSH candidate path (the very machinery `embedding_contamination`
+    runs), and report measured recall and candidate precision at
+    CONTAM_COS_TAU.
+
+    The brute-force half is a deliberate BroadcastNestedLoopJoin whose
+    BOTH sides are sample-bounded (<= cap x cap/100 pairs at any
+    corpus size); the LSH half reuses `buckets_for_embeddings` over
+    the same sample, so the hash family under audit is the production
+    one by construction. detected ⊆ exact (same τ on both paths), so
+    recall is the only number that can degrade; precision here is
+    candidate-level — the cost metric of the bucket join.
+    """
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+    from tpg_weather_etl_spark.operators.sampling import (
+        deterministic_sample_capped,
+    )
+
+    se = track(deterministic_sample_capped(
+        t(spark, sf_dir, "embeddings"), "vec_id", CONTAM_EVAL_PCT,
+        CONTAM_EVAL_MAX,
+    ).persist(StorageLevel.MEMORY_AND_DISK))
+    corp = se.filter(F.col("vec_id") % 100 != 0).select(
+        "vec_id", F.col("embedding").alias("emb_c"))
+    bench = se.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("bench_vec"),
+        F.col("embedding").alias("emb_b"))
+    exact = track(
+        corp.crossJoin(F.broadcast(bench))
+        .select("vec_id", "bench_vec",
+                _cos_rounded(F.col("emb_c"), F.col("emb_b"))
+                .alias("cos"))
+        .filter(F.col("cos") >= CONTAM_COS_TAU)
+        .select("vec_id", "bench_vec")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+    bkt = buckets_for_embeddings(se)
+    cb = bkt.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("bench_vec"),
+        F.col("tbl").alias("tbl_b"), F.col("bucket").alias("bucket_b"))
+    cand = track(
+        bkt.filter(F.col("vec_id") % 100 != 0)
+        .join(cb, (F.col("tbl") == F.col("tbl_b"))
+              & (F.col("bucket") == F.col("bucket_b")))
+        .select("vec_id", "bench_vec").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    detected = exact.join(cand, ["vec_id", "bench_vec"], "left_semi")
+
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return (
+        corp.agg(F.count(F.lit(1)).alias("n_corpus"))
+        .crossJoin(bench.agg(F.count(F.lit(1)).alias("n_bench")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(detected.agg(F.count(F.lit(1)).alias("n_detected")))
+        .select(
+            "n_corpus", "n_bench", "n_exact", "n_candidates",
+            "n_detected",
+            r6(F.col("n_detected")
+               / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0)))
+            .alias("recall"),
+            r6(F.col("n_detected")
+               / F.nullif(F.col("n_candidates").cast("double"),
+                          F.lit(0.0)))
+            .alias("candidate_precision"),
+        )
+    )
+
+
+def _sql_contamination_eval() -> str:
+    from tpg_weather_etl_spark.operators.sampling import (
+        deterministic_sample_capped_sql,
+    )
+    sample = deterministic_sample_capped_sql(
+        "vec_id", CONTAM_EVAL_PCT, CONTAM_EVAL_MAX, table="embeddings")
+    buckets_sampled = _SQL_MULTI_BUCKETS.replace(
+        "FROM embeddings", "FROM se")
+    return f"""
+WITH se AS (SELECT * FROM {sample} s),
+{buckets_sampled},
+eb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       FROM se),
+exact AS (
+  SELECT c.vec_id, b.vec_id AS bench_vec
+  FROM eb c, eb b
+  WHERE c.vec_id % 100 != 0 AND b.vec_id % 100 = 0
+    AND round(list_dot_product(c.e, b.e)
+              / (sqrt(list_dot_product(c.e, c.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 6) + 0.0
+        >= {CONTAM_COS_TAU}),
+cand AS (
+  SELECT DISTINCT c.vec_id, b.vec_id AS bench_vec
+  FROM bktm c JOIN bktm b ON c.tbl = b.tbl AND c.bucket = b.bucket
+  WHERE c.vec_id % 100 != 0 AND b.vec_id % 100 = 0),
+det AS (
+  SELECT e.vec_id FROM exact e
+  JOIN cand c ON c.vec_id = e.vec_id AND c.bench_vec = e.bench_vec),
+m AS (SELECT
+  (SELECT COUNT(*) FROM se WHERE vec_id % 100 != 0) AS n_corpus,
+  (SELECT COUNT(*) FROM se WHERE vec_id % 100 = 0) AS n_bench,
+  (SELECT COUNT(*) FROM exact) AS n_exact,
+  (SELECT COUNT(*) FROM cand) AS n_candidates,
+  (SELECT COUNT(*) FROM det) AS n_detected)
+SELECT n_corpus, n_bench, n_exact, n_candidates, n_detected,
+  round(n_detected / NULLIF(CAST(n_exact AS DOUBLE), 0.0), 6) + 0.0
+    AS recall,
+  round(n_detected / NULLIF(CAST(n_candidates AS DOUBLE), 0.0), 6)
+    + 0.0 AS candidate_precision
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # Margin-based bitext mining (Artetxe & Schwenk 2019): cross-lingual
 # pair candidates from the multi-table LSH buckets, scored by the
 # ratio of pair cosine to the average of each side's K-nearest
@@ -1760,6 +1899,7 @@ QUERIES = {
     "bitext_mining_pairs": q_bitext_mining_pairs,
     "embedding_neardup_capped": q_embedding_neardup_capped,
     "embedding_contamination": q_embedding_contamination,
+    "contamination_eval": q_contamination_eval,
     "jl_topk": q_jl_topk,
     "ivf_topk": q_ivf_topk,
     "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -1788,6 +1928,7 @@ ORACLE = {
     "bitext_mining_pairs": SQL_BITEXT_MINING_PAIRS,
     "embedding_neardup_capped": SQL_EMBEDDING_NEARDUP_CAPPED,
     "embedding_contamination": SQL_EMBEDDING_CONTAMINATION,
+    "contamination_eval": _sql_contamination_eval(),
     "jl_topk": SQL_JL_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "contrastive_triplets": SQL_CONTRASTIVE_TRIPLETS,
