@@ -73,6 +73,17 @@ def _jpeg_payload(rng: np.random.Generator, side: int) -> bytes:
     return encode_gray_jpeg(img)
 
 
+def _amdc_payload(rng: np.random.Generator, n_frames: int) -> bytes:
+    """MDCT audio via the independent test encoder — the temporal
+    lapped-transform row class (round 11): frame counts vary 4..36 so
+    per-row IMDCT + overlap-add cost varies ~9x within one Arrow
+    batch, and each row carries REAL cross-frame decode state."""
+    from amdc_encoder_ref import encode_amdc
+    n = 128
+    sig = rng.standard_normal((n_frames - 1) * n) * 0.3
+    return encode_amdc(sig, 8000, n=n)
+
+
 def _rawv_payload(rng: np.random.Generator) -> bytes:
     from tpg_weather_etl_spark.operators.multimodal import pack_rawv
     w_px, h_px, n_frames = 24, 18, 8
@@ -94,6 +105,8 @@ def _write_media(n_rows: int, out_dir: Path) -> None:
     rawvs = [_rawv_payload(rng) for _ in range(32)]
     jpegs = [_jpeg_payload(rng, side=8 + 5 * (k % 9))
              for k in range(32)]
+    amdcs = [_amdc_payload(rng, n_frames=4 + 4 * (k % 9))
+             for k in range(32)]
 
     ids, kinds, contents, mimes = [], [], [], []
     widths, heights, durs = [], [], []
@@ -104,6 +117,12 @@ def _write_media(n_rows: int, out_dir: Path) -> None:
             contents.append(b"\xff\xd8corrupt" + bytes(64))
             mimes.append("image/jpeg")
             widths.append(None); heights.append(None); durs.append(None)
+        elif i % 8 == 4:
+            kinds.append("audio")
+            contents.append(amdcs[i % 32])
+            mimes.append("audio/amdc")
+            widths.append(None); heights.append(None)
+            durs.append((4 + 4 * (i % 32 % 9) - 1) * 16)
         elif i % 4 == 0:
             kinds.append("audio")
             contents.append(wavs[i % 32])
@@ -236,10 +255,10 @@ def main() -> int:
         "poison_nulls": {str(k): v for k, v in poison_nulls.items()},
         "sampled_frame_rows": {str(k): v for k, v in frames_rows.items()},
         "arrow_max_records_per_batch": 64,
-        "row_classes": ["wav", "ppm", "rawv", "jpeg(8..48px)",
-                        "poison"],
+        "row_classes": ["wav", "amdc(4..36 frames)", "ppm", "rawv",
+                        "jpeg(8..48px)", "poison"],
         "decoder": "real_decode_features (WAV/PPM stdlib, GIF LZW, "
-                   "baseline-JPEG huffman+IDCT)",
+                   "baseline-JPEG huffman+IDCT, AMDC mdct/tdac)",
     }
     (ROOT / "STRESS_multimodal.json").write_text(
         json.dumps(rec, indent=2) + "\n")
