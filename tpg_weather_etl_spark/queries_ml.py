@@ -2080,6 +2080,103 @@ LIMIT {LCC_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# Per-edge neighborhood Jaccard (round 11): the third aggregation
+# granularity over the SAME oriented triangle enumeration — per-graph
+# (part_triangles), per-node (clustering_coeff), and now per-EDGE.
+# Common-neighbor counts per edge are exactly "triangles through this
+# edge", the classic item-item similarity / edge-strength measure
+# (recsys neighborhood models, graph denoising: drop edges whose
+# endpoints share no context).
+# ---------------------------------------------------------------------------
+
+EDGE_JACCARD_TOPK = 50
+
+
+def q_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-EDGE_JACCARD_TOPK co-purchase edges by neighborhood Jaccard
+    J(u,v) = |N(u)∩N(v)| / |(N(u)∪N(v)) \\ {u,v}| = cn/(du+dv−2−cn),
+    endpoints excluded from the union (u ∈ N(v) by edge-ness, so the
+    endpoint-inclusive form double-counts the edge itself). Ties by
+    (u, v).
+
+    Common-neighbor counts reuse the DEGREE-ORIENTED, apex-split
+    triangle enumeration shared with `q_part_triangles` /
+    `q_clustering_coeff` (`_oriented_triangles`): every triangle
+    appears exactly once, and each credits its 3 edges via ONE
+    map-side explode of canonical (lo,hi) structs — the same
+    single-consumer shape that kept clustering_coeff at one wedge-join
+    plan. Edges with no triangles keep J=0 through the left join; the
+    top-k is TakeOrderedAndProject, never a global sort. The J double
+    is one division of exact bigints, 6dp-rounded per repo convention.
+
+    Oracle: the orientation-free canonical a<b<c 3-join credits edges
+    (a,b),(a,c),(b,c) — an independent formulation, so the gate proves
+    the oriented enumeration credits every EDGE of every triangle
+    exactly once (the corner-credit gate proved nodes).
+    """
+    e, tri = _oriented_triangles(spark, sf_dir)
+    deg = (e.select(F.col("u").alias("x"))
+           .unionAll(e.select(F.col("v").alias("x")))
+           .groupBy("x").agg(F.count("*").alias("d")))
+    pair = lambda a, b: F.struct(  # noqa: E731
+        F.least(F.col(a), F.col(b)).alias("u"),
+        F.greatest(F.col(a), F.col(b)).alias("v"))
+    sides = tri.select(F.explode(F.array(
+        pair("apex", "lo"), pair("apex", "hi"), pair("lo", "hi"),
+    )).alias("s")).select("s.u", "s.v")
+    cn = sides.groupBy("u", "v").agg(F.count("*").alias("n_common"))
+    denom = F.col("du") + F.col("dv") - 2 - F.col("n_common")
+    jac = F.when(denom > 0,
+                 F.round(F.col("n_common") / denom.cast("double"), 6)
+                 + F.lit(0.0)).otherwise(F.lit(0.0))
+    return (
+        e.join(cn, ["u", "v"], "left")
+        .na.fill({"n_common": 0})
+        .join(deg.select(F.col("x").alias("u"),
+                         F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"),
+                         F.col("d").alias("dv")), "v")
+        .select("u", "v", "du", "dv", "n_common",
+                jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+        .limit(EDGE_JACCARD_TOPK)
+    )
+
+
+SQL_EDGE_JACCARD = f"""
+WITH {_SQL_COPURCHASE_EDGES},
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+cn AS (
+  SELECT u, v, COUNT(*) AS n_common
+  FROM (SELECT a AS u, b AS v FROM tri UNION ALL
+        SELECT a, c FROM tri UNION ALL
+        SELECT b, c FROM tri)
+  GROUP BY 1, 2),
+deg AS (
+  SELECT x, COUNT(*) AS d
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+  GROUP BY 1)
+SELECT e.u, e.v, du.d AS du, dv.d AS dv,
+  COALESCE(cn.n_common, 0) AS n_common,
+  CASE WHEN du.d + dv.d - 2 - COALESCE(cn.n_common, 0) > 0
+       THEN round(COALESCE(cn.n_common, 0)
+                  / CAST(du.d + dv.d - 2 - COALESCE(cn.n_common, 0)
+                         AS DOUBLE), 6) + 0.0
+       ELSE 0.0 END AS jaccard
+FROM e
+LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v
+JOIN deg du ON du.x = e.u
+JOIN deg dv ON dv.x = e.v
+ORDER BY jaccard DESC, e.u ASC, e.v ASC
+LIMIT {EDGE_JACCARD_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Market-basket lift: association strength of co-purchased part pairs
 # ---------------------------------------------------------------------------
 
@@ -3105,6 +3202,7 @@ QUERIES = {
     "semantic_dedup_apply": q_semantic_dedup_apply,
     "part_triangles": q_part_triangles,
     "clustering_coeff": q_clustering_coeff,
+    "edge_jaccard": q_edge_jaccard,
     "pagerank_parts": q_pagerank_parts,
     "degree_distribution": q_degree_distribution,
     "zipf_slope": q_zipf_slope,
@@ -3125,6 +3223,7 @@ ORACLE = {
     "token_gini": SQL_TOKEN_GINI,
     "part_triangles": SQL_PART_TRIANGLES,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
+    "edge_jaccard": SQL_EDGE_JACCARD,
     "pagerank_parts": SQL_PAGERANK_PARTS,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "zipf_slope": SQL_ZIPF_SLOPE,

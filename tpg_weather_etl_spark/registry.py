@@ -55,6 +55,7 @@ except ImportError:
 # this head, so r11 clears the r7 block entirely.
 _RUN_FIRST = [
     "contamination_eval",    # NEW round 11 — debut driver row
+    "edge_jaccard",          # NEW round 11 — debut driver row
     "minhash_est_accuracy",
     "heavy_hitters",
     "source_kl_drift",
@@ -103,7 +104,6 @@ _RUN_FIRST = [
     "length_buckets",
     "gopher_quality",
     "source_mix_weights",
-    "mixed_sample",
 ]
 
 # Stalest-first after the head: the 3 r8-green names the changed-query
@@ -114,8 +114,10 @@ _RUN_FIRST = [
 # "no driver row older than 4 rounds by r12 close" target
 # mechanically (VERDICT r10 item 6).
 _RUN_MID = [
-    # displaced from the r11 head by contamination_eval's debut slot
-    # (new-first policy); r8-green and first in line for r12
+    # displaced from the r11 head by the two round-11 debut slots
+    # (contamination_eval, edge_jaccard — new-first policy); r8-green
+    # and first in line for r12
+    "mixed_sample",
     "embedding_topk",
     "ann_buckets",
     "ann_topk",
