@@ -286,3 +286,39 @@ def test_wedge_apex_split_exact_when_salting_engages(
         want = (round(2.0 * per_node[v] / (d * (d - 1)), 6)
                 if d >= 2 else 0.0)
         assert lcc == want
+
+
+def test_edge_jaccard_matches_brute_force_under_forced_split(
+        spark, tmp_path, monkeypatch):
+    """`q_edge_jaccard` on the same mixed clique/chain graph, with the
+    apex budget forced low so the salted enumeration engages: every
+    edge's common-neighbor count and endpoint-excluded Jaccard must
+    match brute force (clique-internal edges: cn=8, J=8/(9+9-2-8)=1.0
+    before the pendant edges perturb node 0 and 9)."""
+    import itertools
+
+    import tpg_weather_etl_spark.queries_ml as QM
+
+    monkeypatch.setattr(QM, "WEDGE_APEX_BUDGET", 4)
+    monkeypatch.setattr(QM, "EDGE_JACCARD_TOPK", 1000)
+
+    clique = list(range(10))
+    und = {(a, b) for a, b in itertools.combinations(clique, 2)}
+    und |= {(9, 20), (20, 21), (21, 22), (20, 22), (0, 30)}
+    sf = _write_pair_lineitem(spark, tmp_path, und)
+
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    got = {(r.u, r.v): (r.du, r.dv, r.n_common, r.jaccard)
+           for r in QM.q_edge_jaccard(spark, sf).collect()}
+    assert set(got) == und  # every edge present, topk lifted
+    for (u, v), (du, dv, cn, jac) in got.items():
+        assert du == len(adj[u]) and dv == len(adj[v])
+        want_cn = len(adj[u] & adj[v])
+        assert cn == want_cn, ((u, v), cn, want_cn)
+        denom = du + dv - 2 - want_cn
+        want_j = round(want_cn / denom, 6) if denom > 0 else 0.0
+        assert jac == want_j, ((u, v), jac, want_j)
