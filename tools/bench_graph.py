@@ -31,7 +31,7 @@ sys.path.insert(0, str(ROOT))
 
 RECORD = ROOT / "BENCH_graph.json"
 QUERIES = ["part_triangles", "pagerank_parts", "degree_distribution",
-           "clustering_coeff"]
+           "clustering_coeff", "edge_jaccard"]
 REGRESSION_X = 2.0
 MIN_DELTA_SEC = 2.0
 
