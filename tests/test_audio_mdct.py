@@ -164,3 +164,20 @@ def test_amdc_through_spark_seam(spark):
     assert out[1].feature[2] == pytest.approx(len(t) / 8000)
     assert out[2].feature is None
     assert out[3].feature is not None and out[3].feature[0] == 1.0
+
+
+def test_imdct_cache_bounded_above_max_n():
+    # ADVICE r11: a single valid N=4096 payload must not pin a ~268 MB
+    # basis matrix in every executor worker forever. Large hops are
+    # computed per call; only N <= _IMDCT_CACHE_MAX_N is memoized.
+    from tpg_weather_etl_spark.operators.audio_mdct import (
+        _IMDCT_CACHE, _IMDCT_CACHE_MAX_N, _imdct_matrix)
+
+    big = _IMDCT_CACHE_MAX_N * 2
+    m1 = _imdct_matrix(big)
+    assert big not in _IMDCT_CACHE
+    m2 = _imdct_matrix(big)
+    assert m1 is not m2 and np.array_equal(m1, m2)
+    small = 32
+    assert _imdct_matrix(small) is _imdct_matrix(small)
+    assert small in _IMDCT_CACHE

@@ -39,16 +39,57 @@ RAW_QUERY_CEILING_X = 4.0
 # Canary ratio is clamped to this band — a canary that itself
 # regresses catastrophically must not normalize real regressions away.
 CANARY_CLAMP = (0.33, 3.0)
+# Baseline-contamination gate (round 12, VERDICT r11 item 3): a
+# recorded bench whose per-query times contain >= this-x outliers vs
+# the PREVIOUS record was measured on a contended box (BENCH_r11:
+# interval_join 29.6s vs 0.94s on unchanged code) and must not be
+# anointed as the next guard baseline — an inflated baseline masks
+# real regressions for a round.
+CONTAMINATION_X = 4.0
 
 ROOT = Path(__file__).resolve().parent.parent
 
 
-def latest_recorded() -> Path | None:
+def latest_recorded(root: Path = ROOT) -> Path | None:
     # BENCH_r[0-9]*: the driver's numbered records only — NOT the
     # rotation sidecar (BENCH_rotation.json) or other BENCH_* files
-    recs = sorted(ROOT.glob("BENCH_r[0-9]*.json"),
+    recs = sorted(root.glob("BENCH_r[0-9]*.json"),
                   key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
     return recs[-1] if recs else None
+
+
+def select_baseline(root: Path = ROOT) -> Path | None:
+    """Newest BENCH_r*.json that isn't itself contaminated.
+
+    Walking newest-first, a candidate is REJECTED when any query it
+    shares with the record just before it ran > CONTAMINATION_X x
+    that prior record's time AND > MIN_DELTA_SEC slower — a per-query
+    4x+multi-second jump between adjacent rounds on this box is
+    contention, not code (judge-measured heavy tail is +/-2-4x only
+    on the handful of persist-bound queries; a >=4x jump that
+    DISAPPEARS again in the next fresh run is the r11 signature).
+    Falls back to the oldest record rather than returning nothing.
+    """
+    recs = sorted(root.glob("BENCH_r[0-9]*.json"),
+                  key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
+    for i in range(len(recs) - 1, 0, -1):
+        cand, prior = recs[i], recs[i - 1]
+        try:
+            cq = load_recorded(cand)["queries"]
+            pq = load_recorded(prior)["queries"]
+        except (ValueError, OSError, SystemExit):
+            continue
+        outliers = [n for n in cq if n in pq and pq[n] > 0
+                    and cq[n] > CONTAMINATION_X * pq[n]
+                    and cq[n] - pq[n] > MIN_DELTA_SEC]
+        if not outliers:
+            return cand
+        print(f"note: skipping contaminated baseline {cand.name} — "
+              f"{len(outliers)} queries > {CONTAMINATION_X}x vs "
+              f"{prior.name}: "
+              + ", ".join(f"{n} {cq[n]:.2f}s vs {pq[n]:.2f}s"
+                          for n in sorted(outliers)[:5]))
+    return recs[0] if recs else None
 
 
 def load_recorded(path: Path) -> dict:
@@ -113,7 +154,7 @@ def main() -> int:
     ap.add_argument("--baseline", type=Path, default=None)
     args = ap.parse_args()
 
-    base_path = args.baseline or latest_recorded()
+    base_path = args.baseline or select_baseline()
     if base_path is None:
         print("no recorded BENCH_r*.json to compare against")
         return 0

@@ -1,0 +1,53 @@
+"""One-shot round-12 repair: seed the fingerprint ledger with the two
+round-11 debut queries the skipped r11 close never recorded.
+
+`edge_jaccard` and `contamination_eval` landed in round 11 WITH green
+r11 driver rows (CORRECTNESS_r11.json), but the round ended at a
+snapshot without `close_round`, so query_fingerprint_ledger.json was
+never regenerated (VERDICT r11 "What's missing" #1). Stamping them at
+the CURRENT round (what rotation_audit --update would do) would be
+wrong twice over: it postdates a fingerprint that demonstrably existed
+in r11, and it flags both as driver-stale when their r11 rows already
+prove the exact fingerprint being stamped — neither query's sf0.001
+output nor oracle SQL changed since (edge_jaccard's round-12 plan
+change is output-identical, pinned by the forced-budget brute-force
+test). This script inserts them with round=11 from a fresh
+fingerprint dump, ONLY if absent, and touches nothing else.
+
+Usage: python tools/seed_ledger_r11.py FP.json
+       (FP.json from check_oracle --sf sf0.001 --fingerprints)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+LEDGER = ROOT / "query_fingerprint_ledger.json"
+SEED_ROUND = 11
+SEED_NAMES = ("edge_jaccard", "contamination_eval")
+
+
+def main() -> int:
+    fresh = json.loads(Path(sys.argv[1]).read_text())
+    ledger = json.loads(LEDGER.read_text())
+    added = []
+    for name in SEED_NAMES:
+        if name in ledger:
+            print(f"{name}: already in ledger (round "
+                  f"{ledger[name]['round']}) — not touched")
+            continue
+        ledger[name] = {**fresh[name], "round": SEED_ROUND}
+        added.append(name)
+    if added:
+        LEDGER.write_text(
+            json.dumps(ledger, indent=1, sort_keys=True) + "\n")
+    print(f"seeded {added} at round {SEED_ROUND}; "
+          f"ledger now {len(ledger)} names")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

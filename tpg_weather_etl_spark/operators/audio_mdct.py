@@ -37,6 +37,12 @@ import struct
 import numpy as np
 
 _IMDCT_CACHE: dict[int, np.ndarray] = {}
+# Only cache bases up to this hop size: the 2N x N float64 matrix is
+# 16*N^2 bytes, so a single 8 KB payload claiming N=4096 would pin
+# ~268 MB in EVERY executor Python worker forever (ADVICE r11).
+# N <= 1024 caps the whole cache at sum(16*N^2, N=16..1024) ~= 22 MB
+# per worker; larger (valid but rare) hops compute the basis per call.
+_IMDCT_CACHE_MAX_N = 1024
 
 
 def _imdct_matrix(n: int) -> np.ndarray:
@@ -47,7 +53,8 @@ def _imdct_matrix(n: int) -> np.ndarray:
         t = np.arange(2 * n)[:, None] + 0.5 + n / 2.0
         k = np.arange(n)[None, :] + 0.5
         m = np.cos(np.pi / n * t * k) * (2.0 / n)
-        _IMDCT_CACHE[n] = m
+        if n <= _IMDCT_CACHE_MAX_N:
+            _IMDCT_CACHE[n] = m
     return m
 
 

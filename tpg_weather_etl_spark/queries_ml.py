@@ -1715,16 +1715,19 @@ def _oriented_triangles(spark: SparkSession,
     Shared by `q_part_triangles` (counts rows) and
     `q_clustering_coeff` (credits corners).
 
-    Skew guard: each apex's wedge enumeration is additionally SPLIT
-    across ceil(out-degree / WEDGE_APEX_BUDGET) shuffle keys — the
-    w1 side takes a deterministic per-edge salt (hash of the low
-    endpoint mod n_salts), the w2 side replicates each edge to every
-    salt of its apex, and the join key becomes (src, salt). Each
-    unordered (lo, hi) pair still meets exactly once (at lo's salt),
-    so the output is identical; per-key output drops from d²/2 to
-    ≤ budget·d. Apexes at or under the budget get n_salts = 1 — the
-    split is a no-op row-wise (salt 0 both sides) everywhere except
-    the hubs it exists for.
+    Skew guard (CONDITIONAL since round 12): when any apex's oriented
+    out-degree exceeds WEDGE_APEX_BUDGET — detected by one bounded
+    scalar agg on the persisted oriented edge list — that apex's
+    wedge enumeration is SPLIT across ceil(out-degree / budget)
+    shuffle keys: the w1 side takes a deterministic per-edge salt
+    (hash of the low endpoint mod n_salts), the w2 side replicates
+    each edge to every salt of its apex, and the join key becomes
+    (src, salt). Each unordered (lo, hi) pair still meets exactly
+    once (at lo's salt), so the output is identical; per-key output
+    drops from d²/2 to ≤ budget·d. Hub-free graphs (every oriented
+    out-degree ≤ budget, the common case after orientation) skip the
+    salt machinery entirely — round 11 paid an unconditional window
+    shuffle + explode here, measured ~1.5-1.8x on hub-free sf0.1.
     """
     from tpg_weather_etl_spark.caching import track
     # The edge list feeds four consumers (both degree scans, the wedge
@@ -1742,38 +1745,66 @@ def _oriented_triangles(spark: SparkSession,
               "v"))
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    # per-apex salt count from the ORIENTED out-degree (not the full
-    # undirected degree — orientation is what keeps it small, using du
-    # here would over-replicate hubs whose out-degree is tiny). A
-    # window over src annotates it in the SAME shuffle that the
-    # persist materializes, so both wedge sides are pure projections
-    # of the cached table — one exchange total instead of a separate
-    # degree agg + two src joins (17 → 14 exchanges measured; the
-    # unsalted enumeration was 13).
-    w_src = Window.partitionBy("src")
     oriented = track(e2.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"))
-        .withColumn("ns", F.greatest(
-            F.lit(1),
-            F.ceil(F.count("*").over(w_src) / F.lit(WEDGE_APEX_BUDGET))
-        ).cast("int"))
         .persist())
-    w1 = oriented.select(
-        "src", "dst",
-        F.pmod(F.hash("dst"), F.col("ns")).alias("salt"))
-    w2 = oriented.select(
-        F.col("src").alias("src2"),
-        F.col("dst").alias("dst2"),
-        F.explode(F.sequence(F.lit(0), F.col("ns") - 1))
-        .alias("salt2"))
-    wedges = (
-        w1.join(w2, (F.col("src") == F.col("src2"))
-                & (F.col("salt") == F.col("salt2"))
-                & (F.col("dst") < F.col("dst2")))
-        .select(F.col("src").alias("apex"),
-                F.col("dst").alias("lo"),
-                F.col("dst2").alias("hi")))
+    # Engage the apex split ONLY when some apex actually exceeds the
+    # budget (round 12, VERDICT r11 item 1): the round-11 version paid
+    # a full edge-list window shuffle + explode(sequence) on EVERY
+    # run, measured ~1.5-1.8x on hub-free sf0.1 where ns = 1
+    # everywhere and the split buys nothing. The pre-check is one
+    # bounded scalar agg over the persisted oriented list (map-side
+    # combined groupBy + max -> 1 driver row); it also warms the
+    # persist the wedge join reads. Exactness of BOTH branches is
+    # pinned: the forced-budget clique + edge_jaccard brute-force
+    # tests engage the salted path, the sf0.001/0.01 oracle parity
+    # runs the plain path.
+    max_out = (oriented.groupBy("src").agg(F.count("*").alias("od"))
+               .agg(F.max("od").alias("m")).first()["m"]) or 0
+    if max_out <= WEDGE_APEX_BUDGET:
+        # hub-free: the classic oriented wedge self-join, no salt
+        # columns at all — both sides are projections of the cache.
+        w2 = oriented.select(F.col("src").alias("src2"),
+                             F.col("dst").alias("dst2"))
+        wedges = (
+            oriented.join(w2, (F.col("src") == F.col("src2"))
+                          & (F.col("dst") < F.col("dst2")))
+            .select(F.col("src").alias("apex"),
+                    F.col("dst").alias("lo"),
+                    F.col("dst2").alias("hi")))
+    else:
+        # per-apex salt count from the ORIENTED out-degree (not the
+        # full undirected degree — orientation is what keeps it
+        # small, using du here would over-replicate hubs whose
+        # out-degree is tiny). The hot-apex table is <= |E|/budget
+        # rows by construction and on real power-law graphs a tiny
+        # tail, so AQE converts the left join to a broadcast at
+        # runtime and the big side never shuffles; no explicit
+        # broadcast() hint because the bound is data-dependent — in
+        # the worst case (every apex hot) SMJ is the correct
+        # fallback and costs what the old unconditional window did.
+        hot = (oriented.groupBy("src").agg(F.count("*").alias("od"))
+               .where(F.col("od") > WEDGE_APEX_BUDGET)
+               .select("src", F.ceil(F.col("od") / F.lit(
+                   WEDGE_APEX_BUDGET)).cast("int").alias("ns")))
+        salted = (oriented.join(hot, "src", "left")
+                  .withColumn("ns", F.coalesce(F.col("ns"), F.lit(1))))
+        w1 = salted.select(
+            "src", "dst",
+            F.pmod(F.hash("dst"), F.col("ns")).alias("salt"))
+        w2 = salted.select(
+            F.col("src").alias("src2"),
+            F.col("dst").alias("dst2"),
+            F.explode(F.sequence(F.lit(0), F.col("ns") - 1))
+            .alias("salt2"))
+        wedges = (
+            w1.join(w2, (F.col("src") == F.col("src2"))
+                    & (F.col("salt") == F.col("salt2"))
+                    & (F.col("dst") < F.col("dst2")))
+            .select(F.col("src").alias("apex"),
+                    F.col("dst").alias("lo"),
+                    F.col("dst2").alias("hi")))
     tri = (wedges.join(e, (wedges["lo"] == e["u"])
                        & (wedges["hi"] == e["v"]))
            .select("apex", "lo", "hi"))

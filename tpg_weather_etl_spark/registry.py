@@ -43,80 +43,19 @@ except ImportError:
 
 
 # The driver caps each round at 50 checked queries of the registry,
-# walking it in order. ROUND-11 ROTATION (staged in round 10,
-# executed here with the changed-query amendment): head =
-# minhash_est_accuracy FIRST — its round-11 re-base onto the capped
-# candidate stream changes its oracle SQL (same sf0.01 output, the
-# cap is slack at gate SFs) so rotation_audit marks it
-# behavior-changed and it must re-prove under the driver — then the
-# staged r10 _RUN_MID block (the 6 names displaced by round-10's
-# priority jumpers, the remaining r7-green names, and the stalest
-# r8-green names). Every name whose latest driver row is r7 sits in
-# this head, so r11 clears the r7 block entirely.
+# walking it in order. ROUND-12 ROTATION (VERDICT r11 item 5): head =
+# the three triangle-family queries whose PLAN changed this round
+# (the apex split became conditional — output-identical, pinned by
+# the forced-budget clique/brute-force tests, but the changed=>head
+# policy still re-proves them under the driver), then the staged
+# r8-stale block (the 47 names whose latest driver row is r8 —
+# including ann_buckets/ann_topk/embedding_neardup, r12's natural
+# head per the r11 staging note). 3 + 47 = exactly the 50-name cap;
+# after r12 no driver row is older than r9.
 _RUN_FIRST = [
-    "contamination_eval",    # NEW round 11 — debut driver row
-    "edge_jaccard",          # NEW round 11 — debut driver row
-    "minhash_est_accuracy",
-    "heavy_hitters",
-    "source_kl_drift",
-    "doc_chunks",
-    "neardup_eval",
-    "cluster_split",
-    "bpe_encode",
-    "bigram_logprob",
-    "centroid_shift",
-    "ann_recall_eval",
-    "rrf_fusion",
-    "dedup_rate_by_source",
-    "winsorized_stats",
-    "source_ks_drift",
-    "chi2_source_lang",
-    "token_gini",
-    "lang_agreement",
-    "cluster_size_histogram",
-    "embedding_norm_profile",
-    "rolling_7d",
-    "sessionize",
-    "interval_join",
-    "pattern_within",
-    "asof_join",
-    "lag_grid",
-    "pricing_summary",
-    "top_orders",
-    "region_revenue",
-    "semi_join_parts",
-    "anti_join_customers",
-    "left_join_enrich",
-    "dedupe_exact",
-    "dedupe_priority",
-    "group_median",
-    "agg_by_bin",
-    "latest_per_user",
-    "scalar_bins",
-    "time_features",
-    "text_stats",
-    "lang_quality",
-    "fingerprint_dedup",
-    "simhash",
-    "simhash_pairs",
-    "contamination_ngrams",
-    "stratified_sample",
-    "length_buckets",
-    "gopher_quality",
-    "source_mix_weights",
-]
-
-# Stalest-first after the head: the 3 r8-green names the changed-query
-# jump displaced from the staged head (ann_buckets, ann_topk,
-# embedding_neardup — r12's natural head), then the remaining
-# r8-green block. After r11's window the stalest surviving row is r8,
-# and r12's 50-name head covers this whole list — satisfying the
-# "no driver row older than 4 rounds by r12 close" target
-# mechanically (VERDICT r10 item 6).
-_RUN_MID = [
-    # displaced from the r11 head by the two round-11 debut slots
-    # (contamination_eval, edge_jaccard — new-first policy); r8-green
-    # and first in line for r12
+    "part_triangles",
+    "clustering_coeff",
+    "edge_jaccard",
     "mixed_sample",
     "embedding_topk",
     "ann_buckets",
@@ -166,10 +105,10 @@ _RUN_MID = [
     "bpe_token_stats",
 ]
 
-# Tail, stalest-first: the 49 names refreshed to driver-green in
-# round 9, then the 50 refreshed in round 10 (freshest, last to win
-# a cap slot).
-_RUN_LAST = [
+# Stalest-first after the head: the r9-refreshed block (minus
+# part_triangles, pulled into the r12 head by the plan change) —
+# staged as r13's natural head.
+_RUN_MID = [
     "curation_e2e",
     "bitext_mining_pairs",
     "embedding_neardup_capped",
@@ -215,16 +154,20 @@ _RUN_LAST = [
     "dup_span_fraction",
     "dup_span_apply",
     "prefix_jaccard_pairs",
-    "part_triangles",
     "pagerank_parts",
     "degree_distribution",
     "zipf_slope",
+]
+
+# Tail, stalest-first: the r10-refreshed block (minus
+# clustering_coeff, pulled into the r12 head), then the 49 names
+# refreshed in round 11 (freshest, last to win a cap slot).
+_RUN_LAST = [
     "dup_span_regions",
     "kn_bigram_logprob",
     "minhash_pairs_capped",
     "deterministic_sample",
     "embedding_contamination",
-    "clustering_coeff",
     "basket_lift_pairs",
     "ngram_novelty",
     "nb_source_confusion",
@@ -269,6 +212,55 @@ _RUN_LAST = [
     "sequence_gaps",
     "revenue_share",
     "bpe_merges",
+    "contamination_eval",
+    "minhash_est_accuracy",
+    "heavy_hitters",
+    "source_kl_drift",
+    "doc_chunks",
+    "neardup_eval",
+    "cluster_split",
+    "bpe_encode",
+    "bigram_logprob",
+    "centroid_shift",
+    "ann_recall_eval",
+    "rrf_fusion",
+    "dedup_rate_by_source",
+    "winsorized_stats",
+    "source_ks_drift",
+    "chi2_source_lang",
+    "token_gini",
+    "lang_agreement",
+    "cluster_size_histogram",
+    "embedding_norm_profile",
+    "rolling_7d",
+    "sessionize",
+    "interval_join",
+    "pattern_within",
+    "asof_join",
+    "lag_grid",
+    "pricing_summary",
+    "top_orders",
+    "region_revenue",
+    "semi_join_parts",
+    "anti_join_customers",
+    "left_join_enrich",
+    "dedupe_exact",
+    "dedupe_priority",
+    "group_median",
+    "agg_by_bin",
+    "latest_per_user",
+    "scalar_bins",
+    "time_features",
+    "text_stats",
+    "lang_quality",
+    "fingerprint_dedup",
+    "simhash",
+    "simhash_pairs",
+    "contamination_ngrams",
+    "stratified_sample",
+    "length_buckets",
+    "gopher_quality",
+    "source_mix_weights",
 ]
 
 
