@@ -195,7 +195,7 @@ def main() -> int:
     qs = all_queries()
 
     queries = ["degree_distribution", "part_triangles", "pagerank_parts",
-               "clustering_coeff"]
+               "clustering_coeff", "edge_jaccard"]
     timings: dict[str, dict[int, float]] = {
         q: {} for q in queries + ["connected_components"]}
     n_edges: dict[int, int] = {}
@@ -299,7 +299,7 @@ def main() -> int:
               f"+ clique({CLIQUE_SIZE}) ==")
         hub_edges = QM._copurchase_edges(spark, str(out_dir)).count()
         hub_t: dict[str, float] = {}
-        for q in ("part_triangles", "clustering_coeff"):
+        for q in ("part_triangles", "clustering_coeff", "edge_jaccard"):
             t0 = time.perf_counter()
             qs[q](spark, str(out_dir)).write.format("noop").mode(
                 "overwrite").save()
