@@ -27,24 +27,39 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 LEDGER = ROOT / "query_fingerprint_ledger.json"
 SEED_ROUND = 11
-SEED_NAMES = ("edge_jaccard", "contamination_eval")
+# r11's three behavior-landings: two debuts plus the capped re-base
+# of the estimator (fingerprint changed in r11, green r11 driver row
+# at queries_text.py:861). A later `rotation_audit --update` that
+# first sees any of these stamps the CURRENT round — postdating the
+# fingerprint and wrongly flagging the query driver-stale.
+SEED_NAMES = ("edge_jaccard", "contamination_eval",
+              "minhash_est_accuracy")
 
 
 def main() -> int:
     fresh = json.loads(Path(sys.argv[1]).read_text())
     ledger = json.loads(LEDGER.read_text())
-    added = []
+    repaired = []
     for name in SEED_NAMES:
-        if name in ledger:
-            print(f"{name}: already in ledger (round "
-                  f"{ledger[name]['round']}) — not touched")
+        fp = fresh[name]
+        old = ledger.get(name)
+        if (old is not None and (old["out"], old["sql"]) ==
+                (fp["out"], fp["sql"]) and old["round"] <= SEED_ROUND):
+            print(f"{name}: already correct (round {old['round']})")
             continue
-        ledger[name] = {**fresh[name], "round": SEED_ROUND}
-        added.append(name)
-    if added:
+        if (old is not None and (old["out"], old["sql"]) !=
+                (fp["out"], fp["sql"]) and old["round"] <= SEED_ROUND):
+            # a genuinely newer behavior than r11's — not ours to
+            # backdate; leave it for the regular audit to stamp
+            print(f"{name}: fingerprint differs from the r11-era one "
+                  f"— leaving for rotation_audit")
+            continue
+        ledger[name] = {**fp, "round": SEED_ROUND}
+        repaired.append(name)
+    if repaired:
         LEDGER.write_text(
             json.dumps(ledger, indent=1, sort_keys=True) + "\n")
-    print(f"seeded {added} at round {SEED_ROUND}; "
+    print(f"seeded/repaired {repaired} at round {SEED_ROUND}; "
           f"ledger now {len(ledger)} names")
     return 0
 
