@@ -40,10 +40,20 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--record", action="store_true",
                     help="overwrite BENCH_graph.json with this run")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run the full query loop N times and keep "
+                         "per-query MEDIANS — the iterative/persist-"
+                         "heavy graph queries coin-flip 2-3x run-to-"
+                         "run on this box (pagerank_parts measured "
+                         "8.8s and 39.1s minutes apart on an idle "
+                         "box, round 12); a single-shot record bakes "
+                         "that coin flip into the guard baseline. "
+                         "Use --repeat 3 when recording.")
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
+    from tpg_weather_etl_spark.caching import release_all
     from tpg_weather_etl_spark.registry import all_queries
     from tpg_weather_etl_spark.session import get_spark
 
@@ -55,14 +65,20 @@ def main() -> int:
     qs["degree_distribution"](spark, args.sf).write.format("noop").mode(
         "overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in QUERIES:
-        t0 = time.perf_counter()
-        qs[name](spark, args.sf).write.format("noop").mode(
-            "overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    from tpg_weather_etl_spark.caching import release_all
-    release_all()
+    samples: dict[str, list[float]] = {q: [] for q in QUERIES}
+    for _ in range(max(1, args.repeat)):
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            qs[name](spark, args.sf).write.format("noop").mode(
+                "overwrite").save()
+            samples[name].append(
+                round(time.perf_counter() - t0, 3))
+        # repeat rounds start cold w.r.t. the package's persists so
+        # each sample measures the same work as a single-shot run
+        release_all()
+    timings = {q: sorted(ts)[len(ts) // 2] for q, ts in samples.items()}
+    if args.repeat > 1:
+        print("samples:", json.dumps(samples))
 
     m = re.search(r"sf([0-9.]+)", args.sf)
     fresh = {

@@ -55,13 +55,13 @@ t0 = time.perf_counter()
 df = all_queries()[name](spark, sf)
 t_plan = time.perf_counter() - t0
 t0 = time.perf_counter()
-n = df.count()
+# same terminal op as bench.py: full materialization, no driver rows
+df.write.format("noop").mode("overwrite").save()
 t_exec = time.perf_counter() - t0
 print(json.dumps({{"spark_up": round(t_spark, 3),
                    "fit": round(t_fit, 3),
                    "plan": round(t_plan, 3),
-                   "exec": round(t_exec, 3),
-                   "rows": n}}))
+                   "exec": round(t_exec, 3)}}))
 """
 
 
@@ -69,7 +69,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--queries",
-                    default="semantic_dedup_apply,semantic_dedup_keeper")
+                    default="semantic_dedup_apply,"
+                            "semantic_dedup_keeper,pagerank_parts")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
