@@ -182,3 +182,124 @@ def test_bucketed_store_anti_join_no_exchange_on_store_side(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def _local_path(location: str) -> str:
+    """file:/x or file:///x URI -> /x (the suite runs on local FS)."""
+    if location.startswith("file:"):
+        location = location[len("file:"):]
+        while location.startswith("//"):
+            location = location[1:]
+    return location
+
+
+def _plant_orphan_store(spark, table: str) -> set[int]:
+    """Create exactly the state a killed run leaves behind: committed
+    bucketed store data under the managed location, NO catalog entry.
+    Returns the doc_ids the orphaned store already holds."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from tpg_weather_etl_spark.sources.writers import (
+        managed_table_location, write_bucketed)
+    from tpg_weather_etl_spark.streaming.corpus_dedup import (
+        DOC_SCHEMA, doc_fingerprint)
+
+    seed = table + "_seed"
+    spark.sql(f"DROP TABLE IF EXISTS {seed}")
+    store = spark.createDataFrame(
+        [(1, "hello world", "en", "web", 11),
+         (3, "fresh content", "en", "web", 13)],
+        DOC_SCHEMA).withColumn("fp", doc_fingerprint(F.col("text")))
+    write_bucketed(store, seed, ["fp"], num_buckets=8,
+                   sort_cols=["fp"], mode="overwrite")
+    src = Path(_local_path(managed_table_location(spark, seed)))
+    dst = Path(_local_path(managed_table_location(spark, table)))
+    if dst.exists():
+        shutil.rmtree(dst)
+    shutil.copytree(src, dst)
+    spark.sql(f"DROP TABLE IF EXISTS {seed}")
+    return {1, 3}
+
+
+def test_stream_dedup_bucketed_store_orphan_recovery(spark, tmp_path):
+    """VERDICT r12 #1: a managed location whose catalog entry died
+    with a previous session (or a crash between write and catalog
+    commit) must not brick the store. Replay must (a) not crash with
+    LOCATION_ALREADY_EXISTS and (b) anti-join against the ORPHANED
+    data — ignoring it would re-admit every duplicate the dead run
+    already suppressed."""
+    import shutil
+    from pathlib import Path
+
+    from tpg_weather_etl_spark.sources.writers import (
+        managed_table_location)
+
+    table = "corpus_dedup_orphan_t"
+    loc = Path(_local_path(managed_table_location(spark, table)))
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if loc.exists():
+        shutil.rmtree(loc)
+    try:
+        orphan_ids = _plant_orphan_store(spark, table)
+        assert loc.exists() and not spark.catalog.tableExists(table)
+
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        (inbox / "a.jsonl").write_text("\n".join([
+            _doc(4, "hello   WORLD"),   # dup of orphaned doc 1
+            _doc(5, "another document"),
+        ]))
+        q = write_stream_dedup(
+            stream_documents(spark, str(inbox), max_files_per_trigger=1),
+            str(tmp_path / "unused"), str(tmp_path / "ckpt"),
+            store_table=table, num_buckets=8).start()
+        q.awaitTermination(120)
+        spark.catalog.refreshTable(table)
+        assert ({r.doc_id for r in spark.table(table).collect()}
+                == orphan_ids | {5})
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # the repaired table is external: DROP leaves the data — clear
+        # it so this test can't itself orphan the next run
+        if loc.exists():
+            shutil.rmtree(loc)
+
+
+def test_repair_orphaned_table_policies(spark, tmp_path):
+    """The repair helper's non-happy paths: registered table and
+    absent location are no-ops; a location holding only uncommitted
+    debris (crash before first job commit) is cleared, not
+    registered."""
+    import shutil
+    from pathlib import Path
+
+    from tpg_weather_etl_spark.sources.writers import (
+        managed_table_location, repair_orphaned_table, write_bucketed)
+
+    # registered table -> no-op
+    t_reg = "repair_policy_reg_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t_reg}")
+    write_bucketed(spark.range(5).withColumnRenamed("id", "k"),
+                   t_reg, ["k"], num_buckets=2, mode="overwrite")
+    try:
+        assert repair_orphaned_table(spark, t_reg, ["k"], 2) is False
+        assert spark.table(t_reg).count() == 5
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_reg}")
+
+    # absent location -> no-op
+    assert repair_orphaned_table(spark, "repair_policy_absent_t") is False
+
+    # only uncommitted debris -> location cleared, nothing registered
+    t_dbg = "repair_policy_debris_t"
+    loc = Path(_local_path(managed_table_location(spark, t_dbg)))
+    if loc.exists():
+        shutil.rmtree(loc)
+    (loc / "_temporary" / "0").mkdir(parents=True)
+    (loc / "_SUCCESS").write_text("")
+    assert repair_orphaned_table(spark, t_dbg) is False
+    assert not spark.catalog.tableExists(t_dbg)
+    assert not loc.exists()

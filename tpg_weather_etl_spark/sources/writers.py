@@ -153,6 +153,96 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def managed_table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem location ``saveAsTable`` would use for a managed
+    table — warehouse dir + (``<db>.db/``)? + lowercased table name.
+    Needed to detect ORPHANED locations: data on disk whose catalog
+    entry died with a previous session (in-memory catalog) or a crash
+    between write and catalog commit."""
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    parts = table.split(".")
+    name = parts[-1].lower()
+    if len(parts) > 1 and parts[0].lower() != "default":
+        return f"{wh}/{parts[0].lower()}.db/{name}"
+    return f"{wh}/{name}"
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def repair_orphaned_table(
+    spark: SparkSession,
+    table: str,
+    bucket_cols: list[str] | None = None,
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> bool:
+    """Re-register a managed-table location that lost its catalog
+    entry, instead of letting the next ``saveAsTable`` die with
+    ``LOCATION_ALREADY_EXISTS``.
+
+    Why this exists: with an in-memory catalog, EVERY new session
+    forgets every managed table it ever wrote — the data under
+    ``spark-warehouse/<table>`` survives, the catalog entry does not.
+    A restart of an incremental-dedup stream (streaming/
+    corpus_dedup.py) then (a) crashes on append and, worse, (b) would
+    anti-join against ``seen=None`` and re-admit every duplicate the
+    orphaned store already suppressed. Registering the existing data
+    as the table restores both the append path and replay idempotency.
+
+    Policy:
+    - table already in catalog → no-op (False);
+    - location absent → no-op (False);
+    - location present, no committed parquet files (crash before the
+      first job commit — only ``_temporary``/markers) → clear the
+      location so the next write bootstraps cleanly (False);
+    - location present with committed data → ``CREATE TABLE … USING
+      parquet [CLUSTERED BY … INTO n BUCKETS] LOCATION`` with the
+      schema read from the files (True). ``LOCATION`` makes the
+      registered table external — the data outlives DROP TABLE, which
+      is the correct durability for a dedup store.
+
+    Bucket spec is declared, not inferred: pass the SAME
+    ``bucket_cols``/``num_buckets`` the store was written with.
+    Spark's bucketed scan derives bucket ids from the committed file
+    names, so a spec mismatch fails loudly at read ("Invalid bucket
+    file"), never silently mis-buckets. An unreadable location with
+    committed files (corrupt footers) propagates — same contract as
+    ``_path_exists`` in the streaming store: only provable absence may
+    skip state."""
+    if spark.catalog.tableExists(table):
+        return False
+    loc = managed_table_location(spark, table)
+    fs, p = _hadoop_fs(spark, loc)
+    if not fs.exists(p):
+        return False
+    statuses = fs.listStatus(p)
+    committed = [s.getPath().getName() for s in statuses
+                 if s.getPath().getName().endswith(".parquet")
+                 and not s.getPath().getName().startswith(("_", "."))]
+    if not committed:
+        fs.delete(p, True)
+        return False
+    schema = spark.read.parquet(loc).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in schema.fields)
+    clustered = ""
+    if bucket_cols:
+        bcols = ", ".join(f"`{c}`" for c in bucket_cols)
+        sorted_by = ""
+        if sort_cols:
+            scols = ", ".join(f"`{c}`" for c in sort_cols)
+            sorted_by = f" SORTED BY ({scols})"
+        clustered = (f" CLUSTERED BY ({bcols}){sorted_by}"
+                     f" INTO {num_buckets} BUCKETS")
+    spark.sql(f"CREATE TABLE {table} ({cols}) USING parquet"
+              f"{clustered} LOCATION '{loc}'")
+    return True
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str | Path,

@@ -125,6 +125,18 @@ def write_stream_dedup(docs: DataFrame, out_dir: str,
             return
         spark = batch_df.sparkSession
         if store_table is not None:
+            if not spark.catalog.tableExists(store_table):
+                # A fresh session's in-memory catalog has forgotten
+                # every store a previous run wrote; the data under the
+                # managed location has not. Re-register it (same
+                # bucket spec) so replay stays idempotent AND the
+                # append below can't die with LOCATION_ALREADY_EXISTS.
+                from tpg_weather_etl_spark.sources.writers import (
+                    repair_orphaned_table)
+                repair_orphaned_table(spark, store_table,
+                                      bucket_cols=["fp"],
+                                      num_buckets=num_buckets,
+                                      sort_cols=["fp"])
             seen = (spark.table(store_table).select("fp")
                     if spark.catalog.tableExists(store_table) else None)
         else:
