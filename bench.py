@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -153,6 +154,26 @@ GRAPH = [
 CANARIES = ["pricing_summary", "region_revenue", "top_orders",
             "winsorized_stats", "token_gini", "chi2_source_lang"]
 
+# Repeat-median discipline on the MAIN record (VERDICT r12 item 2 —
+# SCALE.md rule 12 extended from BENCH_graph to BENCH_r{N}): a single
+# disk/scheduler transient on one pass could poison the next round's
+# guard baseline (the r11 interval_join 29.6s-vs-0.94s shape). Any
+# query whose FIRST pass lands at or above REPEAT_MIN_SEC (the
+# measured heavy-tail family — 28 of 87 headline queries at r12) is
+# re-timed REPEAT-1 more times and the MEDIAN is recorded. Between
+# samples only the query's OWN persists are released
+# (caching.mark/release_since), so every sample reproduces single-shot
+# conditions: earlier queries' shared caches stay warm (exactly what a
+# single pass would see), the query's own reuse points are rebuilt.
+# After the last sample the persists remain, so downstream queries see
+# the same cache state as a single-pass sweep. Sub-threshold queries
+# stay single-pass: their absolute noise is below the guard's
+# MIN_DELTA_SEC floor, and tripling them buys nothing.
+REPEAT = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
+REPEAT_MIN_SEC = float(
+    os.environ.get("SPARK_GRAFT_BENCH_REPEAT_MIN_SEC", "3.0"))
+
+
 # Second recorded tier (VERDICT r8 item 5): every bench run also
 # times the ROTATION_SIZE registry queries with the OLDEST wall-clock
 # record among those not in the headline, appending to
@@ -250,21 +271,37 @@ def main() -> None:
     qs[HEADLINE[0]](spark, sf_dir).write.format("noop").mode(
         "overwrite").save()
 
+    from tpg_weather_etl_spark.caching import mark, release_since
+
+    def _sample(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
+    samples_map: dict[str, list[float]] = {}
     failure: str | None = None
     try:
         for name in names:
-            t0 = time.perf_counter()
+            marker = mark()
             try:
-                qs[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite").save()
+                samples = [_sample(name)]
+                if REPEAT > 1 and samples[0] >= REPEAT_MIN_SEC:
+                    for _ in range(REPEAT - 1):
+                        # cold w.r.t. this query's own persists only;
+                        # shared caches from earlier queries stay
+                        release_since(marker)
+                        samples.append(_sample(name))
             except Exception as exc:  # noqa: BLE001
                 # Round-3 lesson: a crash that records NOTHING destroys
                 # the whole round's perf evidence. Keep the partial
                 # timings, mark the failure, and still emit the JSON.
                 failure = f"{name}: {type(exc).__name__}: {exc}"
                 break
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name] = round(statistics.median(samples), 3)
+            if len(samples) > 1:
+                samples_map[name] = [round(s, 3) for s in samples]
         # rotation tier runs after the full headline (incl. graph) so
         # it can't perturb the recorded per-query signal, and inside
         # the try so release_all still covers its persisted
@@ -290,6 +327,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Methodology stamp + raw samples (medians are what `queries`
+        # holds; the samples let a reader audit a suspect median).
+        "repeat": {"n": REPEAT, "min_sec": REPEAT_MIN_SEC},
+        "samples": samples_map,
     }
     if failure is not None:
         record["error"] = failure[:2000]

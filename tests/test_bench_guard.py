@@ -62,3 +62,31 @@ def test_oldest_record_is_last_resort(tmp_path):
     only = _write(tmp_path, 1, {"a": 1.0})
     assert select_baseline(tmp_path) == only
     assert select_baseline(tmp_path / "empty") is None
+
+
+def test_consecutive_similarly_inflated_records_are_rejected(tmp_path):
+    """Two back-to-back contaminated rounds with SIMILAR inflated
+    times show no adjacent outlier (r3 vs r2: 26s vs 25s) — the
+    min-anchor over the last CONTAMINATION_LOOKBACK records still
+    catches both against the clean floor."""
+    clean = _write(tmp_path, 1, {"a": 1.0, "b": 1.0})
+    _write(tmp_path, 2, {"a": 25.0, "b": 1.0})   # contention round 1
+    _write(tmp_path, 3, {"a": 26.0, "b": 1.1})   # same contention
+    assert select_baseline(tmp_path) == clean
+
+
+def test_median_record_with_repeat_metadata_parses(tmp_path):
+    """BENCH_r13+ records carry `repeat` + `samples` alongside the
+    median `queries` map (bench.py repeat mode); the parser must
+    return the medians untouched and selection must accept it."""
+    from tools.bench_guard import load_recorded
+    p = tmp_path / "BENCH_r13.json"
+    p.write_text(json.dumps({
+        "metric": "headline_total", "value": 10.0, "unit": "sec",
+        "queries": {"a": 4.0, "b": 6.0}, "sf": 0.1,
+        "repeat": {"n": 3, "min_sec": 3.0},
+        "samples": {"a": [4.0, 29.0, 3.9], "b": [6.0, 6.1, 5.9]},
+    }))
+    assert load_recorded(p)["queries"] == {"a": 4.0, "b": 6.0}
+    _write(tmp_path, 12, {"a": 4.1, "b": 5.8})
+    assert select_baseline(tmp_path) == p

@@ -7,7 +7,14 @@ shuffle, an accidental repartition — fails here mechanically instead
 of surfacing as a mystery slowdown at the next bench run (or worse,
 only at cluster scale, where one extra shuffle over 100 TB is hours).
 
-Plans are built only (analysis + physical planning); nothing executes.
+Plans are built only (analysis + physical planning); nothing executes
+— with ONE documented exception (ADVICE r12): the triangle family
+(`part_triangles` / `clustering_coeff` / `edge_jaccard`) runs a
+bounded max-out-degree agg at CONSTRUCTION time to pick the hub-free
+vs salted branch (queries_ml._oriented_triangles), so building those
+three plans executes a small job and requires sf0.001 data to exist —
+which this suite (and every other caller: the driver gate, bench,
+check_oracle) always has.
 Fewer exchanges than budgeted passes — run
 `python tools/update_plan_budgets.py` to ratchet the budget down (or,
 after review, to accept a deliberate increase).

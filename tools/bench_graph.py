@@ -61,12 +61,17 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # Warm the JVM with the cheapest of the three.
-    qs["degree_distribution"](spark, args.sf).write.format("noop").mode(
-        "overwrite").save()
-
     samples: dict[str, list[float]] = {q: [] for q in QUERIES}
     for _ in range(max(1, args.repeat)):
+        # Warm-up runs at the top of EVERY round, not just once before
+        # round 1: release_all() between rounds drops the shared
+        # co-purchase persist, so a single up-front warm-up would
+        # leave round 1 warm and rounds 2+ cold — per-query medians
+        # mixing methodologies (ADVICE r12). Re-warming each round
+        # reproduces the single-shot conditions the guard thresholds
+        # were calibrated against.
+        qs["degree_distribution"](spark, args.sf).write.format(
+            "noop").mode("overwrite").save()
         for name in QUERIES:
             t0 = time.perf_counter()
             qs[name](spark, args.sf).write.format("noop").mode(

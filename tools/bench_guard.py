@@ -58,36 +58,61 @@ def latest_recorded(root: Path = ROOT) -> Path | None:
     return recs[-1] if recs else None
 
 
+# How many prior records each baseline candidate is compared against.
+# Adjacent-only comparison (the round-12 version) had a blind spot:
+# two CONSECUTIVE contaminated rounds with similarly inflated times
+# (sustained box contention — r(N)=25s, r(N+1)=26s vs clean 1s) show
+# no adjacent outlier and the newest contaminated record is anointed.
+# Anchoring on the per-query MIN across the last K records means the
+# contention would have to persist across K+1 driver rounds (days) to
+# slip through.
+CONTAMINATION_LOOKBACK = 3
+
+
 def select_baseline(root: Path = ROOT) -> Path | None:
     """Newest BENCH_r*.json that isn't itself contaminated.
 
     Walking newest-first, a candidate is REJECTED when any query it
-    shares with the record just before it ran > CONTAMINATION_X x
-    that prior record's time AND > MIN_DELTA_SEC slower — a per-query
-    4x+multi-second jump between adjacent rounds on this box is
-    contention, not code (judge-measured heavy tail is +/-2-4x only
-    on the handful of persist-bound queries; a >=4x jump that
-    DISAPPEARS again in the next fresh run is the r11 signature).
+    shares with recent prior records ran > CONTAMINATION_X x the
+    per-query MIN over the last CONTAMINATION_LOOKBACK records AND
+    > MIN_DELTA_SEC slower than that min — a per-query 4x+multi-second
+    jump vs the recent floor on this box is contention, not code
+    (judge-measured heavy tail is +/-2-4x only on the handful of
+    persist-bound queries; a >=4x jump that DISAPPEARS again in the
+    next fresh run is the r11 signature). The min-anchor (not just the
+    adjacent record) closes the consecutive-contamination blind spot.
     Falls back to the oldest record rather than returning nothing.
     """
     recs = sorted(root.glob("BENCH_r[0-9]*.json"),
                   key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
     for i in range(len(recs) - 1, 0, -1):
-        cand, prior = recs[i], recs[i - 1]
+        cand = recs[i]
         try:
             cq = load_recorded(cand)["queries"]
-            pq = load_recorded(prior)["queries"]
         except (ValueError, OSError, SystemExit):
             continue
-        outliers = [n for n in cq if n in pq and pq[n] > 0
-                    and cq[n] > CONTAMINATION_X * pq[n]
-                    and cq[n] - pq[n] > MIN_DELTA_SEC]
+        floor: dict[str, float] = {}
+        prior_names = []
+        for prior in recs[max(0, i - CONTAMINATION_LOOKBACK):i]:
+            try:
+                pq = load_recorded(prior)["queries"]
+            except (ValueError, OSError, SystemExit):
+                continue
+            prior_names.append(prior.name)
+            for n, v in pq.items():
+                if v > 0:
+                    floor[n] = min(floor.get(n, v), v)
+        if not floor:
+            continue
+        outliers = [n for n in cq if n in floor
+                    and cq[n] > CONTAMINATION_X * floor[n]
+                    and cq[n] - floor[n] > MIN_DELTA_SEC]
         if not outliers:
             return cand
         print(f"note: skipping contaminated baseline {cand.name} — "
               f"{len(outliers)} queries > {CONTAMINATION_X}x vs "
-              f"{prior.name}: "
-              + ", ".join(f"{n} {cq[n]:.2f}s vs {pq[n]:.2f}s"
+              f"min({', '.join(prior_names)}): "
+              + ", ".join(f"{n} {cq[n]:.2f}s vs {floor[n]:.2f}s"
                           for n in sorted(outliers)[:5]))
     return recs[0] if recs else None
 

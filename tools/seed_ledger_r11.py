@@ -48,11 +48,22 @@ def main() -> int:
             print(f"{name}: already correct (round {old['round']})")
             continue
         if (old is not None and (old["out"], old["sql"]) !=
-                (fp["out"], fp["sql"]) and old["round"] <= SEED_ROUND):
-            # a genuinely newer behavior than r11's — not ours to
-            # backdate; leave it for the regular audit to stamp
-            print(f"{name}: fingerprint differs from the r11-era one "
+                (fp["out"], fp["sql"])):
+            # A fingerprint that differs from the recorded one is a
+            # behavior NEWER than what the ledger knows — never ours
+            # to backdate, regardless of the recorded round (ADVICE
+            # r12: the old `round <= SEED_ROUND` condition let a
+            # post-r11 entry with a differing fingerprint fall through
+            # to the stamp below, backdating a post-r11 behavior
+            # change with false provenance). Leave it for the regular
+            # rotation_audit --update to stamp at the current round.
+            print(f"{name}: fingerprint differs from the recorded one "
                   f"— leaving for rotation_audit")
+            continue
+        if old is not None and old["round"] > SEED_ROUND:
+            # identical fingerprint but already stamped newer — the
+            # newer provenance stands
+            print(f"{name}: already stamped at round {old['round']}")
             continue
         ledger[name] = {**fp, "round": SEED_ROUND}
         repaired.append(name)

@@ -31,8 +31,21 @@ def track(df: DataFrame) -> DataFrame:
 
 def release_all(blocking: bool = False) -> int:
     """Unpersist every tracked DataFrame; returns how many were freed."""
+    return release_since(0, blocking)
+
+
+def mark() -> int:
+    """Current position in the tracked-persist log — pair with
+    :func:`release_since` to free only the persists one query created
+    (the bench repeat loop: re-time a query cold w.r.t. its OWN
+    persists while keeping every earlier query's shared caches)."""
+    return len(_TRACKED)
+
+
+def release_since(marker: int, blocking: bool = False) -> int:
+    """Unpersist every DataFrame tracked after ``marker``."""
     n = 0
-    while _TRACKED:
+    while len(_TRACKED) > marker:
         df = _TRACKED.pop()
         try:
             df.unpersist(blocking)

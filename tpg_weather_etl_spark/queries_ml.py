@@ -1715,6 +1715,17 @@ def _oriented_triangles(spark: SparkSession,
     Shared by `q_part_triangles` (counts rows) and
     `q_clustering_coeff` (credits corners).
 
+    CONSTRUCTION-TIME ACTION (ADVICE r12, deliberate): the branch
+    pre-check below runs one bounded Spark job (`.first()` on a
+    two-level agg) while the plan is being BUILT, so callers cannot
+    build these plans schema-only or against absent data. Every
+    actual caller (driver gate, bench, check_oracle, the pytest
+    plan-budget/plan-lint suites) builds against real testdata, and
+    the branch choice is frozen per-build by design — the choice must
+    match the data the plan will run on, and a stale choice would
+    silently reintroduce exactly the d² hub blowup the split exists
+    to prevent.
+
     Skew guard (CONDITIONAL since round 12): when any apex's oriented
     out-degree exceeds WEDGE_APEX_BUDGET — detected by one bounded
     scalar agg on the persisted oriented edge list — that apex's
