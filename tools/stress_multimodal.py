@@ -5,9 +5,23 @@ linear scaling and batch-bounded memory — peak per task is one Arrow
 record batch of payloads, never a partition. This probe measures the
 claim instead of arguing it, mirroring the other stress tools:
 
-- generates the same synthetic media corpus at base and 2x row
-  counts (mixed WAV / PPM / RAWV / baseline-JPEG / poison payloads,
-  JPEG sides 8..48 px so per-row decode cost varies inside a batch) and asserts wall-clock grows <= RATIO_MAX per operator;
+- generates the same synthetic media corpus at THREE tiers (base,
+  2x, 4x rows — mixed WAV / PPM / RAWV / baseline-JPEG / AMDC /
+  giant-AMDC / poison payloads, JPEG sides 8..48 px so per-row decode
+  cost varies inside a batch) and gates on the WARM step
+  (tier2 -> tier3): tier 1 runs first and soaks whatever startup the
+  warm-up missed, so only a consecutive warm step is trusted as the
+  scaling signal — SCALE.md rule 12, the same 3-tier design as
+  stress_graph (the r12 2-tier record was evidentially vacuous:
+  its first tier absorbed warm-up and recorded 20.5s @ 20k vs
+  4.3s @ 40k, an inverted ratio that certifies nothing);
+- additionally gates NO-INVERSION on tier1 -> tier2 (ratio >= 0.8):
+  a first tier slower than the second means warm-up failed and the
+  record is not evidence;
+- plants a GIANT row class (every GIANT_EVERY-th row an AMDC payload
+  with ~10-90x the median frame count — the media analogue of the
+  graph probe's planted hub): per-batch decode cost skew must not
+  break linearity, because at 100 TB payload skew is the norm;
 - runs with spark.sql.execution.arrow.maxRecordsPerBatch pinned LOW
   (64) so every task iterates many small batches — the shape that
   catches an operator accidentally materializing a whole partition;
@@ -40,9 +54,30 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 sys.path.insert(0, str(ROOT / "tests"))  # jpeg_encoder_ref fixtures
 
-RATIO_MAX = 3.0          # linear ideal 2.0 on 2x rows
+RATIO_MAX = 3.0          # linear ideal 2.0 on 2x rows (warm step)
 RATIO_FLOOR_SEC = 2.0    # ignore ratios on sub-noise base times
+INVERSION_MIN = 0.8      # tier1->tier2 below this = warm-up failed
 POISON_EVERY = 17        # every 17th row is a corrupt payload
+GIANT_EVERY = 509        # every 509th row is a ~10-90x-cost payload
+
+
+def _row_class(i: int) -> str:
+    """Single source of truth for the synthetic corpus mix — the
+    generator AND every expected-count check below use this, so a
+    branch-order edit can never silently desynchronize them."""
+    if i % POISON_EVERY == 0:
+        return "poison"
+    if i % GIANT_EVERY == 7:
+        return "giant_amdc"
+    if i % 8 == 4:
+        return "amdc"
+    if i % 4 == 0:
+        return "wav"
+    if i % 4 == 1:
+        return "ppm"
+    if i % 4 == 2:
+        return "rawv"
+    return "jpeg"
 
 
 def _wav_payload(rng: np.random.Generator) -> bytes:
@@ -107,33 +142,43 @@ def _write_media(n_rows: int, out_dir: Path) -> None:
              for k in range(32)]
     amdcs = [_amdc_payload(rng, n_frames=4 + 4 * (k % 9))
              for k in range(32)]
+    # the planted heavy-payload skew class: ~10-90x the median AMDC
+    # frame count, cycled over 4 templates (360 frames vs median ~20)
+    giants = [_amdc_payload(rng, n_frames=360) for _ in range(4)]
 
     ids, kinds, contents, mimes = [], [], [], []
     widths, heights, durs = [], [], []
     for i in range(n_rows):
         ids.append(i)
-        if i % POISON_EVERY == 0:
+        cls = _row_class(i)
+        if cls == "poison":
             kinds.append("image")
             contents.append(b"\xff\xd8corrupt" + bytes(64))
             mimes.append("image/jpeg")
             widths.append(None); heights.append(None); durs.append(None)
-        elif i % 8 == 4:
+        elif cls == "giant_amdc":
+            kinds.append("audio")
+            contents.append(giants[i % 4])
+            mimes.append("audio/amdc")
+            widths.append(None); heights.append(None)
+            durs.append((360 - 1) * 16)
+        elif cls == "amdc":
             kinds.append("audio")
             contents.append(amdcs[i % 32])
             mimes.append("audio/amdc")
             widths.append(None); heights.append(None)
             durs.append((4 + 4 * (i % 32 % 9) - 1) * 16)
-        elif i % 4 == 0:
+        elif cls == "wav":
             kinds.append("audio")
             contents.append(wavs[i % 32])
             mimes.append("audio/wav")
             widths.append(None); heights.append(None); durs.append(128)
-        elif i % 4 == 1:
+        elif cls == "ppm":
             kinds.append("image")
             contents.append(ppms[i % 32])
             mimes.append("image/x-portable-pixmap")
             widths.append(40); heights.append(30); durs.append(None)
-        elif i % 4 == 2:
+        elif cls == "rawv":
             kinds.append("video")
             contents.append(rawvs[i % 32])
             mimes.append("video/x-rawv")
@@ -160,6 +205,8 @@ def _write_media(n_rows: int, out_dir: Path) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", type=int, default=20000)
+    ap.add_argument("--repeat", type=int, default=3,
+                    help="samples per op per tier; median recorded")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -179,7 +226,7 @@ def main() -> int:
     # that catches whole-partition materialization
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
 
-    sizes = [args.base, args.base * 2]
+    sizes = [args.base, args.base * 2, args.base * 4]
     ops = ["extract_features", "sample_frames", "resize_ppm",
            "metadata_stats"]
     timings: dict[str, dict[int, float]] = {o: {} for o in ops}
@@ -193,27 +240,46 @@ def main() -> int:
         media = spark.read.parquet(str(out_dir / "media.parquet")) \
             .repartition(spark.sparkContext.defaultParallelism)
         print(f"== {n} media rows ==")
-        # warm the JVM + Arrow + python workers untimed, else the
-        # first timed operator absorbs startup and fakes its ratio
-        extract_features(media.limit(512),
-                         decode_fn=real_decode_features) \
-            .write.format("noop").mode("overwrite").save()
+        # Warm-up at FULL parallelism (r12's `limit(512)` collapsed to
+        # a handful of partitions and warmed only a few python
+        # workers — the recorded first tier then absorbed the other
+        # workers' startup and inverted the ratio). A modulo filter
+        # keeps every partition populated, so all 32 workers fork,
+        # import numpy, and JIT the decode paths untimed.
+        warm = media.filter(F.col("media_id") % 37 == 1)
+        for warm_df in (
+                extract_features(warm, decode_fn=real_decode_features),
+                sample_frames(warm, every_k=2),
+                resize_ppm(warm, max_px=16),
+                metadata_stats(warm)):
+            warm_df.write.format("noop").mode("overwrite").save()
 
-        t0 = time.perf_counter()
-        feats = extract_features(media,
-                                 decode_fn=real_decode_features)
+        # Per-tier REPEAT-sample medians (rule 12, same as BENCH_graph
+        # / bench.py): at 2-6s per op a single sample's scheduler/disk
+        # jitter is comparable to the signal — the r12 single-pass
+        # warm-step read 2.93x on code whose median is ~2.0x.
+        def _median_time(run, repeats=args.repeat) -> float:
+            ts = []
+            for _ in range(max(1, repeats)):
+                t0 = time.perf_counter()
+                run()
+                ts.append(time.perf_counter() - t0)
+            return round(sorted(ts)[len(ts) // 2], 2)
+
+        feats = extract_features(media, decode_fn=real_decode_features)
         n_null = feats.filter(F.col("feature").isNull()
                               & F.col("n_bytes").isNotNull()).count()
-        timings["extract_features"][n] = round(
-            time.perf_counter() - t0, 2)
+        timings["extract_features"][n] = _median_time(
+            lambda: extract_features(media,
+                                     decode_fn=real_decode_features)
+            .write.format("noop").mode("overwrite").save())
         poison_nulls[n] = n_null
         # NULL features = corrupt payloads + RAWV videos (no real
         # decoder handles RAWV features — video goes through
         # sample_frames, so its decode raise IS the designed path);
-        # WAV, PPM, and now baseline JPEG all REALLY decode
+        # WAV, PPM, AMDC (incl. giants), and baseline JPEG all decode
         expect_null = sum(1 for i in range(n)
-                          if i % POISON_EVERY == 0
-                          or (i % 4 == 2))
+                          if _row_class(i) in ("poison", "rawv"))
         if n_null != expect_null:
             bad.append(f"poison isolation at n={n}: {n_null} NULL "
                        f"features vs {expect_null} expected "
@@ -221,22 +287,21 @@ def main() -> int:
         print(f"  extract_features: "
               f"{timings['extract_features'][n]}s ({n_null} poison)")
 
-        t0 = time.perf_counter()
         frames_rows[n] = sample_frames(media, every_k=2).count()
-        timings["sample_frames"][n] = round(time.perf_counter() - t0, 2)
+        timings["sample_frames"][n] = _median_time(
+            lambda: sample_frames(media, every_k=2)
+            .write.format("noop").mode("overwrite").save())
         print(f"  sample_frames: {timings['sample_frames'][n]}s "
               f"({frames_rows[n]} frames)")
 
-        t0 = time.perf_counter()
-        resize_ppm(media, max_px=16).write.format("noop").mode(
-            "overwrite").save()
-        timings["resize_ppm"][n] = round(time.perf_counter() - t0, 2)
+        timings["resize_ppm"][n] = _median_time(
+            lambda: resize_ppm(media, max_px=16)
+            .write.format("noop").mode("overwrite").save())
         print(f"  resize_ppm: {timings['resize_ppm'][n]}s")
 
-        t0 = time.perf_counter()
-        stats = metadata_stats(media)
-        stats.write.format("noop").mode("overwrite").save()
-        timings["metadata_stats"][n] = round(time.perf_counter() - t0, 2)
+        timings["metadata_stats"][n] = _median_time(
+            lambda: metadata_stats(media)
+            .write.format("noop").mode("overwrite").save())
         print(f"  metadata_stats: {timings['metadata_stats'][n]}s")
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -244,34 +309,48 @@ def main() -> int:
     # length(content), so `content` legitimately appears; the PRUNED
     # claim is about the pure-metadata projection
     media = None
-    ratios = {o: round(t[sizes[1]] / max(t[sizes[0]], 0.01), 2)
-              for o, t in timings.items()}
+    # tier1->tier2 is the warm-up check; tier2->tier3 (both warm, the
+    # consecutive warm step) is THE scaling signal — rule 12.
+    ratio_12 = {o: round(t[sizes[1]] / max(t[sizes[0]], 0.01), 2)
+                for o, t in timings.items()}
+    ratio_warm = {o: round(t[sizes[2]] / max(t[sizes[1]], 0.01), 2)
+                  for o, t in timings.items()}
     rec = {
         "sizes_rows": sizes,
         "timings_sec": {o: {str(k): v for k, v in t.items()}
                         for o, t in timings.items()},
-        "ratio_2x_rows": ratios,
+        "ratio_tier1_tier2": ratio_12,
+        "ratio_warm_step": ratio_warm,
         "ratio_max": RATIO_MAX,
+        "inversion_min": INVERSION_MIN,
         "poison_nulls": {str(k): v for k, v in poison_nulls.items()},
         "sampled_frame_rows": {str(k): v for k, v in frames_rows.items()},
         "arrow_max_records_per_batch": 64,
-        "row_classes": ["wav", "amdc(4..36 frames)", "ppm", "rawv",
-                        "jpeg(8..48px)", "poison"],
+        "repeat_per_tier": args.repeat,
+        "row_classes": ["wav", "amdc(4..36 frames)",
+                        "giant_amdc(360 frames, every 509th)", "ppm",
+                        "rawv", "jpeg(8..48px)", "poison"],
         "decoder": "real_decode_features (WAV/PPM stdlib, GIF LZW, "
                    "baseline-JPEG huffman+IDCT, AMDC mdct/tdac)",
     }
     (ROOT / "STRESS_multimodal.json").write_text(
         json.dumps(rec, indent=2) + "\n")
-    print(json.dumps(ratios, indent=1))
+    print("tier1->tier2:", json.dumps(ratio_12))
+    print("warm step   :", json.dumps(ratio_warm))
 
-    for o, r in ratios.items():
-        if timings[o][sizes[0]] >= RATIO_FLOOR_SEC and r > RATIO_MAX:
-            bad.append(f"{o}: {r}x")
-    # frame expansion must scale with input videos (every 3rd row,
-    # 8 frames sampled every 2 -> 4 rows per video)
+    for o in ops:
+        if (timings[o][sizes[1]] >= RATIO_FLOOR_SEC
+                and ratio_warm[o] > RATIO_MAX):
+            bad.append(f"{o}: warm step {ratio_warm[o]}x")
+        if (timings[o][sizes[0]] >= RATIO_FLOOR_SEC
+                and ratio_12[o] < INVERSION_MIN):
+            bad.append(f"{o}: tier1->tier2 inverted ({ratio_12[o]}x "
+                       f"< {INVERSION_MIN}) — warm-up failed, record "
+                       f"is not evidence")
+    # frame expansion must scale with input videos (8 frames sampled
+    # every 2 -> 4 rows per video)
     for n in sizes:
-        n_videos = sum(1 for i in range(n)
-                       if i % POISON_EVERY != 0 and i % 4 == 2)
+        n_videos = sum(1 for i in range(n) if _row_class(i) == "rawv")
         if frames_rows[n] != 4 * n_videos:
             bad.append(f"frame rows at n={n}: {frames_rows[n]} "
                        f"vs expected {4 * n_videos}")
