@@ -139,6 +139,12 @@ GRAPH = [
     "degree_distribution",
     "pagerank_parts",
     "part_triangles",
+    # round-13 (VERDICT r12 item 8): the other two triangle-family
+    # consumers join the recorded headline — BENCH_graph remains the
+    # standalone quick guard, but the driver-recorded BENCH_r* is the
+    # ONE regression surface and these two were only in the sidecar.
+    "clustering_coeff",
+    "edge_jaccard",
 ]
 
 

@@ -87,3 +87,51 @@ def test_bucket_distribution_on_clustered_corpus():
     # family spreads clusters across the 4096-code space
     assert min(occupied) > 300, occupied
     assert max(max_sizes) < n // 20, max_sizes
+
+
+def test_pair_jaccard_reduce_once_output_parity(spark):
+    """The large-corpus once-reduced verify path (r13,
+    _pair_jaccard(reduce_once=True)) must be value-identical to the
+    gate-pinned two-semi-join plan — the branch switch is a plan
+    choice, never a semantics choice."""
+    from pyspark.sql import functions as F
+
+    from tpg_weather_etl_spark.queries_text import _pair_jaccard
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(12)))
+         for i in range(40)]
+        + [(100 + i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(12)))
+           for i in range(10)],          # 10 exact near-dups of 0..9
+        ["doc_id", "text"])
+    from tpg_weather_etl_spark.queries_text import shingles_from_docs
+    sh = shingles_from_docs(docs, k=3)
+    cand = spark.createDataFrame(
+        [(i, 100 + i) for i in range(10)] + [(0, 5), (3, 17)],
+        ["doc_a", "doc_b"])
+
+    def rows(reduce_once):
+        out = _pair_jaccard(sh, cand=cand, reduce_once=reduce_once)
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_inter, round(r.jaccard, 9))
+            for r in out.collect())
+
+    base, once = rows(False), rows(True)
+    assert base == once
+    # 11 scored rows: the 10 planted dup pairs + (3,17); (0,5) shares
+    # no shingle, and zero-intersection candidates emit no row in
+    # EITHER branch (inner-join semantics — part of the parity claim)
+    assert len(base) == 11
+    assert sum(1 for r in base if r[3] == 1.0) == 10
+
+
+def test_mh_reduce_once_threshold(spark, tmp_path):
+    """Below MH_REDUCE_ONCE_MIN_DOCS the gate plan is untouched."""
+    from tpg_weather_etl_spark.queries_text import _mh_reduce_once
+
+    docs = spark.createDataFrame(
+        [(i, f"tiny doc {i}", "en", "web", 10) for i in range(50)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    assert _mh_reduce_once(spark, str(tmp_path)) is False

@@ -224,7 +224,8 @@ def _shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pair_jaccard(shingles: DataFrame, counts: DataFrame | None = None,
-                  cand: DataFrame | None = None) -> DataFrame:
+                  cand: DataFrame | None = None,
+                  reduce_once: bool = False) -> DataFrame:
     """Exact shingle-set Jaccard per doc pair via inverted-index join.
 
     One shuffle on the shingle key; pair counts aggregate map-side.
@@ -232,6 +233,23 @@ def _pair_jaccard(shingles: DataFrame, counts: DataFrame | None = None,
     ``counts`` (doc_id, n_sh) is required only on the exhaustive path;
     the candidate path derives per-doc counts from the semi-join-
     reduced shingle sides itself.
+
+    ``reduce_once`` (round 13, large-corpus path): reduce the shingle
+    table with ONE semi-join on the UNION of both candidate id sides
+    and persist the result, instead of two independent side-specific
+    semi-joins. The r13 stage profile (PROFILE_minhash_capped.json)
+    measured the two-reduction plan hitting a 10.8x verify cliff at
+    [1M -> 2M] docs while the capped candidate volume itself stayed
+    exactly linear (x1.98 per doubling): past AQE's broadcast
+    threshold each id set falls to a sort-merge semi-join that
+    shuffles the FULL shingle table — and each reduced side is
+    consumed twice (pair join + per-doc counts), so the un-persisted
+    subtree re-runs, 4 full-table passes total. The once-reduced
+    persisted table is computed in one pass and read by all four
+    consumers. Outputs are identical (the pair joins filter the extra
+    union docs; counts rows for never-matched ids drop in the inner
+    joins); gate-scale callers keep the default so sf0.001/0.01 plans
+    stay byte-identical.
     """
     a = shingles.select(F.col("doc_id").alias("doc_a"),
                         F.col("sh_hash").alias("sh_a"))
@@ -258,14 +276,29 @@ def _pair_jaccard(shingles: DataFrame, counts: DataFrame | None = None,
         # corpus document — per-doc-scale data that must never be
         # force-broadcast. AQE turns these semi-joins into broadcasts
         # at runtime exactly when the build side is actually small.
-        b2 = shingles.select(F.col("doc_id").alias("doc_b2"),
-                             F.col("sh_hash").alias("sh_b"))
-        a_red = a.join(cand.select("doc_a").distinct(),
-                       "doc_a", "left_semi")
-        b2_red = b2.join(
-            cand.select(F.col("doc_b").alias("doc_b2")).distinct(),
-            "doc_b2", "left_semi",
-        )
+        if reduce_once:
+            from pyspark import StorageLevel
+
+            from tpg_weather_etl_spark.caching import track
+            ids = (cand.select(F.col("doc_a").alias("doc_id"))
+                   .union(cand.select(F.col("doc_b").alias("doc_id")))
+                   .distinct())
+            red = track(
+                shingles.join(ids, "doc_id", "left_semi")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+            a_red = red.select(F.col("doc_id").alias("doc_a"),
+                               F.col("sh_hash").alias("sh_a"))
+            b2_red = red.select(F.col("doc_id").alias("doc_b2"),
+                                F.col("sh_hash").alias("sh_b"))
+        else:
+            b2 = shingles.select(F.col("doc_id").alias("doc_b2"),
+                                 F.col("sh_hash").alias("sh_b"))
+            a_red = a.join(cand.select("doc_a").distinct(),
+                           "doc_a", "left_semi")
+            b2_red = b2.join(
+                cand.select(F.col("doc_b").alias("doc_b2")).distinct(),
+                "doc_b2", "left_semi",
+            )
         inter = (
             cand.join(a_red, "doc_a")
             .join(b2_red, (F.col("doc_b") == F.col("doc_b2"))
@@ -700,7 +733,8 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b").distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pairs = _pair_jaccard(sh, cand=cand)
+    pairs = _pair_jaccard(sh, cand=cand,
+                          reduce_once=_mh_reduce_once(spark, sf_dir))
     return track(
         pairs.filter(F.col("jaccard") >= 0.5).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -728,6 +762,28 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 MH_BUCKET_CAP = 200   # max members per (band, bkey) bucket
+
+# Corpus size from which the MinHash verify switches to the
+# once-reduced persisted shingle path (_pair_jaccard reduce_once).
+# Below it the candidate id sets broadcast and the classic
+# two-semi-join plan is optimal AND byte-identical to the pinned gate
+# plans; above it the id sets outgrow AQE's broadcast threshold and
+# the two-reduction plan pays four full shingle-table passes
+# (PROFILE_minhash_capped.json: verify 17s -> 183s across [1M -> 2M]
+# on linear candidate volume). Same conditional-plan pattern as the
+# triangle family's apex split (one bounded construction-time job
+# picks the branch; choice must match the data the plan runs on).
+MH_REDUCE_ONCE_MIN_DOCS = 200_000
+
+
+def _mh_reduce_once(spark: SparkSession, sf_dir: str) -> bool:
+    """CONSTRUCTION-TIME ACTION (documented, same contract as
+    queries_ml._oriented_triangles): one parquet count picks the
+    verify branch, so building the minhash queries requires the
+    documents table to exist — every actual caller builds against
+    real testdata."""
+    return (t(spark, sf_dir, "documents").count()
+            >= MH_REDUCE_ONCE_MIN_DOCS)
 
 
 def filter_hot_band_buckets(bands: DataFrame,
@@ -776,7 +832,9 @@ def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str,
         .select("doc_a", "doc_b").distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return _pair_jaccard(sh, cand=cand).filter(F.col("jaccard") >= 0.5)
+    return _pair_jaccard(
+        sh, cand=cand, reduce_once=_mh_reduce_once(spark, sf_dir)
+    ).filter(F.col("jaccard") >= 0.5)
 
 
 

@@ -43,16 +43,170 @@ except ImportError:
 
 
 # The driver caps each round at 50 checked queries of the registry,
-# walking it in order. ROUND-12 ROTATION (VERDICT r11 item 5): head =
-# the three triangle-family queries whose PLAN changed this round
-# (the apex split became conditional — output-identical, pinned by
-# the forced-budget clique/brute-force tests, but the changed=>head
-# policy still re-proves them under the driver), then the staged
-# r8-stale block (the 47 names whose latest driver row is r8 —
-# including ann_buckets/ann_topk/embedding_neardup, r12's natural
-# head per the r11 staging note). 3 + 47 = exactly the 50-name cap;
-# after r12 no driver row is older than r9.
+# walking it in order. ROUND-13 ROTATION (VERDICT r12 item 6): head =
+# the r9-stale cohort (the 48 names whose latest driver row is r9 —
+# the staged r13 head from the r12 rotation note) plus the 2 stalest
+# of the r10 cohort (dup_span_regions, kn_bigram_logprob) to fill the
+# 50-name cap exactly. After r13 no registry query's latest driver
+# row is older than r10.
 _RUN_FIRST = [
+    "curation_e2e",
+    "bitext_mining_pairs",
+    "embedding_neardup_capped",
+    "jl_topk",
+    "numeric_profile",
+    "source_priority_dedup",
+    "domain_curation",
+    "source_lang_entropy",
+    "scd2_intervals",
+    "weighted_sample_topk",
+    "sliding_window_counts",
+    "rank_functions",
+    "fuzzy_match_sources",
+    "embedding_zscore",
+    "semantic_search",
+    "daily_value_quantiles",
+    "snapshot_diff",
+    "null_safe_join",
+    "array_hof_stats",
+    "sql_api_revenue",
+    "order_count_distribution",
+    "big_orders",
+    "small_quantity_revenue",
+    "char_fingerprints",
+    "vocab_ids",
+    "tokenized_docs",
+    "salted_join_revenue",
+    "constraint_report",
+    "json_extract",
+    "gap_fill_forward",
+    "pii_redact",
+    "chunk_dedup",
+    "sequence_pack",
+    "multimodal_metadata",
+    "embedding_neardup_multi",
+    "repetition_stats",
+    "unigram_logprob",
+    "pipeline_funnel",
+    "dedup_apply",
+    "semantic_dedup_keeper",
+    "semantic_dedup_apply",
+    "bm25_topk",
+    "dup_span_fraction",
+    "dup_span_apply",
+    "prefix_jaccard_pairs",
+    "pagerank_parts",
+    "degree_distribution",
+    "zipf_slope",
+    "dup_span_regions",
+    "kn_bigram_logprob",
+]
+
+# Stalest-first after the head: the rest of the r10-refreshed block —
+# staged as r14's natural head (with the freshest tail below filling
+# the remaining cap slots).
+_RUN_MID = [
+    "minhash_pairs_capped",
+    "deterministic_sample",
+    "embedding_contamination",
+    "basket_lift_pairs",
+    "ngram_novelty",
+    "nb_source_confusion",
+    "event_transitions",
+    "token_budget_sample",
+    "train_test_split",
+    "key_skew_profile",
+    "source_quality_matrix",
+    "approx_accuracy",
+    "group_mad",
+    "gap_fill_interpolate",
+    "trend_by_type",
+    "value_outliers",
+    "fk_integrity",
+    "cube_revenue",
+    "disjunctive_pred_revenue",
+    "idle_customer_balance",
+    "promo_revenue",
+    "volume_shipping",
+    "market_share",
+    "returned_items",
+    "top_supplier",
+    "priority_late_orders",
+    "min_cost_supplier",
+    "profit_by_nation_year",
+    "important_parts",
+    "supplier_cnt_by_type",
+    "waiting_orders",
+    "skyline_parts",
+    "decile_stats",
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "returnflag_priority_counts",
+    "excess_suppliers",
+    "unpivot_metrics",
+    "activity_bitmask",
+    "bitmap_distinct_users",
+    "int8_quant_topk",
+    "variant_extract",
+    "lateral_top_items",
+    "sequence_gaps",
+    "revenue_share",
+    "bpe_merges",
+]
+
+# Tail, stalest-first: the r11-refreshed block, then the 50 names
+# refreshed in round 12 (freshest, last to win a cap slot).
+_RUN_LAST = [
+    "contamination_eval",
+    "minhash_est_accuracy",
+    "heavy_hitters",
+    "source_kl_drift",
+    "doc_chunks",
+    "neardup_eval",
+    "cluster_split",
+    "bpe_encode",
+    "bigram_logprob",
+    "centroid_shift",
+    "ann_recall_eval",
+    "rrf_fusion",
+    "dedup_rate_by_source",
+    "winsorized_stats",
+    "source_ks_drift",
+    "chi2_source_lang",
+    "token_gini",
+    "lang_agreement",
+    "cluster_size_histogram",
+    "embedding_norm_profile",
+    "rolling_7d",
+    "sessionize",
+    "interval_join",
+    "pattern_within",
+    "asof_join",
+    "lag_grid",
+    "pricing_summary",
+    "top_orders",
+    "region_revenue",
+    "semi_join_parts",
+    "anti_join_customers",
+    "left_join_enrich",
+    "dedupe_exact",
+    "dedupe_priority",
+    "group_median",
+    "agg_by_bin",
+    "latest_per_user",
+    "scalar_bins",
+    "time_features",
+    "text_stats",
+    "lang_quality",
+    "fingerprint_dedup",
+    "simhash",
+    "simhash_pairs",
+    "contamination_ngrams",
+    "stratified_sample",
+    "length_buckets",
+    "gopher_quality",
+    "source_mix_weights",
     "part_triangles",
     "clustering_coeff",
     "edge_jaccard",
@@ -103,164 +257,6 @@ _RUN_FIRST = [
     "approx_stats",
     "session_window_agg",
     "bpe_token_stats",
-]
-
-# Stalest-first after the head: the r9-refreshed block (minus
-# part_triangles, pulled into the r12 head by the plan change) —
-# staged as r13's natural head.
-_RUN_MID = [
-    "curation_e2e",
-    "bitext_mining_pairs",
-    "embedding_neardup_capped",
-    "jl_topk",
-    "numeric_profile",
-    "source_priority_dedup",
-    "domain_curation",
-    "source_lang_entropy",
-    "scd2_intervals",
-    "weighted_sample_topk",
-    "sliding_window_counts",
-    "rank_functions",
-    "fuzzy_match_sources",
-    "embedding_zscore",
-    "semantic_search",
-    "daily_value_quantiles",
-    "snapshot_diff",
-    "null_safe_join",
-    "array_hof_stats",
-    "sql_api_revenue",
-    "order_count_distribution",
-    "big_orders",
-    "small_quantity_revenue",
-    "char_fingerprints",
-    "vocab_ids",
-    "tokenized_docs",
-    "salted_join_revenue",
-    "constraint_report",
-    "json_extract",
-    "gap_fill_forward",
-    "pii_redact",
-    "chunk_dedup",
-    "sequence_pack",
-    "multimodal_metadata",
-    "embedding_neardup_multi",
-    "repetition_stats",
-    "unigram_logprob",
-    "pipeline_funnel",
-    "dedup_apply",
-    "semantic_dedup_keeper",
-    "semantic_dedup_apply",
-    "bm25_topk",
-    "dup_span_fraction",
-    "dup_span_apply",
-    "prefix_jaccard_pairs",
-    "pagerank_parts",
-    "degree_distribution",
-    "zipf_slope",
-]
-
-# Tail, stalest-first: the r10-refreshed block (minus
-# clustering_coeff, pulled into the r12 head), then the 49 names
-# refreshed in round 11 (freshest, last to win a cap slot).
-_RUN_LAST = [
-    "dup_span_regions",
-    "kn_bigram_logprob",
-    "minhash_pairs_capped",
-    "deterministic_sample",
-    "embedding_contamination",
-    "basket_lift_pairs",
-    "ngram_novelty",
-    "nb_source_confusion",
-    "event_transitions",
-    "token_budget_sample",
-    "train_test_split",
-    "key_skew_profile",
-    "source_quality_matrix",
-    "approx_accuracy",
-    "group_mad",
-    "gap_fill_interpolate",
-    "trend_by_type",
-    "value_outliers",
-    "fk_integrity",
-    "cube_revenue",
-    "disjunctive_pred_revenue",
-    "idle_customer_balance",
-    "promo_revenue",
-    "volume_shipping",
-    "market_share",
-    "returned_items",
-    "top_supplier",
-    "priority_late_orders",
-    "min_cost_supplier",
-    "profit_by_nation_year",
-    "important_parts",
-    "supplier_cnt_by_type",
-    "waiting_orders",
-    "skyline_parts",
-    "decile_stats",
-    "shipping_priority",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "returnflag_priority_counts",
-    "excess_suppliers",
-    "unpivot_metrics",
-    "activity_bitmask",
-    "bitmap_distinct_users",
-    "int8_quant_topk",
-    "variant_extract",
-    "lateral_top_items",
-    "sequence_gaps",
-    "revenue_share",
-    "bpe_merges",
-    "contamination_eval",
-    "minhash_est_accuracy",
-    "heavy_hitters",
-    "source_kl_drift",
-    "doc_chunks",
-    "neardup_eval",
-    "cluster_split",
-    "bpe_encode",
-    "bigram_logprob",
-    "centroid_shift",
-    "ann_recall_eval",
-    "rrf_fusion",
-    "dedup_rate_by_source",
-    "winsorized_stats",
-    "source_ks_drift",
-    "chi2_source_lang",
-    "token_gini",
-    "lang_agreement",
-    "cluster_size_histogram",
-    "embedding_norm_profile",
-    "rolling_7d",
-    "sessionize",
-    "interval_join",
-    "pattern_within",
-    "asof_join",
-    "lag_grid",
-    "pricing_summary",
-    "top_orders",
-    "region_revenue",
-    "semi_join_parts",
-    "anti_join_customers",
-    "left_join_enrich",
-    "dedupe_exact",
-    "dedupe_priority",
-    "group_median",
-    "agg_by_bin",
-    "latest_per_user",
-    "scalar_bins",
-    "time_features",
-    "text_stats",
-    "lang_quality",
-    "fingerprint_dedup",
-    "simhash",
-    "simhash_pairs",
-    "contamination_ngrams",
-    "stratified_sample",
-    "length_buckets",
-    "gopher_quality",
-    "source_mix_weights",
 ]
 
 
