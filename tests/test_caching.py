@@ -1,0 +1,56 @@
+"""Lifecycle semantics of the tracked-persist registry
+(tpg_weather_etl_spark/caching.py) — the primitive bench.py's
+repeat-median isolation is built on."""
+
+from __future__ import annotations
+
+from tpg_weather_etl_spark import caching
+from tpg_weather_etl_spark.caching import (
+    mark,
+    release_all,
+    release_since,
+    track,
+)
+
+
+def _fresh():
+    release_all()
+    assert caching._TRACKED == []
+
+
+def test_track_is_idempotent_per_plan(spark):
+    """Re-tracking the same logical plan must not add a second
+    registry entry: the CacheManager holds ONE cache per plan, so a
+    second entry would let release_since unpersist a shared cache a
+    later query merely reused (the r13 bench-repeat defect)."""
+    _fresh()
+    a1 = track(spark.range(100).selectExpr("id", "id * 2 AS v")
+               .persist())
+    a2 = track(spark.range(100).selectExpr("id", "id * 2 AS v")
+               .persist())
+    other = track(spark.range(50).persist())
+    assert len(caching._TRACKED) == 2  # a-plan once + other
+    assert a1.count() == a2.count() == 100
+    assert other.count() == 50
+    release_all()
+
+
+def test_release_since_scopes_to_creation(spark):
+    """A consumer that re-tracks an earlier query's shared cache must
+    NOT have that cache released by its own release_since window."""
+    _fresh()
+    shared = track(spark.range(1000).selectExpr(
+        "id", "id % 7 AS k").persist())
+    shared.count()  # materialize
+
+    m = mark()
+    own = track(spark.range(10).persist())
+    track(spark.range(1000).selectExpr("id", "id % 7 AS k")
+          .persist())  # the consumer re-tracks the shared plan
+    own.count()
+    freed = release_since(m)
+    assert freed == 1  # only `own`; the shared cache survives
+    assert shared.storageLevel.useMemory  # still persisted
+    assert len(caching._TRACKED) == 1
+    release_all()
+    assert not shared.storageLevel.useMemory
