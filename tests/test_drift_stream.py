@@ -8,10 +8,12 @@ import json
 
 from tpg_weather_etl_spark.streaming.corpus_dedup import stream_documents
 from tpg_weather_etl_spark.streaming.drift_monitor import (
+
     baseline_from_corpus,
     batch_kl,
     start_drift_monitor,
 )
+from stream_utils import await_or_fail
 
 WORDS = [f"w{i}" for i in range(30)]
 
@@ -60,7 +62,7 @@ def test_stream_monitor_alerts_and_is_idempotent(spark, tmp_path):
     q = start_drift_monitor(
         stream_documents(spark, str(inbox), max_files_per_trigger=1),
         base, out, ckpt)
-    q.awaitTermination(120)
+    await_or_fail(q, 600)
 
     rows = spark.read.parquet(out).collect()
     by_source = {r.source: r for r in rows}
@@ -72,7 +74,7 @@ def test_stream_monitor_alerts_and_is_idempotent(spark, tmp_path):
     q2 = start_drift_monitor(
         stream_documents(spark, str(inbox), max_files_per_trigger=1),
         base, out, ckpt)
-    q2.awaitTermination(120)
+    await_or_fail(q2, 600)
     assert spark.read.parquet(out).count() == len(rows)
 
     # crash-replay idempotence: a FRESH checkpoint re-delivers every
@@ -82,5 +84,5 @@ def test_stream_monitor_alerts_and_is_idempotent(spark, tmp_path):
     q3 = start_drift_monitor(
         stream_documents(spark, str(inbox), max_files_per_trigger=1),
         base, out, str(tmp_path / "ckpt_replay"))
-    q3.awaitTermination(120)
+    await_or_fail(q3, 600)
     assert spark.read.parquet(out).count() == len(rows)

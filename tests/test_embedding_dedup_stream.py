@@ -17,8 +17,10 @@ from tpg_weather_etl_spark.queries_embeddings import (
     buckets_for_embeddings,
 )
 from tpg_weather_etl_spark.streaming.embedding_dedup import (
+
     incremental_embedding_dedup,
 )
+from stream_utils import await_or_fail
 
 DIM = 32
 TAU = 0.9
@@ -39,7 +41,7 @@ def _run(spark, inbox, out, bkt, ckpt, cap=None):
     q = incremental_embedding_dedup(spark, str(inbox), str(out),
                                     str(bkt), str(ckpt), tau=TAU,
                                     bucket_cap=cap)
-    q.awaitTermination(180)
+    await_or_fail(q, 600)
 
 
 def _ids(spark, path):
@@ -215,7 +217,7 @@ def test_stream_embedding_auto_cap_flips_on_dense_flood(
         q = incremental_embedding_dedup(
             spark, str(inbox), str(out), str(bkt), str(ckpt),
             tau=TAU, auto_cap=cap)
-        q.awaitTermination(300)
+        await_or_fail(q, 600)
 
     (inbox / "a.jsonl").write_text("\n".join(
         _vec(i, v) for i, v in enumerate(benign)))

@@ -4,6 +4,8 @@ untouched keys untouched."""
 from __future__ import annotations
 
 import datetime as dt
+from stream_utils import await_or_fail
+
 
 
 def _df(spark, rows):
@@ -94,7 +96,7 @@ def test_stream_wrapper_end_to_end(spark, tmp_path):
                       .alias("changed_at")))
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     q = stream_scd2(stream, out, ckpt)
-    q.awaitTermination(120)
+    await_or_fail(q, 600)
 
     ref = str(tmp_path / "ref")
     _apply(spark, ref, [B1 + B2])

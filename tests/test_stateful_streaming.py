@@ -5,6 +5,8 @@ from __future__ import annotations
 import time
 
 from tpg_weather_etl_spark.streaming.stateful import ALPHA, delay_ewma_by_line
+from stream_utils import await_or_fail
+
 
 
 def _write_batch(inbox, name, rows, mtime):
@@ -39,7 +41,7 @@ def test_ewma_state_across_batches(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    await_or_fail(q, 600)
     rows = spark.sql(
         "SELECT * FROM ewma_out ORDER BY n_events").collect()
     # batch 1: ewma = a*2 + (1-a)*1 ; batch 2 folds 3.0 on top of state

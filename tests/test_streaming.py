@@ -5,10 +5,12 @@ from __future__ import annotations
 
 from tpg_weather_etl_spark.schemas import IST_COLMAP
 from tpg_weather_etl_spark.streaming.istdaten_stream import (
+
     stream_delay_features,
     stream_istdaten,
     write_stream_to_parquet,
 )
+from stream_utils import await_or_fail
 
 IST_HEADER = ";".join(IST_COLMAP.keys())
 
@@ -41,7 +43,7 @@ def test_stream_istdaten_end_to_end(spark, tmp_path):
     agg = stream_delay_features(events)
     q = write_stream_to_parquet(agg, str(tmp_path / "out"),
                                 str(tmp_path / "ckpt")).start()
-    q.awaitTermination(120)
+    await_or_fail(q, 600)
     rows = {(r.sched_bin.minute, r.n_trips, r.n_late_ge2)
             for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert rows == {(0, 2, 1), (10, 1, 0)}
@@ -83,7 +85,7 @@ def test_stream_stream_weather_join(spark, tmp_path):
         joined.select("fahrt_bezeichner", "sched_bin", "temp_c",
                       "wind_ms"),
         str(tmp_path / "out"), str(tmp_path / "ckpt")).start()
-    q.awaitTermination(120)
+    await_or_fail(q, 600)
     rows = {r.fahrt_bezeichner: r
             for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert set(rows) == {"t1", "t2"}        # inner: t3 has no obs
@@ -117,7 +119,7 @@ def test_stream_upsert_replaces_overlapping_window(spark, tmp_path):
     q = write_stream_upsert(
         stream_weather(spark, str(inbox)), target,
         str(tmp_path / "ck1")).start()
-    q.awaitTermination(120)
+    await_or_fail(q, 600)
     first = spark.read.parquet(target).select("ts_utc", "temp_c").collect()
     assert len(first) == 2
 
@@ -130,7 +132,7 @@ def test_stream_upsert_replaces_overlapping_window(spark, tmp_path):
     q2 = write_stream_upsert(
         stream_weather(spark, str(inbox)), target,
         str(tmp_path / "ck1")).start()
-    q2.awaitTermination(120)
+    await_or_fail(q2, 600)
 
     rows = {r.ts_utc.strftime("%H:%M"): r.temp_c
             for r in spark.read.parquet(target).collect()}
@@ -174,7 +176,7 @@ def test_stream_session_windows_merge_and_close(spark, tmp_path):
     q = write_stream_to_parquet(
         stream_trip_sessions(events), str(tmp_path / "out"),
         str(tmp_path / "ckpt")).start()
-    q.awaitTermination(120)
+    await_or_fail(q, 600)
     rows = {(r.fahrt_bezeichner, r.s_start.minute, r.n_stops,
              r.max_delay_sec)
             for r in spark.read.parquet(str(tmp_path / "out")).collect()}
@@ -199,7 +201,7 @@ def test_stream_rerun_same_checkpoint_is_exactly_once(spark, tmp_path):
         q = write_stream_to_parquet(
             stream_delay_features(ev), str(tmp_path / "out"),
             str(tmp_path / "ckpt")).start()
-        q.awaitTermination(120)
+        await_or_fail(q, 600)
         return spark.read.parquet(str(tmp_path / "out")).count()
 
     n1 = run()
@@ -238,7 +240,7 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
     out = stream_enrich_dim(stream, dim, "k")
     q = (out.writeStream.format("memory").queryName("enriched")
          .trigger(availableNow=True).start())
-    q.awaitTermination(60)
+    await_or_fail(q, 600)
 
     got = {tuple(r) for r in spark.sql(
         "SELECT id, k, v, name FROM enriched").collect()}

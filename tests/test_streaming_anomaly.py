@@ -6,10 +6,12 @@ from __future__ import annotations
 import time
 
 from tpg_weather_etl_spark.streaming.anomaly import (
+
     MIN_N,
     Z_THRESH,
     anomalies_by_key,
 )
+from stream_utils import await_or_fail
 
 
 def _write_batch(inbox, name, rows, mtime):
@@ -55,7 +57,7 @@ def test_anomaly_alert_fires_against_cross_batch_baseline(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    await_or_fail(q, 600)
     rows = spark.sql("SELECT * FROM anom_out").collect()
     # exactly one alert: the outlier, judged against the batch-1
     # baseline that survived in the state store

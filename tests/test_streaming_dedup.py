@@ -7,9 +7,11 @@ from __future__ import annotations
 import json
 
 from tpg_weather_etl_spark.streaming.corpus_dedup import (
+
     stream_documents,
     write_stream_dedup,
 )
+from stream_utils import await_or_fail
 
 
 def _doc(doc_id, text, source="web"):
@@ -21,7 +23,7 @@ def _run_available(spark, inbox, out, ckpt):
     q = write_stream_dedup(
         stream_documents(spark, str(inbox), max_files_per_trigger=1),
         str(out), str(ckpt)).start()
-    q.awaitTermination(120)
+    await_or_fail(q, 600)
 
 
 def test_stream_dedup_in_and_cross_batch(spark, tmp_path):
@@ -94,7 +96,7 @@ def test_stream_dedup_bucketed_store(spark, tmp_path):
             stream_documents(spark, str(inbox), max_files_per_trigger=1),
             str(tmp_path / "unused"), str(ckpt), store_table=table,
             num_buckets=8).start()
-        q.awaitTermination(120)
+        await_or_fail(q, 600)
         # the stream's microbatches run in a cloned session whose
         # catalog-cache refresh doesn't reach this session — external
         # readers of an appended table refresh, per normal Spark
@@ -111,7 +113,7 @@ def test_stream_dedup_bucketed_store(spark, tmp_path):
             stream_documents(spark, str(inbox), max_files_per_trigger=1),
             str(tmp_path / "unused"), str(ckpt), store_table=table,
             num_buckets=8).start()
-        q.awaitTermination(120)
+        await_or_fail(q, 600)
         spark.catalog.refreshTable(table)
         assert {r.doc_id for r in spark.table(table).collect()} == {1, 3, 5}
     finally:
@@ -256,7 +258,7 @@ def test_stream_dedup_bucketed_store_orphan_recovery(spark, tmp_path):
             stream_documents(spark, str(inbox), max_files_per_trigger=1),
             str(tmp_path / "unused"), str(tmp_path / "ckpt"),
             store_table=table, num_buckets=8).start()
-        q.awaitTermination(120)
+        await_or_fail(q, 600)
         spark.catalog.refreshTable(table)
         assert ({r.doc_id for r in spark.table(table).collect()}
                 == orphan_ids | {5})

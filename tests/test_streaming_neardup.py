@@ -7,8 +7,10 @@ from __future__ import annotations
 import json
 
 from tpg_weather_etl_spark.streaming.neardup_stream import (
+
     incremental_neardup,
 )
+from stream_utils import await_or_fail
 
 BASE = ("spark merge join window sort hash table scan filter batch "
         "stream vector group query line value key agg row column order")
@@ -26,7 +28,7 @@ def _doc(doc_id, text):
 def _run(spark, inbox, out, bands, ckpt):
     q = incremental_neardup(spark, str(inbox), str(out), str(bands),
                             str(ckpt))
-    q.awaitTermination(180)
+    await_or_fail(q, 600)
 
 
 def test_stream_neardup_three_gates(spark, tmp_path):
@@ -97,7 +99,7 @@ def test_flood_keeps_band_store_bounded(spark, tmp_path):
     def run_capped():
         q = incremental_neardup(spark, str(inbox), str(out), str(bands),
                                 str(ckpt), bucket_cap=CAP)
-        q.awaitTermination(300)
+        await_or_fail(q, 600)
 
     novel = ("alpha beta gamma delta epsilon zeta eta theta iota "
              "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
@@ -171,7 +173,7 @@ def test_auto_cap_flips_on_mid_stream_flood(spark, tmp_path):
     def run_auto():
         q = incremental_neardup(spark, str(inbox), str(out), str(bands),
                                 str(ckpt), auto_cap=CAP)
-        q.awaitTermination(300)
+        await_or_fail(q, 600)
 
     # wave 1: benign — every doc opens differently; the profile must
     # NOT latch and nothing is capped

@@ -10,8 +10,10 @@ import json
 from pyspark.sql import types as T
 
 from tpg_weather_etl_spark.streaming.watermark_dedup import (
+
     dedup_within_watermark,
 )
+from stream_utils import await_or_fail
 
 SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType(), True),
@@ -63,7 +65,7 @@ def test_dedup_within_watermark_drops_replays_and_expires(spark, tmp_path):
          .outputMode("append")
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(120)
+    await_or_fail(q, 600)
 
     rows = sorted((r.event_id, r.ts.strftime("%H:%M"))
                   for r in spark.read.parquet(str(tmp_path / "out")).collect())
