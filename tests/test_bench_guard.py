@@ -90,3 +90,48 @@ def test_median_record_with_repeat_metadata_parses(tmp_path):
     assert load_recorded(p)["queries"] == {"a": 4.0, "b": 6.0}
     _write(tmp_path, 12, {"a": 4.1, "b": 5.8})
     assert select_baseline(tmp_path) == p
+
+
+def test_accepted_regression_stamp_exempts_contamination(tmp_path):
+    """ADVICE r13: a deliberate >=4x code-change slowdown must not get
+    every post-change record rejected as contaminated. A record
+    carrying the query in `accepted_regressions` is selectable; the
+    identical record WITHOUT the stamp is rejected."""
+    _write(tmp_path, 1, {"a": 1.0, "b": 2.0})
+    unstamped = _write(tmp_path, 2, {"a": 9.0, "b": 2.0})
+    assert select_baseline(tmp_path) != unstamped
+
+    stamped = tmp_path / "BENCH_r03.json"
+    stamped.write_text(json.dumps({
+        "queries": {"a": 9.1, "b": 2.1},
+        "accepted_regressions": {"a": "extra verify pass (r14 fix)"},
+    }))
+    assert select_baseline(tmp_path) == stamped
+
+
+def test_accepted_regression_stamp_survives_compact_decode(tmp_path):
+    """The stamp must round-trip through the compact times-array
+    record format (the only copy the driver durably keeps)."""
+    from tools.bench_guard import load_recorded
+    names = tmp_path.parent / "x"  # manifest lives at repo root; the
+    # compact decode falls back to the named subset when absent
+    del names
+    p = tmp_path / "BENCH_r04.json"
+    p.write_text(json.dumps({
+        "queries": {"a": 9.0}, "times": [9.0],
+        "names": "BENCH_names.json", "n_timed": 1,
+        "accepted_regressions": ["a"],
+    }))
+    rec = load_recorded(p)
+    assert rec.get("accepted_regressions") == ["a"]
+
+
+def test_unstamped_contamination_still_rejected_alongside_stamp(tmp_path):
+    """A stamp on one query must not excuse contamination on another."""
+    _write(tmp_path, 1, {"a": 1.0, "b": 1.0})
+    mixed = tmp_path / "BENCH_r02.json"
+    mixed.write_text(json.dumps({
+        "queries": {"a": 9.0, "b": 25.0},
+        "accepted_regressions": {"a": "signed"},
+    }))
+    assert select_baseline(tmp_path) != mixed

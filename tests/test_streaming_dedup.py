@@ -305,3 +305,74 @@ def test_repair_orphaned_table_policies(spark, tmp_path):
     assert repair_orphaned_table(spark, t_dbg) is False
     assert not spark.catalog.tableExists(t_dbg)
     assert not loc.exists()
+
+
+def test_repair_refuses_unclassifiable_layouts(spark):
+    """ADVICE r13 (medium): the debris-clearing branch used to
+    recursively delete ANY location without top-level parquet — a
+    partitioned table's committed data (which lives one directory
+    down, under ``month=…``) would have been silently destroyed. The
+    helper must refuse what it cannot prove is uncommitted debris."""
+    import shutil
+    from pathlib import Path
+
+    import pytest
+
+    from tpg_weather_etl_spark.sources.writers import (
+        managed_table_location, repair_orphaned_table)
+
+    # partition-style subdirectory with committed data below
+    t_part = "repair_policy_partitioned_t"
+    loc = Path(_local_path(managed_table_location(spark, t_part)))
+    if loc.exists():
+        shutil.rmtree(loc)
+    part = loc / "month=2020-01"
+    part.mkdir(parents=True)
+    (part / "part-00000.snappy.parquet").write_bytes(b"PAR1")
+    (loc / "_SUCCESS").write_text("")
+    try:
+        with pytest.raises(ValueError, match="refusing to clear"):
+            repair_orphaned_table(spark, t_part)
+        # the data must be untouched by the refusal
+        assert (part / "part-00000.snappy.parquet").exists()
+    finally:
+        shutil.rmtree(loc)
+
+    # foreign non-parquet file: equally unclassifiable -> refuse
+    t_csv = "repair_policy_foreign_t"
+    loc = Path(_local_path(managed_table_location(spark, t_csv)))
+    if loc.exists():
+        shutil.rmtree(loc)
+    loc.mkdir(parents=True)
+    (loc / "data.csv").write_text("k,v\n1,2\n")
+    try:
+        with pytest.raises(ValueError, match="refusing to clear"):
+            repair_orphaned_table(spark, t_csv)
+        assert (loc / "data.csv").exists()
+    finally:
+        shutil.rmtree(loc)
+
+
+def test_managed_table_location_uses_current_database(spark):
+    """ADVICE r13: after USE mydb, saveAsTable writes an unqualified
+    name under <wh>/mydb.db/<name>; the location helper must resolve
+    against the session's current database or orphan repair targets
+    the wrong path."""
+    from tpg_weather_etl_spark.sources.writers import (
+        managed_table_location)
+
+    db = "mtl_probe_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        spark.catalog.setCurrentDatabase(db)
+        loc = managed_table_location(spark, "t1")
+        assert loc.endswith(f"{db}.db/t1"), loc
+        # explicit qualification still wins over the current database
+        loc_q = managed_table_location(spark, "default.t1")
+        assert loc_q.endswith("/t1") and not loc_q.endswith(".db/t1")
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    # back in default: flat path directly under the warehouse dir
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    assert managed_table_location(spark, "t2") == f"{wh}/t2"

@@ -82,15 +82,26 @@ def select_baseline(root: Path = ROOT) -> Path | None:
     next fresh run is the r11 signature). The min-anchor (not just the
     adjacent record) closes the consecutive-contamination blind spot.
     Falls back to the oldest record rather than returning nothing.
+
+    Accepted-regression escape hatch (ADVICE r13): a LEGITIMATE code
+    change that slows a query >= CONTAMINATION_X would otherwise get
+    every post-change record rejected until the fast pre-change times
+    age out of the lookback window. A record may carry an
+    ``accepted_regressions`` stamp (written by bench.py from its
+    ACCEPTED_REGRESSIONS map); stamped names are excluded from that
+    candidate's contamination-outlier check — the author has signed
+    the slowdown as code, not contention.
     """
     recs = sorted(root.glob("BENCH_r[0-9]*.json"),
                   key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
     for i in range(len(recs) - 1, 0, -1):
         cand = recs[i]
         try:
-            cq = load_recorded(cand)["queries"]
+            crec = load_recorded(cand)
+            cq = crec["queries"]
         except (ValueError, OSError, SystemExit):
             continue
+        accepted = set(crec.get("accepted_regressions") or [])
         floor: dict[str, float] = {}
         prior_names = []
         for prior in recs[max(0, i - CONTAMINATION_LOOKBACK):i]:
@@ -104,10 +115,14 @@ def select_baseline(root: Path = ROOT) -> Path | None:
                     floor[n] = min(floor.get(n, v), v)
         if not floor:
             continue
-        outliers = [n for n in cq if n in floor
+        outliers = [n for n in cq if n in floor and n not in accepted
                     and cq[n] > CONTAMINATION_X * floor[n]
                     and cq[n] - floor[n] > MIN_DELTA_SEC]
         if not outliers:
+            if accepted:
+                print(f"note: {cand.name} carries accepted-regression "
+                      f"stamps excluded from the contamination check: "
+                      f"{sorted(accepted)}")
             return cand
         print(f"note: skipping contaminated baseline {cand.name} — "
               f"{len(outliers)} queries > {CONTAMINATION_X}x vs "
@@ -138,7 +153,11 @@ def load_recorded(path: Path) -> dict:
             if n_timed is not None and len(q) != n_timed:
                 print(f"note: {path.name} decodes {len(q)} of "
                       f"{n_timed} timings (manifest drift)")
-            return {"queries": q}
+            out = {"queries": q}
+            acc = parsed.get("accepted_regressions")
+            if acc:
+                out["accepted_regressions"] = list(acc)
+            return out
     if "queries" in parsed:
         return parsed
     # Driver wrapper with a TRUNCATED tail (the stdout buffer cuts the
@@ -231,8 +250,20 @@ def main() -> int:
             f"({new_q[n]:.2f}s raw vs {old_q[n]:.2f}s)"
             for n in gshared))
 
+    # Names the CURRENT code signs as deliberately slower (bench.py
+    # ACCEPTED_REGRESSIONS) are exempt from per-query failure against
+    # a pre-change baseline; the shared-total gates still include them
+    # so an unbounded blowup can't hide behind a stamp.
+    from bench import ACCEPTED_REGRESSIONS
+    if ACCEPTED_REGRESSIONS:
+        print("accepted regressions (per-query gate waived): "
+              + ", ".join(f"{n} ({r})"
+                          for n, r in sorted(ACCEPTED_REGRESSIONS.items())))
+
     failures = []
     for n in shared:
+        if n in ACCEPTED_REGRESSIONS:
+            continue
         norm = new_q[n] / canary
         if (norm > REGRESSION_X * old_q[n]
                 and new_q[n] - old_q[n] > MIN_DELTA_SEC):

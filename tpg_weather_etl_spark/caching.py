@@ -16,11 +16,20 @@ Spark just recomputes the subtree if a released plan is re-executed.
 
 from __future__ import annotations
 
-from typing import List
+from typing import Any, List, Optional
 
 from pyspark.sql import DataFrame
 
 _TRACKED: List[DataFrame] = []
+# Parallel to _TRACKED: the analyzed-plan JVM handle and its
+# semanticHash, captured ONCE at registration (ADVICE r13: the
+# round-13 version re-fetched queryExecution().analyzed() for every
+# tracked entry on every track() call — an O(n) Py4J round-trip scan
+# that turns O(n^2) across a bench run whose persists accumulate).
+# None entries mean plan access failed at registration (stopping
+# session) and that slot never matches — release tolerates dupes.
+_PLANS: List[Optional[Any]] = []
+_HASHES: List[Optional[int]] = []
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -37,18 +46,29 @@ def track(df: DataFrame) -> DataFrame:
     full signature+band rebuild, dedup_apply 3.6s -> 7.0s between
     samples). A re-track of an already-tracked plan is now a no-op,
     so release scoping follows cache CREATION, exactly matching the
-    CacheManager's own one-entry-per-plan semantics."""
+    CacheManager's own one-entry-per-plan semantics.
+
+    Cost discipline (round 14): the dedup check is two JVM calls for
+    the NEW plan (analyzed + semanticHash), then a pure-Python hash
+    scan; ``sameResult`` — the only cross-plan JVM round-trip — runs
+    ONLY within a hash-collision bucket, which for distinct plans is
+    empty. semanticHash equality does not imply plan equality, so the
+    confirm step stays."""
     try:
         new_plan = df._jdf.queryExecution().analyzed()
-        for existing in _TRACKED:
-            if existing._jdf.queryExecution().analyzed().sameResult(
-                    new_plan):
-                return df
+        new_hash = new_plan.semanticHash()
     except Exception:
         # plan access can fail on a stopping session — fall through
         # to plain registration, release_since tolerates duplicates
-        pass
+        new_plan, new_hash = None, None
+    if new_hash is not None:
+        for i, h in enumerate(_HASHES):
+            if (h == new_hash and _PLANS[i] is not None
+                    and _PLANS[i].sameResult(new_plan)):
+                return df
     _TRACKED.append(df)
+    _PLANS.append(new_plan)
+    _HASHES.append(new_hash)
     return df
 
 
@@ -70,6 +90,10 @@ def release_since(marker: int, blocking: bool = False) -> int:
     n = 0
     while len(_TRACKED) > marker:
         df = _TRACKED.pop()
+        if _PLANS:
+            _PLANS.pop()
+        if _HASHES:
+            _HASHES.pop()
         try:
             df.unpersist(blocking)
             n += 1

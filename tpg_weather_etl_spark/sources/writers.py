@@ -158,12 +158,24 @@ def managed_table_location(spark: SparkSession, table: str) -> str:
     table — warehouse dir + (``<db>.db/``)? + lowercased table name.
     Needed to detect ORPHANED locations: data on disk whose catalog
     entry died with a previous session (in-memory catalog) or a crash
-    between write and catalog commit."""
+    between write and catalog commit.
+
+    Unqualified names resolve against the session's CURRENT database
+    (``spark.catalog.currentDatabase()``), exactly as ``saveAsTable``
+    does — after ``USE mydb`` a bare ``t`` lives under
+    ``<wh>/mydb.db/t``, not ``<wh>/t`` (ADVICE r13)."""
     wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
     parts = table.split(".")
     name = parts[-1].lower()
-    if len(parts) > 1 and parts[0].lower() != "default":
-        return f"{wh}/{parts[0].lower()}.db/{name}"
+    if len(parts) > 1:
+        db = parts[0].lower()
+    else:
+        try:
+            db = spark.catalog.currentDatabase().lower()
+        except Exception:
+            db = "default"
+    if db != "default":
+        return f"{wh}/{db}.db/{name}"
     return f"{wh}/{name}"
 
 
@@ -196,14 +208,21 @@ def repair_orphaned_table(
     Policy:
     - table already in catalog → no-op (False);
     - location absent → no-op (False);
-    - location present, no committed parquet files (crash before the
-      first job commit — only ``_temporary``/markers) → clear the
-      location so the next write bootstraps cleanly (False);
-    - location present with committed data → ``CREATE TABLE … USING
-      parquet [CLUSTERED BY … INTO n BUCKETS] LOCATION`` with the
-      schema read from the files (True). ``LOCATION`` makes the
-      registered table external — the data outlives DROP TABLE, which
-      is the correct durability for a dedup store.
+    - location present, holding ONLY marker entries (``_temporary``,
+      ``_SUCCESS``, dotfiles — a crash before the first job commit) →
+      clear the location so the next write bootstraps cleanly (False);
+    - location present with top-level committed parquet → ``CREATE
+      TABLE … USING parquet [CLUSTERED BY … INTO n BUCKETS] LOCATION``
+      with the schema read from the files (True). ``LOCATION`` makes
+      the registered table external — the data outlives DROP TABLE,
+      which is the correct durability for a dedup store;
+    - location present with NON-marker entries this flat-layout helper
+      cannot classify (subdirectories — e.g. a partitioned table's
+      ``month=…`` dirs — or non-parquet files) → raise. Deleting here
+      (the pre-round-14 behavior) could destroy a partitioned table's
+      committed data that merely lives one level down; a helper scoped
+      to flat bucketed stores must refuse what it can't prove is
+      uncommitted debris.
 
     Bucket spec is declared, not inferred: pass the SAME
     ``bucket_cols``/``num_buckets`` the store was written with.
@@ -224,6 +243,16 @@ def repair_orphaned_table(
                  if s.getPath().getName().endswith(".parquet")
                  and not s.getPath().getName().startswith(("_", "."))]
     if not committed:
+        unclassified = [s.getPath().getName() for s in statuses
+                        if not s.getPath().getName().startswith(("_", "."))]
+        if unclassified:
+            raise ValueError(
+                f"refusing to clear {loc}: no top-level committed "
+                f"parquet, but non-marker entries exist "
+                f"({sorted(unclassified)[:5]}…). This helper only "
+                f"repairs FLAT bucketed layouts; a partitioned or "
+                f"foreign layout must be registered or cleared by "
+                f"its owner, not recursively deleted as debris.")
         fs.delete(p, True)
         return False
     schema = spark.read.parquet(loc).schema
