@@ -43,220 +43,222 @@ except ImportError:
 
 
 # The driver caps each round at 50 checked queries of the registry,
-# walking it in order. ROUND-13 ROTATION (VERDICT r12 item 6): head =
-# the r9-stale cohort (the 48 names whose latest driver row is r9 —
-# the staged r13 head from the r12 rotation note) plus the 2 stalest
-# of the r10 cohort (dup_span_regions, kn_bigram_logprob) to fill the
-# 50-name cap exactly. After r13 no registry query's latest driver
-# row is older than r10.
+# walking it in order. ROUND-14 ROTATION (mechanical, stalest-first
+# from CORRECTNESS_r*.json): head = the full r10-stale cohort (47
+# names — everything whose latest driver row is r10) plus the 3
+# stalest of the r11 cohort (by oldest PRIOR driver row, then name:
+# contamination_eval debuted at r11 and has no earlier row;
+# agg_by_bin and ann_recall_eval were last seen before r11 at r7) to
+# fill the 50-name cap exactly. After r14 no registry query's latest
+# driver row is older than r11.
 _RUN_FIRST = [
-    "curation_e2e",
-    "bitext_mining_pairs",
-    "embedding_neardup_capped",
-    "jl_topk",
-    "numeric_profile",
-    "source_priority_dedup",
-    "domain_curation",
-    "source_lang_entropy",
-    "scd2_intervals",
-    "weighted_sample_topk",
-    "sliding_window_counts",
-    "rank_functions",
-    "fuzzy_match_sources",
-    "embedding_zscore",
-    "semantic_search",
-    "daily_value_quantiles",
-    "snapshot_diff",
-    "null_safe_join",
-    "array_hof_stats",
-    "sql_api_revenue",
-    "order_count_distribution",
-    "big_orders",
-    "small_quantity_revenue",
-    "char_fingerprints",
-    "vocab_ids",
-    "tokenized_docs",
-    "salted_join_revenue",
-    "constraint_report",
-    "json_extract",
-    "gap_fill_forward",
-    "pii_redact",
-    "chunk_dedup",
-    "sequence_pack",
-    "multimodal_metadata",
-    "embedding_neardup_multi",
-    "repetition_stats",
-    "unigram_logprob",
-    "pipeline_funnel",
-    "dedup_apply",
-    "semantic_dedup_keeper",
-    "semantic_dedup_apply",
-    "bm25_topk",
-    "dup_span_fraction",
-    "dup_span_apply",
-    "prefix_jaccard_pairs",
-    "pagerank_parts",
-    "degree_distribution",
-    "zipf_slope",
-    "dup_span_regions",
-    "kn_bigram_logprob",
+    "embedding_contamination",
+    "minhash_pairs_capped",
+    "activity_bitmask",
+    "approx_accuracy",
+    "basket_lift_pairs",
+    "bitmap_distinct_users",
+    "cube_revenue",
+    "decile_stats",
+    "disjunctive_pred_revenue",
+    "event_transitions",
+    "excess_suppliers",
+    "fk_integrity",
+    "forecast_revenue_change",
+    "gap_fill_interpolate",
+    "group_mad",
+    "idle_customer_balance",
+    "important_parts",
+    "int8_quant_topk",
+    "key_skew_profile",
+    "local_supplier_volume",
+    "market_share",
+    "min_cost_supplier",
+    "nb_source_confusion",
+    "ngram_novelty",
+    "priority_late_orders",
+    "profit_by_nation_year",
+    "promo_revenue",
+    "returned_items",
+    "returnflag_priority_counts",
+    "shipping_priority",
+    "skyline_parts",
+    "source_quality_matrix",
+    "supplier_cnt_by_type",
+    "token_budget_sample",
+    "top_supplier",
+    "train_test_split",
+    "trend_by_type",
+    "unpivot_metrics",
+    "value_outliers",
+    "volume_shipping",
+    "waiting_orders",
+    "bpe_merges",
+    "lateral_top_items",
+    "revenue_share",
+    "sequence_gaps",
+    "variant_extract",
+    "deterministic_sample",
+    "contamination_eval",
+    "agg_by_bin",
+    "ann_recall_eval",
 ]
 
-# Stalest-first after the head: the rest of the r10-refreshed block —
-# staged as r14's natural head (with the freshest tail below filling
+# Stalest-first after the head: the rest of the r11-refreshed cohort —
+# staged as r15's natural head (with the freshest tail below filling
 # the remaining cap slots).
 _RUN_MID = [
-    "minhash_pairs_capped",
-    "deterministic_sample",
-    "embedding_contamination",
-    "basket_lift_pairs",
-    "ngram_novelty",
-    "nb_source_confusion",
-    "event_transitions",
-    "token_budget_sample",
-    "train_test_split",
-    "key_skew_profile",
-    "source_quality_matrix",
-    "approx_accuracy",
-    "group_mad",
-    "gap_fill_interpolate",
-    "trend_by_type",
-    "value_outliers",
-    "fk_integrity",
-    "cube_revenue",
-    "disjunctive_pred_revenue",
-    "idle_customer_balance",
-    "promo_revenue",
-    "volume_shipping",
-    "market_share",
-    "returned_items",
-    "top_supplier",
-    "priority_late_orders",
-    "min_cost_supplier",
-    "profit_by_nation_year",
-    "important_parts",
-    "supplier_cnt_by_type",
-    "waiting_orders",
-    "skyline_parts",
-    "decile_stats",
-    "shipping_priority",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "returnflag_priority_counts",
-    "excess_suppliers",
-    "unpivot_metrics",
-    "activity_bitmask",
-    "bitmap_distinct_users",
-    "int8_quant_topk",
-    "variant_extract",
-    "lateral_top_items",
-    "sequence_gaps",
-    "revenue_share",
-    "bpe_merges",
-]
-
-# Tail, stalest-first: the r11-refreshed block, then the 50 names
-# refreshed in round 12 (freshest, last to win a cap slot).
-_RUN_LAST = [
-    "contamination_eval",
-    "minhash_est_accuracy",
-    "heavy_hitters",
-    "source_kl_drift",
-    "doc_chunks",
-    "neardup_eval",
-    "cluster_split",
-    "bpe_encode",
-    "bigram_logprob",
-    "centroid_shift",
-    "ann_recall_eval",
-    "rrf_fusion",
-    "dedup_rate_by_source",
-    "winsorized_stats",
-    "source_ks_drift",
-    "chi2_source_lang",
-    "token_gini",
-    "lang_agreement",
-    "cluster_size_histogram",
-    "embedding_norm_profile",
-    "rolling_7d",
-    "sessionize",
-    "interval_join",
-    "pattern_within",
-    "asof_join",
-    "lag_grid",
-    "pricing_summary",
-    "top_orders",
-    "region_revenue",
-    "semi_join_parts",
     "anti_join_customers",
-    "left_join_enrich",
+    "asof_join",
+    "bigram_logprob",
+    "bpe_encode",
+    "centroid_shift",
+    "chi2_source_lang",
+    "cluster_size_histogram",
+    "cluster_split",
+    "contamination_ngrams",
+    "dedup_rate_by_source",
     "dedupe_exact",
     "dedupe_priority",
-    "group_median",
-    "agg_by_bin",
-    "latest_per_user",
-    "scalar_bins",
-    "time_features",
-    "text_stats",
-    "lang_quality",
+    "doc_chunks",
+    "embedding_norm_profile",
     "fingerprint_dedup",
+    "group_median",
+    "heavy_hitters",
+    "interval_join",
+    "lag_grid",
+    "lang_agreement",
+    "lang_quality",
+    "latest_per_user",
+    "left_join_enrich",
+    "length_buckets",
+    "neardup_eval",
+    "pattern_within",
+    "pricing_summary",
+    "region_revenue",
+    "rolling_7d",
+    "rrf_fusion",
+    "scalar_bins",
+    "semi_join_parts",
+    "sessionize",
     "simhash",
     "simhash_pairs",
-    "contamination_ngrams",
+    "source_kl_drift",
+    "source_ks_drift",
     "stratified_sample",
-    "length_buckets",
+    "text_stats",
+    "time_features",
+    "token_gini",
+    "top_orders",
+    "winsorized_stats",
     "gopher_quality",
     "source_mix_weights",
+    "minhash_est_accuracy",
+]
+
+# Tail, stalest-first: the r12-refreshed cohort, then the 50 names
+# refreshed in round 13 (freshest, last to win a cap slot).
+_RUN_LAST = [
+    "ann_buckets",
+    "ann_topk",
+    "approx_stats",
+    "array_agg_types",
+    "bigram_topk",
+    "boilerplate_prefixes",
+    "bpe_token_stats",
+    "char_entropy",
+    "cohort_retention",
+    "containment_pairs",
+    "contains_filter",
+    "contrastive_triplets",
+    "dedup_clusters",
+    "dedup_keeper",
+    "distinct_months",
+    "dominant_event_type",
+    "dsir_importance",
+    "embedding_dedup_clusters",
+    "embedding_neardup",
+    "embedding_topk",
+    "funnel_steps",
+    "heatmap_hour_dow",
+    "intersect_except",
+    "ivf_topk",
+    "kmeans_ivf_topk",
+    "kpi_summary",
+    "label_centroids",
+    "minhash_pairs",
+    "minmax_bounds",
+    "mixed_sample",
+    "multimodal_features",
+    "ngram_coverage_curve",
+    "ngram_jaccard_pairs",
+    "null_profile",
+    "pack_efficiency",
+    "perplexity_filter_apply",
+    "pivot_event_values",
+    "pq_topk",
+    "quality_filter_funnel",
+    "rollup_revenue",
+    "scalar_normalize",
+    "session_window_agg",
+    "source_overlap_jaccard",
+    "temperature_mix_weights",
+    "tfidf_top_terms",
+    "topk_latest",
+    "union_shards",
     "part_triangles",
     "clustering_coeff",
     "edge_jaccard",
-    "mixed_sample",
-    "embedding_topk",
-    "ann_buckets",
-    "ann_topk",
-    "embedding_neardup",
-    "ivf_topk",
-    "scalar_normalize",
-    "heatmap_hour_dow",
-    "kpi_summary",
-    "cohort_retention",
-    "funnel_steps",
-    "tfidf_top_terms",
-    "bigram_topk",
-    "dominant_event_type",
-    "distinct_months",
-    "minmax_bounds",
-    "null_profile",
-    "topk_latest",
-    "contains_filter",
-    "union_shards",
-    "pq_topk",
-    "dsir_importance",
-    "quality_filter_funnel",
-    "temperature_mix_weights",
-    "boilerplate_prefixes",
-    "char_entropy",
-    "source_overlap_jaccard",
-    "contrastive_triplets",
-    "pack_efficiency",
-    "perplexity_filter_apply",
-    "ngram_coverage_curve",
-    "containment_pairs",
-    "dedup_keeper",
-    "minhash_pairs",
-    "dedup_clusters",
-    "kmeans_ivf_topk",
-    "ngram_jaccard_pairs",
-    "label_centroids",
-    "embedding_dedup_clusters",
-    "multimodal_features",
-    "rollup_revenue",
-    "pivot_event_values",
-    "intersect_except",
-    "array_agg_types",
-    "approx_stats",
-    "session_window_agg",
-    "bpe_token_stats",
+    "array_hof_stats",
+    "big_orders",
+    "bitext_mining_pairs",
+    "bm25_topk",
+    "char_fingerprints",
+    "chunk_dedup",
+    "constraint_report",
+    "curation_e2e",
+    "daily_value_quantiles",
+    "dedup_apply",
+    "degree_distribution",
+    "domain_curation",
+    "dup_span_apply",
+    "dup_span_fraction",
+    "embedding_neardup_capped",
+    "embedding_neardup_multi",
+    "embedding_zscore",
+    "fuzzy_match_sources",
+    "gap_fill_forward",
+    "jl_topk",
+    "json_extract",
+    "multimodal_metadata",
+    "null_safe_join",
+    "numeric_profile",
+    "order_count_distribution",
+    "pagerank_parts",
+    "pii_redact",
+    "pipeline_funnel",
+    "prefix_jaccard_pairs",
+    "rank_functions",
+    "repetition_stats",
+    "salted_join_revenue",
+    "scd2_intervals",
+    "semantic_dedup_apply",
+    "semantic_dedup_keeper",
+    "semantic_search",
+    "sequence_pack",
+    "sliding_window_counts",
+    "small_quantity_revenue",
+    "snapshot_diff",
+    "source_lang_entropy",
+    "source_priority_dedup",
+    "sql_api_revenue",
+    "tokenized_docs",
+    "unigram_logprob",
+    "vocab_ids",
+    "weighted_sample_topk",
+    "zipf_slope",
+    "dup_span_regions",
+    "kn_bigram_logprob",
 ]
 
 
