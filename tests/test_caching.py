@@ -54,3 +54,31 @@ def test_release_since_scopes_to_creation(spark):
     assert len(caching._TRACKED) == 1
     release_all()
     assert not shared.storageLevel.useMemory
+
+
+def test_parallel_index_lists_stay_aligned_without_jvm():
+    """The r14 semanticHash index keeps three parallel lists; a
+    registration whose plan access fails (stopping session — modeled
+    here by objects with no _jdf at all) must still append aligned
+    placeholder slots, and release must pop all three in lockstep."""
+    _fresh()
+
+    class _NoJvm:
+        def unpersist(self, blocking=False):
+            return self
+
+    a, b = _NoJvm(), _NoJvm()
+    track(a)
+    track(b)  # no dedup possible without a plan: both register
+    assert len(caching._TRACKED) == 2
+    assert len(caching._PLANS) == 2 == len(caching._HASHES)
+    assert caching._PLANS == [None, None]
+
+    m = mark()
+    track(_NoJvm())
+    assert release_since(m) == 1
+    assert (len(caching._TRACKED) == len(caching._PLANS)
+            == len(caching._HASHES) == 2)
+    assert release_all() == 2
+    assert (caching._TRACKED == [] and caching._PLANS == []
+            and caching._HASHES == [])
