@@ -82,3 +82,41 @@ def test_parallel_index_lists_stay_aligned_without_jvm():
     assert release_all() == 2
     assert (caching._TRACKED == [] and caching._PLANS == []
             and caching._HASHES == [])
+
+
+def test_stale_plan_handle_does_not_break_registration():
+    """A handle whose JVM side died (stopped session) must be treated
+    as a non-match in the collision check, not propagate from
+    track()."""
+    _fresh()
+
+    class _Plan:
+        def __init__(self, boom=False):
+            self.boom = boom
+
+        def semanticHash(self):
+            return 7  # force every entry into one collision bucket
+
+        def sameResult(self, other):
+            if self.boom:
+                raise RuntimeError("py4j: target gone")
+            return False
+
+    class _Df:
+        def __init__(self, boom=False):
+            self._plan = _Plan(boom)
+            self._jdf = self
+
+        def queryExecution(self):
+            return self
+
+        def analyzed(self):
+            return self._plan
+
+        def unpersist(self, blocking=False):
+            return self
+
+    track(_Df(boom=True))      # entry whose handle will "die"
+    track(_Df())               # collision-bucket probe hits the stale
+    assert len(caching._TRACKED) == 2   # registered despite the raise
+    release_all()

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import shutil
 import statistics
 import sys
@@ -217,7 +218,7 @@ def main() -> int:
             finally:
                 spark.sql(f"DROP TABLE IF EXISTS {table}")
                 shutil.rmtree(loc, ignore_errors=True)
-            med = round(statistics.median(samples[1:]), 3)
+            med = round(statistics.median(samples[1:] or samples), 3)
             medians[n] = med
             record[f"tier_{n}"] = {
                 "preload_sec": round(pre_s, 3),
@@ -233,10 +234,14 @@ def main() -> int:
             r = round(medians[b] / medians[a], 3) if medians[a] else 0.0
             ratios[f"{a}->{b}"] = r
             state_x = b / a
-            if r > LATENCY_GROWTH_MAX * (state_x / 2.0):
+            # the gate is "per store DOUBLING"; compound it for
+            # non-2x tier steps (4x state -> 1.6^2, not 1.6*2)
+            gate = LATENCY_GROWTH_MAX ** math.log2(max(2.0, state_x))
+            if r > gate:
                 failures.append(
                     f"batch latency grew {r}x on {state_x}x store "
-                    f"({a}->{b}): > {LATENCY_GROWTH_MAX}x gate — "
+                    f"({a}->{b}): > {gate:.2f}x gate "
+                    f"({LATENCY_GROWTH_MAX}x per doubling) — "
                     f"per-batch work is growing with state")
         record["latency_ratios"] = ratios
 

@@ -63,9 +63,16 @@ def track(df: DataFrame) -> DataFrame:
         new_plan, new_hash = None, None
     if new_hash is not None:
         for i, h in enumerate(_HASHES):
-            if (h == new_hash and _PLANS[i] is not None
-                    and _PLANS[i].sameResult(new_plan)):
-                return df
+            if h != new_hash or _PLANS[i] is None:
+                continue
+            try:
+                if _PLANS[i].sameResult(new_plan):
+                    return df
+            except Exception:
+                # stale handle from a stopped session — that entry
+                # can never match again; treat as non-match and let
+                # release_* clean it up
+                continue
     _TRACKED.append(df)
     _PLANS.append(new_plan)
     _HASHES.append(new_hash)

@@ -13,8 +13,14 @@ alert-sized.
 State layout per key: (n, mean, m2) — Welford's algorithm, the
 numerically-stable single-pass form (naive Σx/Σx² cancels
 catastrophically once mean ≫ std). State expires after
-``ProcessingTimeTimeout`` inactivity, bounding the store on
-unbounded key spaces (same contract as streaming/stateful.py).
+``STATE_TTL_MS`` of key inactivity in EVENT time
+(``EventTimeTimeout`` + watermark), bounding the store on unbounded
+key spaces — same contract, and same round-14 rationale, as
+streaming/stateful.py: processing-time timers livelock
+``Trigger.AvailableNow`` runs (every no-data batch schedules another
+until wall-clock passes every pending 1h timer) and expire
+non-deterministically under backfill replay; event-time timers fire
+on watermark advance and terminate with the data.
 """
 
 from __future__ import annotations
@@ -44,7 +50,8 @@ OUTPUT_SCHEMA = T.StructType([
 
 Z_THRESH = 4.0
 MIN_N = 10          # no alerts until the baseline has this many points
-STATE_TTL_MS = 3_600_000
+STATE_TTL_MS = 3_600_000       # 1h event-time inactivity TTL
+WATERMARK_DELAY = "1 hour"     # late-data allowance for the timers
 
 
 def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
@@ -54,10 +61,12 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
         return
     n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
     alerts: list[tuple] = []
+    last_ms = 0
     for pdf in pdfs:
         pdf = pdf.sort_values("ts")
         for _, row in pdf.iterrows():
             v = float(row["value"])
+            last_ms = max(last_ms, int(row["ts"].value // 1_000_000))
             # judge against history BEFORE folding the point in
             if n >= MIN_N:
                 var = m2 / (n - 1)
@@ -70,7 +79,11 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
             mean += delta / n
             m2 += delta * (v - mean)
     state.update((n, mean, m2))
-    state.setTimeoutDuration(STATE_TTL_MS)
+    # Event-time TTL anchored on the key's newest arriving event,
+    # clamped above the watermark (Spark rejects a timer at or below
+    # it — possible when a key's late rows trail the global watermark)
+    state.setTimeoutTimestamp(
+        max(last_ms, state.getCurrentWatermarkMs()) + STATE_TTL_MS)
     if alerts:
         yield pd.DataFrame(
             alerts, columns=["key", "ts", "value", "z", "n_seen"])
@@ -85,11 +98,11 @@ def anomalies_by_key(events: DataFrame) -> DataFrame:
     """
     prepared = events.select(
         "key", "ts", F.col("value").cast("double").alias("value")
-    )
+    ).withWatermark("ts", WATERMARK_DELAY)
     return prepared.groupBy("key").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -9,9 +9,26 @@ Events inside a batch are applied in event-time order; state persists
 in the state store between batches, so the operator is incremental —
 each batch touches only arriving keys.
 
-GroupStateTimeout: state is kept until ProcessingTimeTimeout expires
-it after ``state_ttl_ms`` of key inactivity — the knob that bounds
-state-store size on unbounded key spaces.
+GroupStateTimeout: state expires after ``STATE_TTL_MS`` of key
+inactivity measured in EVENT time (``EventTimeTimeout`` + watermark)
+— the knob that bounds state-store size on unbounded key spaces.
+
+Why event-time and not processing-time timers (round 14): with
+``ProcessingTimeTimeout``, every no-data micro-batch reschedules
+another one until wall-clock passes every pending timer —
+``FlatMapGroupsWithStateExec.shouldRunAnotherBatch`` is
+unconditionally true for processing-time timeouts — so a
+``Trigger.AvailableNow`` catch-up run LIVELOCKS in "no new data but
+cleaning up state" batches for up to the full TTL (measured: 131
+empty batches and counting on a 2-file inbox; the defect hid for
+rounds behind a 120s await that silently abandoned the still-running
+query and left it contaminating later tests). Event-time timers fire
+on watermark advance instead: when the data ends, the watermark
+stops moving and the query terminates. They are also
+replay-deterministic — a backfill re-run expires exactly the keys
+the original run expired, where wall-clock timers would expire
+everything older than the replay lag. Same contract as
+streaming/anomaly.py.
 """
 
 from __future__ import annotations
@@ -37,6 +54,11 @@ OUTPUT_SCHEMA = T.StructType([
 ])
 
 ALPHA = 0.2
+STATE_TTL_MS = 3_600_000       # expire a key after 1h event-time gap
+# Late-data allowance for the watermark the event-time timers ride on
+# (rows later than this past the max seen event time are dropped
+# before the operator — the standard watermark contract).
+WATERMARK_DELAY = "1 hour"
 
 
 def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
@@ -53,7 +75,12 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
             n += 1
             last_ts = max(last_ts, int(row["sched_ts"].value // 1000))
     state.update((ewma, n, last_ts))
-    state.setTimeoutDuration(3_600_000)  # 1h inactivity TTL
+    # Event-time TTL: anchor on the key's newest event (last_ts is
+    # MICROseconds; timers take ms), clamped above the current
+    # watermark — Spark rejects a timeout timestamp at or below it
+    # (possible for a key whose late rows trail the global watermark).
+    anchor_ms = max(last_ts // 1000, state.getCurrentWatermarkMs())
+    state.setTimeoutTimestamp(anchor_ms + STATE_TTL_MS)
     yield pd.DataFrame({
         "line_text": [key[0]],
         "ewma_delay_min": [ewma],
@@ -70,11 +97,11 @@ def delay_ewma_by_line(events: DataFrame) -> DataFrame:
     prepared = events.select(
         "line_text", "sched_ts",
         F.col("delay_min").cast("double").alias("delay_min"),
-    )
+    ).withWatermark("sched_ts", WATERMARK_DELAY)
     return prepared.groupBy("line_text").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
