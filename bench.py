@@ -193,6 +193,11 @@ REPEAT_MIN_SEC = float(
 # still count them, so an unbounded blowup is still caught). Remove
 # a stamp once the new time has aged into the lookback floor
 # (~3 driver rounds).
+# (Host-profile shifts across reboots are NOT stamped here: the
+# guard's epoch fence — bench_guard.record_is_cross_epoch — detects a
+# baseline from a previous boot mechanically and relaxes per-query
+# gates to catastrophe backstops, so stamps stay reserved for
+# deliberate code slowdowns.)
 ACCEPTED_REGRESSIONS: dict[str, str] = {}
 
 

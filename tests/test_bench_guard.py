@@ -135,3 +135,100 @@ def test_unstamped_contamination_still_rejected_alongside_stamp(tmp_path):
         "accepted_regressions": {"a": "signed"},
     }))
     assert select_baseline(tmp_path) != mixed
+
+
+def test_cross_epoch_detection_by_mtime(tmp_path):
+    """Epoch fence (round 14): a record whose mtime predates the
+    current boot was measured under a host profile this boot may not
+    share (measured: a mid-round reboot shifted stage-overhead-heavy
+    queries 2.5-3.5x on unchanged code while canaries moved 1.36x)."""
+    import os
+
+    from tools.bench_guard import boot_time, record_is_cross_epoch
+
+    bt = boot_time()
+    assert bt > 0
+    fresh = _write(tmp_path, 1, {"a": 1.0})
+    assert not record_is_cross_epoch(fresh)
+    stale = _write(tmp_path, 2, {"a": 1.0})
+    os.utime(stale, (bt - 3600, bt - 3600))
+    assert record_is_cross_epoch(stale)
+
+
+def test_same_epoch_record_preferred_over_newer_cross_epoch(tmp_path):
+    """A clean record measured under the CURRENT boot beats a newer
+    (by round) pre-reboot record: strict 2x gating is only valid
+    within one epoch."""
+    import os
+
+    from tools.bench_guard import boot_time, select_baseline
+
+    bt = boot_time()
+    same_epoch = _write(tmp_path, 2, {"a": 1.0, "b": 2.0})
+    newer_cross = _write(tmp_path, 3, {"a": 1.1, "b": 2.1})
+    _write(tmp_path, 1, {"a": 1.0, "b": 2.0})  # floor donor
+    os.utime(newer_cross, (bt - 3600, bt - 3600))
+    assert select_baseline(tmp_path) == same_epoch
+
+
+def test_cross_epoch_fallback_when_no_same_epoch_record(tmp_path):
+    """With only pre-reboot records the newest clean one still wins
+    (main() then relaxes the per-query gate, not the selection)."""
+    import os
+
+    from tools.bench_guard import boot_time, select_baseline
+
+    bt = boot_time()
+    a = _write(tmp_path, 1, {"a": 1.0, "b": 2.0})
+    b = _write(tmp_path, 2, {"a": 1.1, "b": 2.1})
+    for p in (a, b):
+        os.utime(p, (bt - 3600, bt - 3600))
+    assert select_baseline(tmp_path) == b
+
+
+def test_breaches_normalized_and_raw_paths():
+    from tools.bench_guard import breaches
+
+    # normalized breach: 10s vs 2s floor at canary 1.0
+    assert breaches("q", 2.0, 10.0, 1.0, 2.0, 4.0)
+    # same raw time excused by a genuine uniform box ratio
+    assert breaches("q", 2.0, 10.0, 3.0, 2.0, 6.0) is None
+    # raw catastrophe backstop fires even when normalization excuses
+    assert breaches("q", 2.0, 13.0, 3.0, 2.0, 4.0)
+    # magnitude guard: sub-second jitter never fails
+    assert breaches("q", 0.1, 0.9, 1.0, 2.0, 4.0) is None
+
+
+def test_confirm_pass_clears_transient_and_keeps_reproducing(tmp_path):
+    """Round-14 confirmation doctrine: a flagged breach must
+    REPRODUCE in an independent re-run to fail the guard — 'a jump
+    that disappears in the next fresh run is contention, not code'
+    applied to the live gate."""
+    from bench import CANARIES
+    from tools.bench_guard import breaches, confirm_suspects
+
+    old_q = {"transient": 2.0, "real": 2.0, CANARIES[0]: 1.0}
+    suspects = {
+        "transient": breaches("transient", 2.0, 9.0, 1.0, 2.0, 4.0),
+        "real": breaches("real", 2.0, 9.0, 1.0, 2.0, 4.0),
+    }
+    assert all(suspects.values())
+
+    def fake_runner(names):
+        assert "transient" in names and "real" in names
+        assert CANARIES[0] in names  # self-normalizing re-run
+        return {"transient": 2.1, "real": 8.8, CANARIES[0]: 1.0}
+
+    confirmed = confirm_suspects(suspects, old_q, 2.0, 4.0,
+                                 runner=fake_runner)
+    assert "transient" not in confirmed
+    assert "real" in confirmed and "CONFIRMED" in confirmed["real"]
+
+
+def test_confirm_pass_failure_keeps_original_flags():
+    from tools.bench_guard import confirm_suspects
+
+    suspects = {"q": "q: breach"}
+    confirmed = confirm_suspects(suspects, {"q": 2.0}, 2.0, 4.0,
+                                 runner=lambda names: {})
+    assert confirmed == suspects
