@@ -30,6 +30,36 @@ _TRACKED: List[DataFrame] = []
 # session) and that slot never matches — release tolerates dupes.
 _PLANS: List[Optional[Any]] = []
 _HASHES: List[Optional[int]] = []
+# Parallel to _TRACKED: registration sequence number (see _COUNTER).
+_SEQS: List[int] = []
+
+# Global registration sequence shared by tracked persists AND result
+# handles (below): mark() returns the current counter, so
+# release_since can scope BOTH kinds of registration to one window
+# even when a handle is stored without any accompanying persist.
+_COUNTER = 0
+
+# Result handles (optimization r14): DataFrame results of DRIVER-LOOP
+# operators (connected-components label propagation), which Spark's
+# CacheManager cannot key because each run builds fresh checkpoint
+# lineage — plan equality never matches across runs, so a plain
+# track(df.persist()) cannot deduplicate them. Entries are keyed by
+# the operator tag + the INPUT edge plan (analyzed handle +
+# semanticHash, the exact discipline track() uses), so a second
+# consumer building the same loop over the same input resolves to the
+# first run's materialized labels — the CacheManager semantics, hand
+# extended to loop outputs. Handles obey the same mark/release_since
+# scoping as persists (the bench repeat loop releases a query's OWN
+# handles between samples, so medians stay honest), and release drops
+# the reference so the checkpoint blocks are GC-reclaimed.
+# Entry: [seq, tag, input_plan, input_hash, result_df]
+_HANDLES: List[list] = []
+
+
+def _next_seq() -> int:
+    global _COUNTER
+    _COUNTER += 1
+    return _COUNTER
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -76,7 +106,44 @@ def track(df: DataFrame) -> DataFrame:
     _TRACKED.append(df)
     _PLANS.append(new_plan)
     _HASHES.append(new_hash)
+    _SEQS.append(_next_seq())
     return df
+
+
+def _key_of(df: DataFrame) -> tuple[Optional[Any], Optional[int]]:
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return plan, plan.semanticHash()
+    except Exception:
+        return None, None
+
+
+def lookup_result(tag: str, key_df: DataFrame) -> Optional[DataFrame]:
+    """Stored result of a driver-loop operator ``tag`` over the same
+    input plan as ``key_df``, or None. See _HANDLES."""
+    plan, h = _key_of(key_df)
+    if plan is None:
+        return None
+    for _seq, t, p, hh, df in _HANDLES:
+        if t != tag or hh != h or p is None:
+            continue
+        try:
+            if p.sameResult(plan):
+                return df
+        except Exception:
+            continue  # stale JVM handle — can never match again
+    return None
+
+
+def store_result(tag: str, key_df: DataFrame,
+                 result: DataFrame) -> DataFrame:
+    """Register ``result`` as the materialized output of driver-loop
+    operator ``tag`` over input ``key_df`` (see _HANDLES). Returns
+    ``result`` unchanged; a failed plan capture skips registration."""
+    plan, h = _key_of(key_df)
+    if plan is not None:
+        _HANDLES.append([_next_seq(), tag, plan, h, result])
+    return result
 
 
 def release_all(blocking: bool = False) -> int:
@@ -85,28 +152,35 @@ def release_all(blocking: bool = False) -> int:
 
 
 def mark() -> int:
-    """Current position in the tracked-persist log — pair with
-    :func:`release_since` to free only the persists one query created
-    (the bench repeat loop: re-time a query cold w.r.t. its OWN
-    persists while keeping every earlier query's shared caches)."""
-    return len(_TRACKED)
+    """Current registration sequence — pair with
+    :func:`release_since` to free only the persists (and result
+    handles) one query created (the bench repeat loop: re-time a
+    query cold w.r.t. its OWN persists while keeping every earlier
+    query's shared caches)."""
+    return _COUNTER
 
 
 def release_since(marker: int, blocking: bool = False) -> int:
-    """Unpersist every DataFrame tracked after ``marker``."""
+    """Unpersist every DataFrame tracked after ``marker``; drop every
+    result handle stored after it (the checkpoint blocks behind a
+    dropped handle are GC-reclaimed once unreferenced)."""
     n = 0
-    while len(_TRACKED) > marker:
+    while _TRACKED and (not _SEQS or _SEQS[-1] > marker):
         df = _TRACKED.pop()
         if _PLANS:
             _PLANS.pop()
         if _HASHES:
             _HASHES.pop()
+        if _SEQS:
+            _SEQS.pop()
         try:
             df.unpersist(blocking)
             n += 1
         except Exception:
             # Session may already be stopped — nothing to free.
             pass
+    while _HANDLES and _HANDLES[-1][0] > marker:
+        _HANDLES.pop()
     return n
 
 

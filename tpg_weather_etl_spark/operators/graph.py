@@ -37,6 +37,7 @@ def connected_components_min_label(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    reuse: bool = False,
 ) -> DataFrame:
     """(doc, cluster) for every node in ``edges``; cluster = min
     reachable node id.
@@ -51,6 +52,26 @@ def connected_components_min_label(
     ``localCheckpoint`` truncates the growing lineage so round N's
     plan doesn't replay rounds 1..N-1.
     """
+    # Result-handle reuse (optimization r14, OPT-IN): six gate queries
+    # run this loop over the SAME persisted minhash edge list per
+    # sweep (dedup_clusters/keeper/apply, cluster_split,
+    # cluster_size_histogram, curation_e2e). Spark's CacheManager
+    # cannot deduplicate the loop output — every run builds fresh
+    # checkpoint lineage, so no two runs ever compare plan-equal —
+    # hence the explicit registry in caching.py, keyed on the INPUT
+    # edge plan with the same analyzed-plan/semanticHash discipline
+    # (and released under the same mark/release_since scoping, so
+    # bench repeat samples stay honest). Opt-in because plan equality
+    # is only a safe result key for IMMUTABLE inputs: the streaming
+    # per-micro-batch callers feed same-shaped plans over different
+    # batch data and must never hit a stored handle.
+    from tpg_weather_etl_spark.caching import lookup_result, store_result
+
+    tag = f"cc_min_label:{src}:{dst}:{max_iter}"
+    if reuse:
+        hit = lookup_result(tag, edges)
+        if hit is not None:
+            return hit
     both = edges.select(F.col(src).alias("doc_a"),
                         F.col(dst).alias("doc_b"))
     both = both.union(
@@ -96,7 +117,7 @@ def connected_components_min_label(
             f"connected components did not converge in {max_iter} rounds"
             " — graph diameter exceeds the iteration budget"
         )
-    return labels
+    return store_result(tag, edges, labels) if reuse else labels
 
 
 # Diagnostics: rounds the last connected_components_min_label call

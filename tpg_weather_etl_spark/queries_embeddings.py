@@ -1135,8 +1135,12 @@ def _data_signature(cache_key: str | None) -> tuple:
     return (st.st_size, st.st_mtime_ns)
 
 
+_CENTROID_DF_MEMO: dict[tuple, tuple] = {}
+
+
 def clear_centroid_memo() -> None:
     _CENTROID_MEMO.clear()
+    _CENTROID_DF_MEMO.clear()
 
 
 def _parquet_glob(sf_dir: str, table: str) -> str:
@@ -1272,7 +1276,24 @@ def kmeans_centroids(
         rows = _fit_kmeans(e, k, seed, train_max, max_iter)
         if cache_key is not None:
             _CENTROID_MEMO[memo_key] = rows
-    return spark.createDataFrame(rows, "cell int, ce array<double>")
+    # DataFrame-level memo (optimization r14): a FRESH createDataFrame
+    # per call gives every consumer a distinct LocalRelation, which
+    # breaks analyzed-plan equality for every plan built on top — the
+    # semantic-dedup keeper/apply pair and the kmeans-IVF family then
+    # each persist their own copy of the identical cell-scores subtree
+    # instead of resolving to one cache entry (measured: zero sharing,
+    # 2 duplicate persists per consumer). Returning the SAME DataFrame
+    # object per (session, fit) restores CacheManager/track dedup for
+    # everything downstream. Keyed by session identity so a stopped
+    # session's handle is never served to a new one.
+    if cache_key is None:
+        return spark.createDataFrame(rows, "cell int, ce array<double>")
+    hit = _CENTROID_DF_MEMO.get(memo_key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.createDataFrame(rows, "cell int, ce array<double>")
+    _CENTROID_DF_MEMO[memo_key] = (spark, df)
+    return df
 
 
 def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1042,7 +1042,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_min_label,
     )
     edges = _edges(spark, sf_dir)  # persisted inside q_minhash_pairs
-    return cluster_summary(connected_components_min_label(edges))
+    return cluster_summary(
+        connected_components_min_label(edges, reuse=True))
 
 
 def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1056,7 +1057,8 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tpg_weather_etl_spark.queries_embeddings import q_embedding_neardup
     edges = q_embedding_neardup(spark, sf_dir).select("vec_a", "vec_b")
     return cluster_summary(
-        connected_components_min_label(edges, src="vec_a", dst="vec_b")
+        connected_components_min_label(edges, src="vec_a", dst="vec_b",
+                                       reuse=True)
     )
 
 
@@ -1175,7 +1177,8 @@ def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_min_label,
     )
 
-    labels = connected_components_min_label(_edges(spark, sf_dir))
+    labels = connected_components_min_label(_edges(spark, sf_dir),
+                                            reuse=True)
     d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     m = labels.join(d, labels.doc == d.doc_id).select(
         "doc", "cluster", "n_chars")
@@ -1283,7 +1286,8 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_min_label,
     )
 
-    labels = connected_components_min_label(_edges(spark, sf_dir))
+    labels = connected_components_min_label(_edges(spark, sf_dir),
+                                            reuse=True)
     d = t(spark, sf_dir, "documents")
     m = labels.join(d.select("doc_id", "n_chars"),
                     labels.doc == F.col("doc_id")).select(
@@ -1391,7 +1395,7 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str,
     fpk = q_fingerprint_dedup(spark, sf_dir).select("fp", "keeper_doc_id")
 
     labels = connected_components_min_label(
-        _edges(spark, sf_dir, capped=capped))
+        _edges(spark, sf_dir, capped=capped), reuse=True)
     m = labels.join(d.select("doc_id", "n_chars"),
                     labels.doc == F.col("doc_id")).select(
         "doc", "cluster", "n_chars")
@@ -1533,13 +1537,22 @@ def _semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = asg.select(F.col("vec_id").alias("vec_b"),
                    F.col("embedding").alias("emb_b"),
                    F.col("cell").alias("cell_b"))
-    pairs = (
+    # Persisted (optimization r14): the intra-cell cosine self-join is
+    # the dominant cost of the SemDeDup family (n²/k 64-dim dot
+    # products per cell) and BOTH the keeper and the apply query build
+    # this identical plan — track()'s plan-equality dedup resolves the
+    # second builder to one cache entry, so the pairwise pass runs
+    # once per sweep instead of once per consumer. The pair list
+    # itself is group-edge-sized (tiny next to the corpus), so the
+    # cache is cheap at any scale.
+    pairs = track(
         a.join(b, (F.col("cell") == F.col("cell_b"))
                & (F.col("vec_a") < F.col("vec_b")))
         .select("cell", "vec_a", "vec_b",
                 _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos"))
         .filter(F.col("cos") >= SEM_TAU)
         .select("cell", "vec_a", "vec_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return connected_components_partitioned(pairs, part_col="cell",
                                             src="vec_a", dst="vec_b")
@@ -1687,6 +1700,20 @@ e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
 """
 
 
+def copurchase_edges_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracked persisted canonical edge list — the shared reuse point
+    of the WHOLE graph family (optimization r14). Five gate queries
+    (degree_distribution, pagerank_parts, part_triangles,
+    clustering_coeff, edge_jaccard) build the identical co-purchase
+    self-join; track()'s plan-equality dedup resolves them to ONE
+    cache entry per sweep, so the lineitem self-join + distinct runs
+    once instead of once per consumer. Same pattern as the minhash
+    shingle/signature caches: the edge list is the natural reuse
+    point of every co-occurrence-graph DAG."""
+    from tpg_weather_etl_spark.caching import track
+    return track(_copurchase_edges(spark, sf_dir).persist())
+
+
 # ---------------------------------------------------------------------------
 # Triangle counting on the part co-purchase graph (degree-oriented)
 # ---------------------------------------------------------------------------
@@ -1744,8 +1771,8 @@ def _oriented_triangles(spark: SparkSession,
     # The edge list feeds four consumers (both degree scans, the wedge
     # self-join, and the closing-edge probe); without a persist each
     # consumer replans the full co-purchase self-join (observed: a
-    # 49-exchange plan).
-    e = track(_copurchase_edges(spark, sf_dir).persist())
+    # 49-exchange plan). Shared family-wide via copurchase_edges_shared.
+    e = copurchase_edges_shared(spark, sf_dir)
     deg = (e.select(F.col("u").alias("x"))
            .unionAll(e.select(F.col("v").alias("x")))
            .groupBy("x").agg(F.count("*").alias("d")))
@@ -1816,9 +1843,22 @@ def _oriented_triangles(spark: SparkSession,
             .select(F.col("src").alias("apex"),
                     F.col("dst").alias("lo"),
                     F.col("dst2").alias("hi")))
-    tri = (wedges.join(e, (wedges["lo"] == e["u"])
-                       & (wedges["hi"] == e["v"]))
-           .select("apex", "lo", "hi"))
+    # Persisted (optimization r14): the triangle stream feeds THREE
+    # gate queries (part_triangles counts rows, clustering_coeff
+    # credits corners, edge_jaccard credits edges) and the wedge
+    # self-join + closing-edge probe behind it is the family's
+    # dominant cost. track()'s plan-equality dedup resolves all three
+    # builders to ONE cache entry, so the enumeration runs once per
+    # sweep instead of once per consumer. The triangle list is three
+    # longs per triangle — far below the wedge join's own shuffle —
+    # so the cache is cheap at any scale, and MEMORY_AND_DISK spills
+    # rather than OOMs on a triangle-dense graph.
+    from pyspark import StorageLevel
+    tri = track(
+        (wedges.join(e, (wedges["lo"] == e["u"])
+                     & (wedges["hi"] == e["v"]))
+         .select("apex", "lo", "hi"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     return e, tri
 
 
@@ -1914,7 +1954,12 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint each round so round k's plan doesn't replay 1..k-1.
     # The undirected list materializes once (it feeds both union
     # branches AND the sizing count).
-    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # Shared edge cache (optimization r14): resolves to the family's
+    # one persisted edge list when warm (degree_distribution runs
+    # first in the bench sweep), so the localCheckpoint materializes
+    # from cache instead of re-running the co-purchase self-join.
+    und = copurchase_edges_shared(spark, sf_dir).localCheckpoint(
+        eager=True)
     edges = und.select(
         F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -2010,7 +2055,7 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor to the wrong bucket). One groupBy over the node-degree
     table; the skew-profile input for graph-algorithm planning.
     """
-    e = _copurchase_edges(spark, sf_dir)
+    e = copurchase_edges_shared(spark, sf_dir)
     deg = (e.select(F.col("u").alias("x"))
            .unionAll(e.select(F.col("v").alias("x")))
            .groupBy("x").agg(F.count("*").alias("d")))
@@ -2533,7 +2578,8 @@ def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_min_label,
     )
 
-    labels = connected_components_min_label(_edges(spark, sf_dir))
+    labels = connected_components_min_label(_edges(spark, sf_dir),
+                                            reuse=True)
     sizes = labels.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -2630,7 +2676,8 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tpg_weather_etl_spark.operators.sampling import lcg_bucket
 
-    labels = connected_components_min_label(_edges(spark, sf_dir))
+    labels = connected_components_min_label(_edges(spark, sf_dir),
+                                            reuse=True)
     d = t(spark, sf_dir, "documents").select("doc_id")
     out = (
         d.join(labels, d.doc_id == labels.doc, "left")

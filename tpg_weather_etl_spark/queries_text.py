@@ -1123,42 +1123,58 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    base = (
-        d.select("doc_id", F.split(norm_text(F.col("text")), " ").alias("toks"))
-        .withColumn("n", F.size(F.col("toks")))
-    )
-    tok = base.select("doc_id", F.explode(F.col("toks")).alias("tok"))
-    tstats = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        (F.sum(F.length(F.col("tok"))).cast("double")
-         / F.count(F.lit(1))).alias("mean_word_len"),
-    )
-    ex = base.filter(F.col("n") >= 2).select(
-        "doc_id", "toks",
-        F.explode(F.sequence(F.lit(0), F.col("n") - 2)).alias("i"),
-    )
-    bg = ex.select(
+    # MAP-ONLY since the optimization round (r14): every statistic
+    # here is doc-LOCAL, so the former token/bigram explodes (full
+    # corpus-token rows through two doc_id shuffles plus two joins —
+    # a 6-Exchange plan) are computable per row inside one
+    # WholeStageCodegen pass. Values are bit-identical to the explode
+    # formulation: n_tokens = size(toks) (the explode emitted one row
+    # per array element, including the single "" token of an empty
+    # doc); sum(length(tok)) over single-space-normalized text is
+    # length(nt) − (n−1) separators, exactly; and the per-doc modal
+    # bigram count equals the longest equal-run of the SORTED bigram
+    # array (groupBy multiplicity = run length), with sum(c) = n−1
+    # bigram instances as the denominator. The aggregate/zip_with
+    # lambdas reference only their own arguments, so the
+    # word_shingles O(tokens²) split-inlining hazard does not apply —
+    # `toks` is referenced 4× at projection level, which Catalyst
+    # will not inline a non-cheap split() into.
+    staged = d.select(
         "doc_id",
-        F.concat_ws(
-            " ",
-            F.element_at(F.col("toks"), (F.col("i") + 1).cast("int")),
-            F.element_at(F.col("toks"), (F.col("i") + 2).cast("int")),
-        ).alias("bg"),
+        punct_ratio(F.col("text")).alias("punct_ratio"),
+        F.length(norm_text(F.col("text"))).alias("len_nt"),
+        F.split(norm_text(F.col("text")), " ").alias("toks"),
     )
-    bstats = (
-        bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"))
+    n = F.size(F.col("toks")).cast("long")
+    nb = F.size(F.col("toks")) - 1
+    bgs = F.zip_with(
+        F.slice(F.col("toks"), 1, nb),
+        F.slice(F.col("toks"), 2, nb),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
-    pr = d.select("doc_id", punct_ratio(F.col("text")).alias("punct_ratio"))
-    out = (
-        tstats.join(bstats, "doc_id", "left")
-        .join(pr, "doc_id")
-        .select(
-            "doc_id", "n_tokens", "mean_word_len", "punct_ratio",
-            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
-             .alias("top_bigram_frac"),
-        )
+    zero = F.lit(0).cast("long")
+    run = lambda acc, x: (  # noqa: E731 — shared by run/mx fields
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")))
+    top_run = F.aggregate(
+        F.array_sort(bgs),
+        F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                 zero.alias("mx")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["mx"], run(acc, x)).alias("mx"),
+        ),
+        lambda acc: acc["mx"],
+    )
+    out = staged.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ((F.col("len_nt") - (n - 1)).cast("double") / n)
+        .alias("mean_word_len"),
+        "punct_ratio",
+        F.when(n >= 2,
+               top_run.cast("double") / nb.cast("long"))
+        .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
     )
     keep = (
         F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
