@@ -33,7 +33,9 @@ from tpg_weather_etl_spark.functions.text import (  # noqa: F401
     token_count,
 )
 from tpg_weather_etl_spark.functions.vectors import (  # noqa: F401
+    cosine_from_parts,
     cosine_similarity,
     dot_product,
+    dot_product_d,
     l2_norm,
 )

@@ -29,3 +29,29 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity in double precision; NULL on zero-norm input."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+def dot_product_d(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over arrays ALREADY in double — the per-pair core of
+    ``cosine_similarity`` once the float→double cast has been hoisted
+    into a per-row projection (float→double is exact, so hoisting the
+    cast does not change a single bit of the product chain)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_from_parts(a_d: Column, b_d: Column,
+                      na: Column, nb: Column) -> Column:
+    """``cosine_similarity(a, b)`` with the double casts and the two
+    l2 norms computed once per ROW (join-side projections) instead of
+    once per candidate PAIR (join condition / post-join projection).
+
+    Inlined, the pair expression evaluates FIVE 64-element aggregates
+    per candidate (dot(a,b) + two self-dots in the when-guard + two
+    more in the division); with the parts hoisted it evaluates ONE.
+    Bit-identical by construction: ``na``/``nb`` must be
+    ``l2_norm(col)`` of the same column ``a_d``/``b_d`` were cast
+    from, so every IEEE operation (self-dot, sqrt, the na*nb product,
+    the division) has identical operands in identical order."""
+    denom = na * nb
+    return F.when(denom > 0, dot_product_d(a_d, b_d) / denom)

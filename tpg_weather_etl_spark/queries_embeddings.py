@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tpg_weather_etl_spark.functions.vectors import cosine_similarity
+from tpg_weather_etl_spark.functions.vectors import (
+    cosine_from_parts,
+    cosine_similarity,
+    dot_product_d,
+    l2_norm,
+)
 from tpg_weather_etl_spark.sources.tables import read_table as t
 
 N_PLANES = 8
@@ -45,21 +50,54 @@ def _cos_rounded(a, b):
     return F.round(cosine_similarity(a, b), 6) + F.lit(0.0)
 
 
+# --- per-pair cosine with the per-vector work hoisted (opt r14) -----
+# The inline _cos_rounded evaluates five 64-element fold expressions
+# per candidate pair (dot + 2 norms in the when-guard + 2 norms in
+# the division), all interpreted (higher-order functions do not
+# codegen). In every pair join the norms and the float→double cast
+# depend on ONE side each, so they belong in the join-side row
+# projections: per-pair work drops to the single dot product. Same
+# IEEE ops in the same order → bit-identical results (the oracle SQL
+# is untouched and the driver gate re-proves value-hash equality).
+
+def _emb_d(c) -> Column:
+    """Per-row float→double cast of an embedding array (exact)."""
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _cos_rounded_pre(a_d, b_d, na, nb) -> Column:
+    """``_cos_rounded`` over pre-cast arrays + pre-computed norms."""
+    return F.round(cosine_from_parts(a_d, b_d, na, nb), 6) + F.lit(0.0)
+
+
+def _emb_side(e: DataFrame, id_alias: str, emb_alias: str,
+              norm_alias: str, id_col: str = "vec_id",
+              emb_col: str = "embedding") -> DataFrame:
+    """(id, emb_d, norm) join-side projection: one cast + one norm
+    per row, feeding ``_cos_rounded_pre`` in the pair expression."""
+    return e.select(
+        F.col(id_col).alias(id_alias),
+        _emb_d(F.col(emb_col)).alias(emb_alias),
+        l2_norm(F.col(emb_col)).alias(norm_alias),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k (baseline; exact)
 # ---------------------------------------------------------------------------
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
-    )
+    q = _emb_side(e.filter(F.col("vec_id") < N_QUERY_VECS),
+                  "qid", "q_emb", "qn")
     pairs = (
-        e.crossJoin(F.broadcast(q))
+        _emb_side(e, "vec_id", "emb_d", "nn")
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid", "vec_id",
-            _cos_rounded(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            _cos_rounded_pre(F.col("q_emb"), F.col("emb_d"),
+                             F.col("qn"), F.col("nn")).alias("cos"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -149,27 +187,36 @@ def q_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (6dp-rounded cos, vec_id tiebreak).
     """
     e = t(spark, sf_dir, "embeddings")
+    # y is already array<double>; the JL pass hoists only the norms
+    # (the cast hoist applies to the raw-embedding rerank sides below)
     jl = e.select("vec_id", _jl_project(F.col("embedding")).alias("y"))
+    jl = jl.select("vec_id", "y",
+                   F.sqrt(dot_product_d(F.col("y"), F.col("y")))
+                   .alias("yn"))
     qj = jl.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("y").alias("qy"))
+        F.col("vec_id").alias("qid"), F.col("y").alias("qy"),
+        F.col("yn").alias("qyn"))
     jp = (
         jl.crossJoin(F.broadcast(qj))
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id",
-                _cos_rounded(F.col("qy"), F.col("y")).alias("jl_cos"))
+                _cos_rounded_pre(F.col("qy"), F.col("y"),
+                                 F.col("qyn"), F.col("yn"))
+                .alias("jl_cos"))
     )
     wj = Window.partitionBy("qid").orderBy(
         F.desc("jl_cos"), F.asc("vec_id"))
     cand = (jp.withColumn("rn", F.row_number().over(wj))
             .filter(F.col("rn") <= JL_RERANK)
             .select("qid", "vec_id"))
-    qe = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
-    ce = e.select("vec_id", F.col("embedding").alias("c_emb"))
+    qe = _emb_side(e.filter(F.col("vec_id") < N_QUERY_VECS),
+                   "qid", "q_emb", "qn")
+    ce = _emb_side(e, "vec_id", "c_emb", "cn")
     exact = (
         cand.join(F.broadcast(qe), "qid").join(ce, "vec_id")
         .select("qid", "vec_id",
-                _cos_rounded(F.col("q_emb"), F.col("c_emb")).alias("cos"))
+                _cos_rounded_pre(F.col("q_emb"), F.col("c_emb"),
+                                 F.col("qn"), F.col("cn")).alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (exact.withColumn("rank", F.row_number().over(w))
@@ -216,15 +263,16 @@ WHERE rank <= 5
 
 def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
+    # cast hoisted below the explode — see buckets_for_embeddings
     planes = e.select(
-        "vec_id", "embedding",
+        "vec_id", _emb_d(F.col("embedding")).alias("emb_d"),
         F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("h"),
     )
     # proj = Σ_j emb[j] * w(h, j) as a sequential fold (deterministic)
     proj = F.aggregate(
         F.zip_with(
-            F.transform(F.col("embedding"), lambda x: x.cast("double")),
-            F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
+            F.col("emb_d"),
+            F.sequence(F.lit(0), F.size(F.col("emb_d")) - 1),
             lambda x, j: x * (((F.col("h") * 73 + j * 37 + F.col("h") * j * 29) % 97) - 48).cast("double"),
         ),
         F.lit(0.0),
@@ -279,16 +327,19 @@ GROUP BY bucket
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     bkt = _bucketed(spark, sf_dir)
-    eb = e.join(bkt, "vec_id")
+    eb = e.select("vec_id", _emb_d(F.col("embedding")).alias("emb_d"),
+                  l2_norm(F.col("embedding")).alias("nn")).join(
+        bkt, "vec_id")
     q = eb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
+        F.col("vec_id").alias("qid"), F.col("emb_d").alias("q_emb"),
+        F.col("nn").alias("qn"), F.col("bucket").alias("q_bucket"),
     )
     cand = (
         eb.join(F.broadcast(q), (F.col("bucket") == F.col("q_bucket"))
                 & (F.col("vec_id") != F.col("qid")))
         .select("qid", "vec_id",
-                _cos_rounded(F.col("q_emb"), F.col("embedding")).alias("cos"))
+                _cos_rounded_pre(F.col("q_emb"), F.col("emb_d"),
+                                 F.col("qn"), F.col("nn")).alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -367,17 +418,22 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the identical set.
     """
     e = t(spark, sf_dir, "embeddings")
-    eb = e.join(_bucketed(spark, sf_dir), "vec_id")
+    eb = e.select("vec_id", _emb_d(F.col("embedding")).alias("emb_d"),
+                  l2_norm(F.col("embedding")).alias("nn")).join(
+        _bucketed(spark, sf_dir), "vec_id")
     a = eb.select(F.col("vec_id").alias("vec_a"),
-                  F.col("embedding").alias("emb_a"), "bucket")
+                  F.col("emb_d").alias("emb_a"),
+                  F.col("nn").alias("na"), "bucket")
     b = eb.select(F.col("vec_id").alias("vec_b"),
-                  F.col("embedding").alias("emb_b"),
+                  F.col("emb_d").alias("emb_b"),
+                  F.col("nn").alias("nb"),
                   F.col("bucket").alias("bucket_b"))
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b"))
                & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b",
-                _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos"))
+                _cos_rounded_pre(F.col("emb_a"), F.col("emb_b"),
+                                 F.col("na"), F.col("nb")).alias("cos"))
         .filter(F.col("cos") >= NEARDUP_TAU)
     )
 
@@ -441,15 +497,19 @@ def buckets_for_embeddings(e: DataFrame,
     dedup (streaming/embedding_dedup.py) buckets each micro-batch
     through this, so the stream and the batch gate share one hash
     family by construction."""
+    # cast hoisted BELOW the explode (opt r14): the float→double
+    # transform used to sit inside ``proj`` and re-ran once per
+    # (row, plane) — L·P per row; projected before the Generate it
+    # runs once per row and the exploded rows carry the pointer.
     planes = e.select(
-        "vec_id", "embedding",
+        "vec_id", _emb_d(F.col("embedding")).alias("emb_d"),
         F.explode(F.sequence(
             F.lit(0), F.lit(n_tables * n_planes - 1))).alias("h"),
     )
     proj = F.aggregate(
         F.zip_with(
-            F.transform(F.col("embedding"), lambda x: x.cast("double")),
-            F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
+            F.col("emb_d"),
+            F.sequence(F.lit(0), F.size(F.col("emb_d")) - 1),
             lambda x, j: x * (((F.col("h") * 73 + j * 37 + F.col("h") * j * 29) % 97) - 48)
             .cast("double"),
         ),
@@ -488,14 +548,13 @@ def q_embedding_neardup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b").distinct()
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"),
-                  F.col("embedding").alias("emb_a"))
-    eb2 = e.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("emb_b"))
+    ea = _emb_side(e, "vec_a", "emb_a", "na")
+    eb2 = _emb_side(e, "vec_b", "emb_b", "nb")
     return (
         cand.join(ea, "vec_a").join(eb2, "vec_b")
         .select("vec_a", "vec_b",
-                _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos"))
+                _cos_rounded_pre(F.col("emb_a"), F.col("emb_b"),
+                                 F.col("na"), F.col("nb")).alias("cos"))
         .filter(F.col("cos") >= NEARDUP_TAU)
     )
 
@@ -586,14 +645,13 @@ def q_embedding_neardup_capped(spark: SparkSession,
                & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b").distinct()
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"),
-                  F.col("embedding").alias("emb_a"))
-    eb2 = e.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("emb_b"))
+    ea = _emb_side(e, "vec_a", "emb_a", "na")
+    eb2 = _emb_side(e, "vec_b", "emb_b", "nb")
     return (
         cand.join(ea, "vec_a").join(eb2, "vec_b")
         .select("vec_a", "vec_b",
-                _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos"))
+                _cos_rounded_pre(F.col("emb_a"), F.col("emb_b"),
+                                 F.col("na"), F.col("nb")).alias("cos"))
         .filter(F.col("cos") >= NEARDUP_TAU)
     )
 
@@ -663,14 +721,14 @@ def q_embedding_contamination(spark: SparkSession,
                     & (F.col("bucket") == F.col("bucket_b")))
         .select("vec_id", "bench_vec").distinct()
     )
-    ec = e.select("vec_id", F.col("embedding").alias("emb_c"))
-    ebn = e.select(F.col("vec_id").alias("bench_vec"),
-                   F.col("embedding").alias("emb_b"))
+    ec = _emb_side(e, "vec_id", "emb_c", "nc")
+    ebn = _emb_side(e, "bench_vec", "emb_b", "nb")
     hits = (
         cand.join(ec, "vec_id")
         .join(F.broadcast(ebn), "bench_vec")
         .select("vec_id", "bench_vec",
-                _cos_rounded(F.col("emb_c"), F.col("emb_b"))
+                _cos_rounded_pre(F.col("emb_c"), F.col("emb_b"),
+                                 F.col("nc"), F.col("nb"))
                 .alias("cos"))
         .filter(F.col("cos") >= CONTAM_COS_TAU)
     )
@@ -752,15 +810,15 @@ def q_contamination_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "embeddings"), "vec_id", CONTAM_EVAL_PCT,
         CONTAM_EVAL_MAX,
     ).persist(StorageLevel.MEMORY_AND_DISK))
-    corp = se.filter(F.col("vec_id") % 100 != 0).select(
-        "vec_id", F.col("embedding").alias("emb_c"))
-    bench = se.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("bench_vec"),
-        F.col("embedding").alias("emb_b"))
+    corp = _emb_side(se.filter(F.col("vec_id") % 100 != 0),
+                     "vec_id", "emb_c", "nc")
+    bench = _emb_side(se.filter(F.col("vec_id") % 100 == 0),
+                      "bench_vec", "emb_b", "nb")
     exact = track(
         corp.crossJoin(F.broadcast(bench))
         .select("vec_id", "bench_vec",
-                _cos_rounded(F.col("emb_c"), F.col("emb_b"))
+                _cos_rounded_pre(F.col("emb_c"), F.col("emb_b"),
+                                 F.col("nc"), F.col("nb"))
                 .alias("cos"))
         .filter(F.col("cos") >= CONTAM_COS_TAU)
         .select("vec_id", "bench_vec")
@@ -892,14 +950,13 @@ def q_bitext_mining_pairs(spark: SparkSession, sf_dir: str,
                & (F.col("va") != F.col("vb")))
         .select("va", "vb").distinct()
     )
-    ea = e.select(F.col("vec_id").alias("va"),
-                  F.col("embedding").alias("emb_a"))
-    eb2 = e.select(F.col("vec_id").alias("vb"),
-                   F.col("embedding").alias("emb_b"))
+    ea = _emb_side(e, "va", "emb_a", "na")
+    eb2 = _emb_side(e, "vb", "emb_b", "nb")
     scored = track(
         cand.join(ea, "va").join(eb2, "vb")
         .select("va", "vb",
-                _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos"))
+                _cos_rounded_pre(F.col("emb_a"), F.col("emb_b"),
+                                 F.col("na"), F.col("nb")).alias("cos"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Denominators stay EXACT: sum of 6dp cosines routed through
@@ -1022,13 +1079,24 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cell_scores(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, embedding, cell, rn) ranked centroid affinities."""
+    """(vec_id, embedding, cell, rn) ranked centroid affinities.
+
+    The k per-vector cosines share the vector's cast+norm (hoisted to
+    the row projection — one instead of k evaluations) and each
+    centroid's norm (hoisted into the broadcast build — k total)."""
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    centp = cent.select(
+        "cell", _emb_d(F.col("ce")).alias("ce_d"),
+        l2_norm(F.col("ce")).alias("cen"))
     return (
-        e.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cent))
+        e.select("vec_id", "embedding",
+                 _emb_d(F.col("embedding")).alias("__ed"),
+                 l2_norm(F.col("embedding")).alias("__en"))
+        .crossJoin(F.broadcast(centp))
         .select("vec_id", "embedding", "cell",
-                _cos_rounded(F.col("embedding"), F.col("ce")).alias("cos_c"))
+                _cos_rounded_pre(F.col("__ed"), F.col("ce_d"),
+                                 F.col("__en"), F.col("cen"))
+                .alias("cos_c"))
         .withColumn("rn", F.row_number().over(w))
     )
 
@@ -1060,22 +1128,23 @@ def _ivf_topk_from_centroids(e: DataFrame, cent: DataFrame,
     # standard fix when cluster structure is weak relative to the
     # query's true neighbors.
     assign = scores.filter(F.col("rn") <= nassign).select(
-        "vec_id", "embedding", "cell"
+        "vec_id", _emb_d(F.col("embedding")).alias("emb_d"),
+        l2_norm(F.col("embedding")).alias("nn"), "cell"
     )
     probe = (
         scores.filter((F.col("vec_id") < N_QUERY_VECS)
                       & (F.col("rn") <= nprobe))
         .select(F.col("vec_id").alias("qid"), "cell")
     )
-    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid2"), F.col("embedding").alias("q_emb")
-    )
+    q = _emb_side(e.filter(F.col("vec_id") < N_QUERY_VECS),
+                  "qid2", "q_emb", "qn")
     cand = (
         assign.join(F.broadcast(probe), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
         .join(F.broadcast(q), F.col("qid") == F.col("qid2"))
         .select("qid", "vec_id",
-                _cos_rounded(F.col("q_emb"), F.col("embedding")).alias("cos"))
+                _cos_rounded_pre(F.col("q_emb"), F.col("emb_d"),
+                                 F.col("qn"), F.col("nn")).alias("cos"))
     )
     if nassign > 1:
         # a vector indexed in 2+ probed cells appears once per cell —

@@ -1517,9 +1517,11 @@ def _semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tpg_weather_etl_spark.operators.graph import (
         connected_components_partitioned,
     )
+    from tpg_weather_etl_spark.functions.vectors import l2_norm
     from tpg_weather_etl_spark.queries_embeddings import (
         _cell_scores,
-        _cos_rounded,
+        _cos_rounded_pre,
+        _emb_d,
         kmeans_centroids,
     )
 
@@ -1532,10 +1534,16 @@ def _semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "cell")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Join-side projections hoist the float→double cast and l2 norm
+    # to once per row (opt r14 batch 2); the per-pair expression in
+    # the n²/k self-join is then the single dot product —
+    # bit-identical, see functions.vectors.cosine_from_parts.
     a = asg.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("emb_a"), "cell")
+                   _emb_d(F.col("embedding")).alias("emb_a"),
+                   l2_norm(F.col("embedding")).alias("na"), "cell")
     b = asg.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("emb_b"),
+                   _emb_d(F.col("embedding")).alias("emb_b"),
+                   l2_norm(F.col("embedding")).alias("nb"),
                    F.col("cell").alias("cell_b"))
     # Persisted (optimization r14): the intra-cell cosine self-join is
     # the dominant cost of the SemDeDup family (n²/k 64-dim dot
@@ -1549,7 +1557,8 @@ def _semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("cell") == F.col("cell_b"))
                & (F.col("vec_a") < F.col("vec_b")))
         .select("cell", "vec_a", "vec_b",
-                _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos"))
+                _cos_rounded_pre(F.col("emb_a"), F.col("emb_b"),
+                                 F.col("na"), F.col("nb")).alias("cos"))
         .filter(F.col("cos") >= SEM_TAU)
         .select("cell", "vec_a", "vec_b")
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -47,7 +47,6 @@ from pyspark.sql import types as T
 
 from tpg_weather_etl_spark.queries_embeddings import (
     NEARDUP_TAU,
-    _cos_rounded,
     buckets_for_embeddings,
     filter_hot_buckets,
 )
@@ -140,14 +139,17 @@ def _verified_pairs(emb: DataFrame, cand: DataFrame,
     """Exact-cosine verify of (vec_a, vec_b) candidates against the
     given (vec_id, embedding) lookup — candidates only, never
     all-pairs."""
-    ea = emb.select(F.col("vec_id").alias("vec_a"),
-                    F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"),
-                    F.col("embedding").alias("emb_b"))
+    from tpg_weather_etl_spark.queries_embeddings import (
+        _cos_rounded_pre,
+        _emb_side,
+    )
+    ea = _emb_side(emb, "vec_a", "emb_a", "na")
+    eb = _emb_side(emb, "vec_b", "emb_b", "nb")
     return (
         cand.join(ea, "vec_a").join(eb, "vec_b")
         .select("vec_a", "vec_b",
-                _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos"))
+                _cos_rounded_pre(F.col("emb_a"), F.col("emb_b"),
+                                 F.col("na"), F.col("nb")).alias("cos"))
         .filter(F.col("cos") >= tau)
     )
 
