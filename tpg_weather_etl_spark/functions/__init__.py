@@ -33,6 +33,7 @@ from tpg_weather_etl_spark.functions.text import (  # noqa: F401
     token_count,
 )
 from tpg_weather_etl_spark.functions.vectors import (  # noqa: F401
+    cosine_from_norms,
     cosine_from_parts,
     cosine_similarity,
     dot_product,

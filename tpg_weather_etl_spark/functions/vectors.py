@@ -40,6 +40,25 @@ def dot_product_d(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def cosine_from_norms(a: Column, b: Column,
+                      na: Column, nb: Column) -> Column:
+    """``cosine_similarity(a, b)`` with ONLY the two l2 norms hoisted
+    to per-row (join-side) projections; the arrays stay in their
+    storage type and the float→double cast happens inside the single
+    per-pair dot product.
+
+    This is the MIXED hoist for key/bucket equi-joins whose sides
+    cross an Exchange or Broadcast: a pre-cast double array doubles
+    every shuffled/broadcast row (the dominant cost of a verify join
+    at scale), while the norm is 8 bytes. Per pair it evaluates one
+    fold (plus the exact, cheap casts) instead of the inline five.
+    Bit-identical: ``dot_product`` casts exactly as
+    ``cosine_similarity``'s own dot does, and ``na``/``nb`` must be
+    ``l2_norm`` of the same columns."""
+    denom = na * nb
+    return F.when(denom > 0, dot_product(a, b) / denom)
+
+
 def cosine_from_parts(a_d: Column, b_d: Column,
                       na: Column, nb: Column) -> Column:
     """``cosine_similarity(a, b)`` with the double casts and the two

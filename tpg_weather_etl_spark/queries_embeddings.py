@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tpg_weather_etl_spark.functions.vectors import (
+    cosine_from_norms,
     cosine_from_parts,
     cosine_similarity,
     dot_product_d,
@@ -74,10 +75,41 @@ def _emb_side(e: DataFrame, id_alias: str, emb_alias: str,
               norm_alias: str, id_col: str = "vec_id",
               emb_col: str = "embedding") -> DataFrame:
     """(id, emb_d, norm) join-side projection: one cast + one norm
-    per row, feeding ``_cos_rounded_pre`` in the pair expression."""
+    per row, feeding ``_cos_rounded_pre`` in the pair expression.
+
+    Use ONLY where the projected side reaches the pair expression
+    without crossing an Exchange/Broadcast (the streamed side of the
+    brute-force cross joins, or below an AQE-broadcast build of a
+    tiny table): the pre-cast double array is 2x the storage float
+    width, measured as a net loss when it rides a shuffle or a
+    corpus-sized broadcast (50k-vector probe, OPTIMIZATION_r14.md).
+    For key/bucket joins use ``_emb_side_f`` + ``_cos_rounded_norms``."""
     return e.select(
         F.col(id_col).alias(id_alias),
         _emb_d(F.col(emb_col)).alias(emb_alias),
+        l2_norm(F.col(emb_col)).alias(norm_alias),
+    )
+
+
+def _cos_rounded_norms(a, b, na, nb) -> Column:
+    """``_cos_rounded`` with pre-computed norms over storage-type
+    arrays (the cast happens inside the single per-pair dot)."""
+    return F.round(cosine_from_norms(a, b, na, nb), 6) + F.lit(0.0)
+
+
+def _emb_side_f(e: DataFrame, id_alias: str, emb_alias: str,
+                norm_alias: str, id_col: str = "vec_id",
+                emb_col: str = "embedding") -> DataFrame:
+    """(id, raw float emb, norm) MIXED join-side projection for
+    key/bucket equi-joins whose sides cross an Exchange or Broadcast:
+    hoists only the 8-byte norm (the expensive self-fold) and keeps
+    the array at storage width, so shuffle/broadcast bytes stay flat
+    while the pair expression still drops from five folds to one
+    (see functions.vectors.cosine_from_norms for the bit-identity
+    argument)."""
+    return e.select(
+        F.col(id_col).alias(id_alias),
+        F.col(emb_col).alias(emb_alias),
         l2_norm(F.col(emb_col)).alias(norm_alias),
     )
 
@@ -209,14 +241,17 @@ def q_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (jp.withColumn("rn", F.row_number().over(wj))
             .filter(F.col("rn") <= JL_RERANK)
             .select("qid", "vec_id"))
-    qe = _emb_side(e.filter(F.col("vec_id") < N_QUERY_VECS),
-                   "qid", "q_emb", "qn")
-    ce = _emb_side(e, "vec_id", "c_emb", "cn")
+    # Rerank verifies only N_QUERY*JL_RERANK pairs against the full
+    # corpus side: any per-row hoist on ce does MORE work than the
+    # pairs save, so the exact cosine stays inline here (reverted
+    # from the first batch-2 cut after the 50k probe).
+    qe = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+    ce = e.select("vec_id", F.col("embedding").alias("c_emb"))
     exact = (
         cand.join(F.broadcast(qe), "qid").join(ce, "vec_id")
         .select("qid", "vec_id",
-                _cos_rounded_pre(F.col("q_emb"), F.col("c_emb"),
-                                 F.col("qn"), F.col("cn")).alias("cos"))
+                _cos_rounded(F.col("q_emb"), F.col("c_emb")).alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (exact.withColumn("rank", F.row_number().over(w))
@@ -418,22 +453,24 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the identical set.
     """
     e = t(spark, sf_dir, "embeddings")
-    eb = e.select("vec_id", _emb_d(F.col("embedding")).alias("emb_d"),
-                  l2_norm(F.col("embedding")).alias("nn")).join(
+    # MIXED hoist: both sides of the bucket self-join cross a hash
+    # Exchange carrying the embedding — keep it at storage width and
+    # hoist only the norm (see _emb_side_f).
+    eb = _emb_side_f(e, "vec_id", "emb_f", "nn").join(
         _bucketed(spark, sf_dir), "vec_id")
     a = eb.select(F.col("vec_id").alias("vec_a"),
-                  F.col("emb_d").alias("emb_a"),
+                  F.col("emb_f").alias("emb_a"),
                   F.col("nn").alias("na"), "bucket")
     b = eb.select(F.col("vec_id").alias("vec_b"),
-                  F.col("emb_d").alias("emb_b"),
+                  F.col("emb_f").alias("emb_b"),
                   F.col("nn").alias("nb"),
                   F.col("bucket").alias("bucket_b"))
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b"))
                & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b",
-                _cos_rounded_pre(F.col("emb_a"), F.col("emb_b"),
-                                 F.col("na"), F.col("nb")).alias("cos"))
+                _cos_rounded_norms(F.col("emb_a"), F.col("emb_b"),
+                                   F.col("na"), F.col("nb")).alias("cos"))
         .filter(F.col("cos") >= NEARDUP_TAU)
     )
 
@@ -548,13 +585,16 @@ def q_embedding_neardup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b").distinct()
     )
-    ea = _emb_side(e, "vec_a", "emb_a", "na")
-    eb2 = _emb_side(e, "vec_b", "emb_b", "nb")
+    # MIXED hoist: the verify sides are corpus-sized and ride an
+    # Exchange/Broadcast into the cand joins — storage-width arrays +
+    # hoisted norm (see _emb_side_f).
+    ea = _emb_side_f(e, "vec_a", "emb_a", "na")
+    eb2 = _emb_side_f(e, "vec_b", "emb_b", "nb")
     return (
         cand.join(ea, "vec_a").join(eb2, "vec_b")
         .select("vec_a", "vec_b",
-                _cos_rounded_pre(F.col("emb_a"), F.col("emb_b"),
-                                 F.col("na"), F.col("nb")).alias("cos"))
+                _cos_rounded_norms(F.col("emb_a"), F.col("emb_b"),
+                                   F.col("na"), F.col("nb")).alias("cos"))
         .filter(F.col("cos") >= NEARDUP_TAU)
     )
 
@@ -645,13 +685,16 @@ def q_embedding_neardup_capped(spark: SparkSession,
                & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b").distinct()
     )
-    ea = _emb_side(e, "vec_a", "emb_a", "na")
-    eb2 = _emb_side(e, "vec_b", "emb_b", "nb")
+    # MIXED hoist: the verify sides are corpus-sized and ride an
+    # Exchange/Broadcast into the cand joins — storage-width arrays +
+    # hoisted norm (see _emb_side_f).
+    ea = _emb_side_f(e, "vec_a", "emb_a", "na")
+    eb2 = _emb_side_f(e, "vec_b", "emb_b", "nb")
     return (
         cand.join(ea, "vec_a").join(eb2, "vec_b")
         .select("vec_a", "vec_b",
-                _cos_rounded_pre(F.col("emb_a"), F.col("emb_b"),
-                                 F.col("na"), F.col("nb")).alias("cos"))
+                _cos_rounded_norms(F.col("emb_a"), F.col("emb_b"),
+                                   F.col("na"), F.col("nb")).alias("cos"))
         .filter(F.col("cos") >= NEARDUP_TAU)
     )
 
@@ -721,14 +764,16 @@ def q_embedding_contamination(spark: SparkSession,
                     & (F.col("bucket") == F.col("bucket_b")))
         .select("vec_id", "bench_vec").distinct()
     )
-    ec = _emb_side(e, "vec_id", "emb_c", "nc")
-    ebn = _emb_side(e, "bench_vec", "emb_b", "nb")
+    # MIXED hoist: ec is corpus-sized through a key join and ebn is
+    # an explicitly broadcast corpus/100 side — storage-width arrays.
+    ec = _emb_side_f(e, "vec_id", "emb_c", "nc")
+    ebn = _emb_side_f(e, "bench_vec", "emb_b", "nb")
     hits = (
         cand.join(ec, "vec_id")
         .join(F.broadcast(ebn), "bench_vec")
         .select("vec_id", "bench_vec",
-                _cos_rounded_pre(F.col("emb_c"), F.col("emb_b"),
-                                 F.col("nc"), F.col("nb"))
+                _cos_rounded_norms(F.col("emb_c"), F.col("emb_b"),
+                                   F.col("nc"), F.col("nb"))
                 .alias("cos"))
         .filter(F.col("cos") >= CONTAM_COS_TAU)
     )
@@ -950,13 +995,14 @@ def q_bitext_mining_pairs(spark: SparkSession, sf_dir: str,
                & (F.col("va") != F.col("vb")))
         .select("va", "vb").distinct()
     )
-    ea = _emb_side(e, "va", "emb_a", "na")
-    eb2 = _emb_side(e, "vb", "emb_b", "nb")
+    # MIXED hoist (see _emb_side_f): verify sides cross the cand joins.
+    ea = _emb_side_f(e, "va", "emb_a", "na")
+    eb2 = _emb_side_f(e, "vb", "emb_b", "nb")
     scored = track(
         cand.join(ea, "va").join(eb2, "vb")
         .select("va", "vb",
-                _cos_rounded_pre(F.col("emb_a"), F.col("emb_b"),
-                                 F.col("na"), F.col("nb")).alias("cos"))
+                _cos_rounded_norms(F.col("emb_a"), F.col("emb_b"),
+                                   F.col("na"), F.col("nb")).alias("cos"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Denominators stay EXACT: sum of 6dp cosines routed through

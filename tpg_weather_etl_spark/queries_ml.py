@@ -1520,8 +1520,7 @@ def _semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tpg_weather_etl_spark.functions.vectors import l2_norm
     from tpg_weather_etl_spark.queries_embeddings import (
         _cell_scores,
-        _cos_rounded_pre,
-        _emb_d,
+        _cos_rounded_norms,
         kmeans_centroids,
     )
 
@@ -1534,15 +1533,19 @@ def _semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "cell")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Join-side projections hoist the float→double cast and l2 norm
-    # to once per row (opt r14 batch 2); the per-pair expression in
-    # the n²/k self-join is then the single dot product —
-    # bit-identical, see functions.vectors.cosine_from_parts.
+    # MIXED hoist (opt r14 batch 2): the l2 norm moves to the
+    # join-side row projections (once per row, not per pair) but the
+    # embedding stays at storage width — both sides of the intra-cell
+    # self-join cross a hash Exchange on cell, and a pre-cast double
+    # array would double those shuffle bytes (50k probe evidence in
+    # OPTIMIZATION_r14.md). The per-pair expression is the single
+    # cast-inline dot product — bit-identical, see
+    # functions.vectors.cosine_from_norms.
     a = asg.select(F.col("vec_id").alias("vec_a"),
-                   _emb_d(F.col("embedding")).alias("emb_a"),
+                   F.col("embedding").alias("emb_a"),
                    l2_norm(F.col("embedding")).alias("na"), "cell")
     b = asg.select(F.col("vec_id").alias("vec_b"),
-                   _emb_d(F.col("embedding")).alias("emb_b"),
+                   F.col("embedding").alias("emb_b"),
                    l2_norm(F.col("embedding")).alias("nb"),
                    F.col("cell").alias("cell_b"))
     # Persisted (optimization r14): the intra-cell cosine self-join is
@@ -1557,8 +1560,8 @@ def _semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("cell") == F.col("cell_b"))
                & (F.col("vec_a") < F.col("vec_b")))
         .select("cell", "vec_a", "vec_b",
-                _cos_rounded_pre(F.col("emb_a"), F.col("emb_b"),
-                                 F.col("na"), F.col("nb")).alias("cos"))
+                _cos_rounded_norms(F.col("emb_a"), F.col("emb_b"),
+                                   F.col("na"), F.col("nb")).alias("cos"))
         .filter(F.col("cos") >= SEM_TAU)
         .select("cell", "vec_a", "vec_b")
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -138,18 +138,19 @@ def _verified_pairs(emb: DataFrame, cand: DataFrame,
                     tau: float) -> DataFrame:
     """Exact-cosine verify of (vec_a, vec_b) candidates against the
     given (vec_id, embedding) lookup — candidates only, never
-    all-pairs."""
-    from tpg_weather_etl_spark.queries_embeddings import (
-        _cos_rounded_pre,
-        _emb_side,
-    )
-    ea = _emb_side(emb, "vec_a", "emb_a", "na")
-    eb = _emb_side(emb, "vec_b", "emb_b", "nb")
+    all-pairs. The cosine stays INLINE here (not the batch queries'
+    hoisted form): per micro-batch the candidate pair count is far
+    below the accumulated store size, so any per-row projection over
+    the lookup side does more work than the pairs save."""
+    from tpg_weather_etl_spark.queries_embeddings import _cos_rounded
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("emb_b"))
     return (
         cand.join(ea, "vec_a").join(eb, "vec_b")
         .select("vec_a", "vec_b",
-                _cos_rounded_pre(F.col("emb_a"), F.col("emb_b"),
-                                 F.col("na"), F.col("nb")).alias("cos"))
+                _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos"))
         .filter(F.col("cos") >= tau)
     )
 
