@@ -275,7 +275,15 @@ def extract_features(
 
     mapInPandas signature: Iterator[pd.DataFrame] → Iterator[pd.DataFrame]
     so one task never holds more than a record batch of payloads.
+
+    Only the three columns the function reads cross the JVM→Python
+    Arrow boundary (optimization r14, guide §4.2): mapInPandas hands
+    the udf its input schema verbatim, so Catalyst cannot prune what
+    the black-box function ignores — an explicit select here drops
+    the metadata columns (mime/width/height/duration_ms) every caller
+    would otherwise serialize alongside the payload.
     """
+    media = media.select("media_id", "kind", "content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -365,6 +373,9 @@ def sample_frames(media: DataFrame, every_k: int = 2,
     above).
     """
     import struct
+    # only the two consumed columns cross the Arrow boundary (r14,
+    # guide §4.2 — see extract_features)
+    media = media.select(id_col, content_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -436,6 +447,9 @@ def resize_ppm(media: DataFrame, max_px: int = 256,
             return None
         return w, h, np.frombuffer(raw[: w * h * 3],
                                    dtype=np.uint8).reshape(h, w, 3)
+
+    # only the two consumed columns cross the Arrow boundary (r14)
+    media = media.select(id_col, content_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -45,6 +45,73 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_counts_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, tok, tf) per-document token counts — the
+    shared reuse point of the whole unigram family (optimization r14
+    batch 3). Ten gate queries (tfidf, bm25, repetition/unigram
+    stats, vocab ids + the tokenizer encode built on them, NB source
+    confusion, zipf/gini/KL/coverage diagnostics) each re-ran the
+    corpus scan + norm_text regex + token explode + a first
+    map-side-combined shuffle; every one of their aggregates is
+    derivable from the counts table (occurrence sums become
+    Σ tf·x — exact, see each call site), which is far smaller than
+    the token stream (distinct tokens per doc, not occurrences).
+    track()'s plan-equality dedup resolves all consumers to ONE cache
+    entry per sweep — the corpus is tokenized once, not ten times.
+    MEMORY_AND_DISK: at 100 TB the counts table is a bounded fraction
+    of corpus size and blocks LRU-evict rather than OOM.
+
+    The counts are built MAP-SIDE (gopher_quality's sorted-run
+    pattern): per-doc tf equals the run length of the token in the
+    SORTED token array, so (doc_id, tok, tf) is one projection +
+    Generate per row — NO (doc_id, tok) Exchange. That matters on
+    low-redundancy corpora (the 50k synthetic probe measured counts
+    ≈ 0.96x occurrences — a groupBy-built counts table there pays a
+    corpus-sized shuffle and compresses nothing), and it makes the
+    builder strictly cheaper than any single consumer's former
+    explode + first-shuffle at every compression level. Equality to
+    the groupBy formulation is exact (integer run lengths; the ""
+    token of an empty doc appears with tf = 1 exactly as the explode
+    emitted it) — pinned by the oracle gate on all ten consumers."""
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    staged = d.select(
+        "doc_id",
+        F.array_sort(F.split(norm_text(F.col("text")), " ")).alias("ts"),
+    )
+    # 1-based run-start positions in the sorted array
+    starts = staged.select(
+        "doc_id", "ts",
+        F.filter(
+            F.sequence(F.lit(1), F.size("ts")),
+            lambda i: (i == F.lit(1))
+            | (F.element_at(F.col("ts"), i)
+               != F.element_at(F.col("ts"), i - F.lit(1))),
+        ).alias("st"),
+    )
+    runs = starts.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.col("st"),
+            lambda s, j: F.struct(
+                F.element_at(F.col("ts"), s).alias("tok"),
+                # next run start (0-based get -> NULL past the end)
+                (F.coalesce(F.get(F.col("st"), j + F.lit(1)),
+                            F.size(F.col("ts")) + F.lit(1)) - s)
+                .cast("long").alias("tf"),
+            ),
+        )).alias("r"),
+    )
+    return track(
+        runs.select("doc_id", F.col("r.tok").alias("tok"),
+                    F.col("r.tf").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+
 _SQL_TOKENS = """
 tok AS (SELECT doc_id,
           unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
@@ -57,12 +124,13 @@ tok AS (SELECT doc_id,
 # ---------------------------------------------------------------------------
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _tokens(spark, sf_dir)
+    # Shared counts table (opt r14 batch 3): tf IS the counts table,
+    # and df is one row-count per token over it (counts rows are
+    # distinct (doc, tok) by construction) — the second corpus
+    # explode + distinct this query ran is gone.
+    tf = token_counts_shared(spark, sf_dir)
     n_docs = t(spark, sf_dir, "documents").count()  # scalar; tiny action
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # df_ is vocabulary-sized (grows with the corpus) — joined
     # co-partitioned on tok, never hint-broadcast
     scored = tf.join(df_, "tok").select(
@@ -137,7 +205,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tpg_weather_etl_spark.caching import track
 
-    toks = _tokens(spark, sf_dir)
+    counts = token_counts_shared(spark, sf_dir)
     qterm_list = sorted({term for _, terms in BM25_QUERIES
                          for term in terms})
     # ONE corpus scan: per (doc, matched-term) counts, with every
@@ -146,13 +214,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheaply and feeds tf, per-doc length, AND the N/avgdl scalars —
     # the naive formulation scanned and re-exploded the corpus three
     # times (once per branch), visible as 3 FileScans in the plan.
+    # Σ tf over the shared counts == COUNT over occurrences (opt r14
+    # batch 3); g keeps its own persist — it feeds tf, dl AND the
+    # N/avgdl scalars below.
     g = track(
-        toks.groupBy(
+        counts.groupBy(
             "doc_id",
             F.when(F.col("tok").isin(qterm_list), F.col("tok"))
             .alias("qtok"),
         )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("tf").alias("cnt"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dl = g.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
@@ -386,10 +457,11 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles once and every later stage is a doc-partitioned agg or
     co-partitioned join; nothing is global.
     """
-    toks = _tokens(spark, sf_dir)
-    base = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.count_distinct(F.col("tok")).alias("n_distinct"),
+    # Shared counts (opt r14 batch 3): n_tokens = Σ tf, n_distinct =
+    # row count per doc — no occurrence explode.
+    base = token_counts_shared(spark, sf_dir).groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
     )
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.split(norm_text(F.col("text")), " ").alias("toks")
@@ -462,17 +534,23 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned on tok (vocab is NOT broadcast — at corpus scale
     the vocabulary is itself huge).
     """
-    toks = _tokens(spark, sf_dir)
-    total = toks.count()  # scalar action: corpus token count
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    tok_lp = toks.join(vocab, "tok").select(
-        "doc_id",
+    # Shared counts (opt r14 batch 3): every occurrence of (doc, tok)
+    # contributes the SAME decimal nll, so the occurrence-level sum is
+    # exactly tf * nll (decimal multiply by an integer is exact) and
+    # the occurrence count is Σ tf — no token explode, and the
+    # tokens⋈vocab join shrinks to counts⋈vocab.
+    counts = token_counts_shared(spark, sf_dir)
+    total = counts.agg(F.sum("tf")).first()[0]  # scalar action
+    vocab = counts.groupBy("tok").agg(F.sum("tf").alias("c"))
+    tok_lp = counts.join(vocab, "tok").select(
+        "doc_id", "tf",
         F.round(-F.log(F.col("c") / F.lit(float(total))), 6)
         .cast("decimal(24,8)").alias("nll"),
     )
     return tok_lp.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        (F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6)
+        F.sum("tf").alias("n_tokens"),
+        (F.round(F.sum(F.col("nll") * F.col("tf")).cast("double")
+                 / F.sum("tf"), 6)
          + F.lit(0.0)).alias("xent"),
     )
 
@@ -898,9 +976,9 @@ def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from tpg_weather_etl_spark.operators.prefix import global_running_sum
 
-    toks = _tokens(spark, sf_dir)
     vocab = (
-        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        token_counts_shared(spark, sf_dir)
+        .groupBy("tok").agg(F.sum("tf").alias("c"))
         .withColumn("negc", -F.col("c"))
         .withColumn("one", F.lit(1))
     )
@@ -2380,19 +2458,21 @@ def q_nb_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from tpg_weather_etl_spark.caching import track
     d = t(spark, sf_dir, "documents")
-    toks = _tokens(spark, sf_dir)
+    counts = token_counts_shared(spark, sf_dir)
     # vocab feeds four consumers (dt, the model grid, V, pair counts)
     # and dt three — persist both reuse points or every branch
-    # replans the tokenizer subtree (23 exchanges without).
+    # replans the tokenizer subtree (23 exchanges without). dt is now
+    # counts-level (doc_id, tok, tf): occurrence sums become Σ tf·x
+    # at each consumer (exact — see token_counts_shared).
     vocab = track(
-        toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+        counts.groupBy("tok").agg(F.sum("tf").alias("cnt"))
         .filter(F.col("cnt") >= NB_MIN_TOKEN_COUNT)
         .select("tok").persist())
-    dt = track(toks.join(F.broadcast(vocab), "tok").persist())
+    dt = track(counts.join(F.broadcast(vocab), "tok").persist())
     labeled = dt.join(d.select("doc_id", "source"), "doc_id")
 
     pair_cnt = labeled.groupBy("source", "tok").agg(
-        F.count("*").alias("cnt"))
+        F.sum("tf").alias("cnt"))
     tot = pair_cnt.groupBy("source").agg(F.sum("cnt").alias("tot"))
     v_size = vocab.agg(F.count("*").alias("v"))
     sources = d.groupBy("source").agg(F.count("*").alias("n_docs"))
@@ -2419,7 +2499,11 @@ def q_nb_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = (
         dt.join(F.broadcast(model), "tok")
         .groupBy("doc_id", "source")
-        .agg(F.sum(F.col("lp").cast("decimal(38,8)")).alias("llsum"))
+        # Σ over occurrences of the same 6dp lp == tf * lp in exact
+        # decimal arithmetic; cast BEFORE the multiply so every
+        # addend is the decimal the occurrence-level sum would add.
+        .agg(F.sum(F.col("lp").cast("decimal(38,8)") * F.col("tf"))
+             .alias("llsum"))
         .join(F.broadcast(prior), "source")
         .select("doc_id", "source",
                 (F.col("llsum")
@@ -2509,8 +2593,8 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from tpg_weather_etl_spark.operators.prefix import global_running_sum
 
-    tf = (_tokens(spark, sf_dir)
-          .groupBy("tok").agg(F.count("*").alias("cnt")))
+    tf = (token_counts_shared(spark, sf_dir)
+          .groupBy("tok").agg(F.sum("tf").alias("cnt")))
     ranked = global_running_sum(
         tf.withColumn("negf", -F.col("cnt")).withColumn("one", F.lit(1)),
         ["negf", "tok"], "one", out_col="rank")
@@ -2634,8 +2718,8 @@ def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefix-rank derivation (the zipf_slope pattern)."""
     from tpg_weather_etl_spark.operators.prefix import global_running_sum
 
-    tf = (_tokens(spark, sf_dir)
-          .groupBy("tok").agg(F.count("*").alias("cnt")))
+    tf = (token_counts_shared(spark, sf_dir)
+          .groupBy("tok").agg(F.sum("tf").alias("cnt")))
     ranked = global_running_sum(
         tf.withColumn("one", F.lit(1)), ["cnt", "tok"], "one",
         out_col="rank")
@@ -2752,13 +2836,14 @@ def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tpg_weather_etl_spark.caching import track
 
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
-    toks = d.select(
-        "source",
-        F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok"))
+    d = t(spark, sf_dir, "documents")
+    # Shared counts joined to the (doc_id, source) projection replace
+    # this query's own corpus explode (opt r14 batch 3): the join
+    # moves doc-count rows, the explode moved token occurrences.
     stc = track(
-        toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+        token_counts_shared(spark, sf_dir)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "tok").agg(F.sum("tf").alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     top = (stc.groupBy("tok").agg(F.sum("c").alias("cw"))
            .orderBy(F.desc("cw"), "tok").limit(KL_TOP))
@@ -3215,8 +3300,8 @@ def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tpg_weather_etl_spark.operators.prefix import global_running_sum
 
     tf = track(
-        _tokens(spark, sf_dir)
-        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        token_counts_shared(spark, sf_dir)
+        .groupBy("tok").agg(F.sum("tf").alias("cnt"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     ranked = global_running_sum(
         tf.withColumn("one", F.lit(1))
