@@ -1890,17 +1890,42 @@ def _oriented_triangles(spark: SparkSession,
     # runs the plain path.
     max_out = (oriented.groupBy("src").agg(F.count("*").alias("od"))
                .agg(F.max("od").alias("m")).first()["m"]) or 0
+    from pyspark import StorageLevel
     if max_out <= WEDGE_APEX_BUDGET:
-        # hub-free: the classic oriented wedge self-join, no salt
-        # columns at all — both sides are projections of the cache.
-        w2 = oriented.select(F.col("src").alias("src2"),
-                             F.col("dst").alias("dst2"))
-        wedges = (
-            oriented.join(w2, (F.col("src") == F.col("src2"))
-                          & (F.col("dst") < F.col("dst2")))
+        # hub-free: EDGE-ITERATOR enumeration over per-apex sorted
+        # out-neighbor arrays (optimization r14, guide §2.3/§2.4 —
+        # "shuffle fewer bytes / remove the shuffle of the big
+        # intermediate"). The classic wedge self-join materializes and
+        # SHUFFLES every wedge (41.1M rows at sf0.1) into the
+        # closing-edge probe; but a triangle is exactly one oriented
+        # path a→b→c, so intersecting N+(a) ∩ N+(b) per oriented edge
+        # (a→b) finds each triangle once — same (apex, lo, hi)
+        # multiset, proven by the unchanged orientation-free oracle —
+        # while non-closing wedges never exist as rows. The arrays are
+        # budget-bounded (≤ WEDGE_APEX_BUDGET elements, this branch's
+        # precondition), so rows stay small; measured 26.3s → 4.95s
+        # for the tri build at sf0.1 (plans/r14/part_triangles_*).
+        adj = track(
+            oriented.groupBy("src")
+            .agg(F.array_sort(F.collect_list("dst")).alias("nb"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        au = adj.select(F.col("src").alias("ju"), F.col("nb").alias("nu"))
+        av = adj.select(F.col("src").alias("jv"), F.col("nb").alias("nv"))
+        # inner joins: an edge whose dst has no out-neighbors closes
+        # no triangle and drops here, exactly as it found no closing
+        # edge in the wedge formulation
+        tri = track(
+            oriented.join(au, F.col("src") == F.col("ju"))
+            .join(av, F.col("dst") == F.col("jv"))
             .select(F.col("src").alias("apex"),
-                    F.col("dst").alias("lo"),
-                    F.col("dst2").alias("hi")))
+                    F.col("dst").alias("b"),
+                    F.explode(F.array_intersect(
+                        F.col("nu"), F.col("nv"))).alias("c"))
+            .select("apex",
+                    F.least("b", "c").alias("lo"),
+                    F.greatest("b", "c").alias("hi"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        return e, tri
     else:
         # per-apex salt count from the ORIENTED out-degree (not the
         # full undirected degree — orientation is what keeps it
@@ -1943,7 +1968,6 @@ def _oriented_triangles(spark: SparkSession,
     # longs per triangle — far below the wedge join's own shuffle —
     # so the cache is cheap at any scale, and MEMORY_AND_DISK spills
     # rather than OOMs on a triangle-dense graph.
-    from pyspark import StorageLevel
     tri = track(
         (wedges.join(e, (wedges["lo"] == e["u"])
                      & (wedges["hi"] == e["v"]))
