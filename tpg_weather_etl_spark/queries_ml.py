@@ -2070,14 +2070,22 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches AND the sizing count).
     # Shared edge cache (optimization r14): resolves to the family's
     # one persisted edge list when warm (degree_distribution runs
-    # first in the bench sweep), so the localCheckpoint materializes
-    # from cache instead of re-running the co-purchase self-join.
-    und = copurchase_edges_shared(spark, sf_dir).localCheckpoint(
-        eager=True)
+    # first in the bench sweep). No extra localCheckpoint of the edge
+    # list itself (batch 5): the persist already materializes it, and
+    # everything the loop reads is truncated at the edges_deg
+    # checkpoint below — the former copy wrote and re-read the full
+    # list for nothing.
+    und = copurchase_edges_shared(spark, sf_dir)
     edges = und.select(
         F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # The degree table is |V| rows — checkpointing IT (tiny) lets the
+    # node count, the initial rank vector and the edge annotation all
+    # read one materialized agg instead of each re-deriving it
+    # (batch 5; the former plan ran a full-edge distinct + checkpoint
+    # just to enumerate nodes the degree agg already had).
+    deg = (edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+           .localCheckpoint(eager=True))
     n_edges = 2 * und.count()
     parts = max(1, min(_MAX_LOOP_PARTITIONS,
                        -(-n_edges // _EDGE_ROWS_PER_PARTITION)))
@@ -2089,11 +2097,10 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = (edges.join(deg, "src")
                  .repartition(parts, "src")
                  .localCheckpoint(eager=True))
-    nodes = (edges_deg.select(F.col("src").alias("node"))
-             .distinct().localCheckpoint(eager=True))
-    n = nodes.count()
+    n = deg.count()
     base = (1.0 - PAGERANK_DAMPING) / n
-    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    ranks = deg.select(F.col("src").alias("node"),
+                       F.lit(1.0 / n).alias("r"))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     PAGERANK_ITER_TIMES.clear()
@@ -2105,12 +2112,17 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("dst",
                         (F.col("r") / F.col("outdeg")).alias("c")))
             s = contrib.groupBy("dst").agg(_pr_sum(F.col("c")).alias("s"))
-            ranks = (nodes.join(s, nodes["node"] == s["dst"], "left")
-                     .select("node",
-                             (F.lit(base)
-                              + F.lit(PAGERANK_DAMPING)
-                              * F.coalesce(F.col("s"), F.lit(0.0)))
-                             .alias("r"))
+            # No nodes-left-join (batch 5): edges are symmetrized, so
+            # EVERY node has an in-edge and the contribution sum
+            # already holds one row per node — the former left join +
+            # coalesce(s, 0.0) was dead weight on a path it never
+            # took (values bit-identical: coalesce of a non-null s is
+            # s). The groupBy's hash(dst, parts) partitioning ALSO
+            # co-partitions next iteration's join on node.
+            ranks = (s.select(F.col("dst").alias("node"),
+                              (F.lit(base)
+                               + F.lit(PAGERANK_DAMPING) * F.col("s"))
+                              .alias("r"))
                      .localCheckpoint(eager=True))
             # eager checkpoint = the iteration's job already ran, so
             # this is real per-iteration wall time, not lazy-plan time
