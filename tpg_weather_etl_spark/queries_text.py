@@ -167,6 +167,45 @@ def minhash_signatures_shared(spark: SparkSession,
     )
 
 
+# Compressed-parquet bytes of corpus text per shingle-builder task.
+# Deliberately tiny next to maxPartitionBytes: the builder EXPLODES
+# each task's text into per-shingle partial-aggregation state (~100
+# distinct-map entries of ~50 B per doc — a 40-80x expansion of the
+# zstd bytes), so sizing tasks by scan bytes overloads them long
+# before the scan itself is coarse. 2 MB keeps per-task distinct
+# state ~100 MB. At the gate/bench corpora (<= 0.6 MB) the floor is
+# defaultParallelism, so small-SF plans are byte-identical to the
+# fixed-width ones.
+SHINGLE_TASK_INPUT_BYTES = 2 * 1024 * 1024
+
+
+def corpus_repartition_width(spark: SparkSession, sf_dir: str,
+                             table: str = "documents") -> int:
+    """Scale-adaptive width for the pre-explode corpus repartition
+    (optimization r14, guide §2.5/§5): one task per
+    SHINGLE_TASK_INPUT_BYTES of compressed input, floored at
+    defaultParallelism, capped at 32768. The former constant
+    (defaultParallelism) sized per-task partial-aggregation state
+    LINEARLY with the corpus: at a 2M-doc probe each of 32 tasks held
+    a ~6M-entry distinct map and the stage spilled 12 GB to disk
+    (PROFILE stage metrics) — the measured sig-stage superlinearity.
+    Unreadable/remote paths fall back to the floor."""
+    import os
+
+    base = spark.sparkContext.defaultParallelism
+    path = os.path.join(str(sf_dir), f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(e.stat().st_size for e in os.scandir(path)
+                       if e.is_file())
+        else:
+            size = os.stat(path).st_size
+    except OSError:
+        return base
+    return int(max(base, min(32768,
+                             -(-size // SHINGLE_TASK_INPUT_BYTES))))
+
+
 def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """(doc_id, sh_hash) distinct 60-bit-hashed k-word shingles per doc.
 
@@ -190,9 +229,21 @@ def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
       to the hash in both engines (oracle does DISTINCT over the same
       md5-derived hash), so parity is exact even under collisions.
     """
+    # HASH-partitioned by doc_id, not round-robin (optimization r14,
+    # guide §2.4 "two operations keyed the same way share one
+    # exchange"): doc_id survives the explode/projection, so this ONE
+    # exchange satisfies the ClusteredDistribution of BOTH the
+    # (doc_id, sh_hash) distinct and the signature groupBy(doc_id) —
+    # each then plans as a complete-mode aggregate with NO further
+    # Exchange and per-task state bounded by the task's own docs. The
+    # former round-robin layout scattered every doc's shingles across
+    # all partitions, so the signature agg's map side held partial
+    # min-state for ~EVERY doc per task (2M docs: 9.5 GB of partial
+    # rows shuffled, 9.4 GB spilled — probe stage metrics); that
+    # whole stage is now gone.
     return shingles_from_docs(
         t(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
+            corpus_repartition_width(spark, sf_dir), F.col("doc_id")
         ),
         k=k,
     )
