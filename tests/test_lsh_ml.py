@@ -124,14 +124,14 @@ def test_ivf_index_at_rest_prunes_to_probed_cells(spark, tmp_path):
         probe_ivf_index, write_ivf_index,
     )
     from tpg_weather_etl_spark.queries_embeddings import (
-        _cell_scores, _centroids,
+        _cell_topm, _centroids,
     )
     from tpg_weather_etl_spark.sources.tables import read_table
 
     sf = "/root/testdata/sf0.001"
     e = read_table(spark, sf, "embeddings")
-    assign = (_cell_scores(e, _centroids(spark, sf))
-              .filter(F.col("rn") <= 1).select("vec_id", "cell"))
+    assign = (_cell_topm(e, _centroids(spark, sf), 1)
+              .select("vec_id", F.col("cells")[0]["cell"].alias("cell")))
     idx = str(tmp_path / "ivf")
     write_ivf_index(assign, idx)
 

@@ -1124,26 +1124,75 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("label").alias("cell"), "ce")
 
 
-def _cell_scores(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, embedding, cell, rn) ranked centroid affinities.
-
-    The k per-vector cosines share the vector's cast+norm (hoisted to
-    the row projection — one instead of k evaluations) and each
-    centroid's norm (hoisted into the broadcast build — k total)."""
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
-    centp = cent.select(
+def _cent_parts(cent: DataFrame) -> DataFrame:
+    """ONE-row (cells: array<struct<cell, ce_d, cen>>) centroid-parts
+    table: the k centroids (with pre-cast arrays and pre-computed
+    norms) collapse into a single collect_list row, so attaching them
+    to the corpus is a 1-row broadcast nested-loop join — NO k× row
+    explosion. Element order is irrelevant: every consumer sorts the
+    per-vector affinities itself."""
+    return cent.select(
         "cell", _emb_d(F.col("ce")).alias("ce_d"),
-        l2_norm(F.col("ce")).alias("cen"))
+        l2_norm(F.col("ce")).alias("cen"),
+    ).agg(F.collect_list(F.struct("cell", "ce_d", "cen")).alias("__cs"))
+
+
+def _affinity_cmp(lh, rh) -> Column:
+    """array_sort comparator replicating the old window order
+    (cos_c DESC NULLS LAST, cell ASC). cos_c is NULL only for a
+    zero-norm vector/centroid (cosine_from_parts' guard); cells are
+    distinct non-null ints, so the order is total."""
+    by_cell = (F.when(lh["cell"] < rh["cell"], -1)
+               .when(lh["cell"] > rh["cell"], 1)
+               .otherwise(0))
+    return (
+        F.when(lh["cos_c"].isNull() & rh["cos_c"].isNull(), by_cell)
+        .when(lh["cos_c"].isNull(), F.lit(1))
+        .when(rh["cos_c"].isNull(), F.lit(-1))
+        .when(lh["cos_c"] > rh["cos_c"], F.lit(-1))
+        .when(lh["cos_c"] < rh["cos_c"], F.lit(1))
+        .otherwise(by_cell)
+    )
+
+
+def _cell_topm(e: DataFrame, cent: DataFrame, m: int) -> DataFrame:
+    """(vec_id, embedding, __ed, __en, cells) with ``cells`` the
+    vector's m best centroid affinities as struct<cos_c, cell>,
+    ordered (cos_c desc nulls last, cell asc) — exactly the rows the
+    former window formulation ranked rn <= m, computed MAP-ONLY
+    (optimization r14, guide §2.3/§2.4): the old shape cross-joined
+    every vector with all k centroids and ranked via a window, i.e.
+    a k× row explosion (each row carrying the full embedding array)
+    pushed through a corpus-sized Exchange just to keep the best
+    m ≤ k of them. Scoring the k affinities as ONE array projection
+    and sorting the 8-element array per row needs no shuffle at all.
+
+    The k per-vector cosines share the vector's cast+norm (one
+    evaluation per row) and each centroid's (computed k times total
+    in the 1-row broadcast build)."""
+    scored = F.transform(
+        F.col("__cs"),
+        lambda c: F.struct(
+            _cos_rounded_pre(F.col("__ed"), c["ce_d"],
+                             F.col("__en"), c["cen"]).alias("cos_c"),
+            c["cell"].alias("cell"),
+        ),
+    )
     return (
         e.select("vec_id", "embedding",
                  _emb_d(F.col("embedding")).alias("__ed"),
                  l2_norm(F.col("embedding")).alias("__en"))
-        .crossJoin(F.broadcast(centp))
-        .select("vec_id", "embedding", "cell",
-                _cos_rounded_pre(F.col("__ed"), F.col("ce_d"),
-                                 F.col("__en"), F.col("cen"))
-                .alias("cos_c"))
-        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(_cent_parts(cent)))
+        .select("vec_id", "embedding", "__ed", "__en",
+                F.slice(F.array_sort(scored, _affinity_cmp), 1, m)
+                .alias("cells"))
+    )
+
+
+def _topm_cells(m: int) -> Column:
+    """Explode the m best cells of a ``_cell_topm`` row."""
+    return F.explode(
+        F.transform(F.slice(F.col("cells"), 1, m), lambda s: s["cell"])
     )
 
 
@@ -1158,36 +1207,42 @@ def _ivf_topk_from_centroids(e: DataFrame, cent: DataFrame,
     partitioned by cell (at rest: parquet partitioned/bucketed on
     cell, so probing prunes to nprobe/k of the corpus); the centroid
     table is a broadcast; the only shuffle is the per-query top-k.
-    """
-    from pyspark import StorageLevel
 
-    from tpg_weather_etl_spark.caching import track
-    # consumed by both the assignment and the probe branch; persisting
-    # keeps the centroid build + cross join + window single-pass (at
-    # scale the assignment is a materialized cell-partitioned table)
-    scores = track(
-        _cell_scores(e, cent).persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    Optimization r14 (guide §2.3/§2.4/§5): the former shape persisted
+    the full k×-exploded, window-ranked affinity table (every row
+    carrying the embedding array — k× corpus embedding bytes through
+    an Exchange and into cache) so assignment and probe could both
+    read it. Both consumers only ever keep the TOP-m cells, so the
+    assignment is now the map-only ``_cell_topm`` projection (no
+    Exchange, no persist, nothing to rebuild per run) and the probe
+    side is the same projection over the pushed-down query-vector
+    scan (10 rows). The query vectors' cast+norm are reused from
+    that same projection, folding the former separate q-side scan
+    and second broadcast join into the probe broadcast.
+    """
+    scored = _cell_topm(e, cent, nassign)
     # nassign > 1 = multi-assignment (IVF with replication): each
     # vector is indexed in its nassign nearest cells, trading an
     # nassign× bigger index for recall at the same nprobe — the
     # standard fix when cluster structure is weak relative to the
     # query's true neighbors.
-    assign = scores.filter(F.col("rn") <= nassign).select(
-        "vec_id", _emb_d(F.col("embedding")).alias("emb_d"),
-        l2_norm(F.col("embedding")).alias("nn"), "cell"
+    assign = scored.select(
+        "vec_id", F.col("__ed").alias("emb_d"),
+        F.col("__en").alias("nn"), _topm_cells(nassign).alias("cell")
     )
-    probe = (
-        scores.filter((F.col("vec_id") < N_QUERY_VECS)
-                      & (F.col("rn") <= nprobe))
-        .select(F.col("vec_id").alias("qid"), "cell")
+    # explicit pushed-down scan for the query side (vec_id is the
+    # leading predicate at the parquet reader): both _cell_topm
+    # broadcasts share one _cent_parts subtree, so ReuseExchange
+    # dedups the centroid build at physical planning.
+    queries = _cell_topm(
+        e.filter(F.col("vec_id") < N_QUERY_VECS), cent, nprobe
+    ).select(
+        F.col("vec_id").alias("qid"), F.col("__ed").alias("q_emb"),
+        F.col("__en").alias("qn"), _topm_cells(nprobe).alias("cell")
     )
-    q = _emb_side(e.filter(F.col("vec_id") < N_QUERY_VECS),
-                  "qid2", "q_emb", "qn")
     cand = (
-        assign.join(F.broadcast(probe), "cell")
+        assign.join(F.broadcast(queries), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
-        .join(F.broadcast(q), F.col("qid") == F.col("qid2"))
         .select("qid", "vec_id",
                 _cos_rounded_pre(F.col("q_emb"), F.col("emb_d"),
                                  F.col("qn"), F.col("nn")).alias("cos"))

@@ -1597,18 +1597,22 @@ def _semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tpg_weather_etl_spark.functions.vectors import l2_norm
     from tpg_weather_etl_spark.queries_embeddings import (
-        _cell_scores,
+        _cell_topm,
         _cos_rounded_norms,
         kmeans_centroids,
     )
 
     e = t(spark, sf_dir, "embeddings")
     cent = kmeans_centroids(spark, e, cache_key=sf_dir)
-    # rn=1: plain (non-replicated) cell assignment; persisted because
-    # the self-join consumes it twice
+    # plain (non-replicated) cell assignment — the vector's single
+    # best cell, computed MAP-ONLY by _cell_topm (optimization r14:
+    # the former window-ranked k× affinity explosion and its Exchange
+    # are gone); persisted because the self-join consumes it twice,
+    # at storage width (the projection's cast+norm are dropped here)
     asg = track(
-        _cell_scores(e, cent).filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+        _cell_topm(e, cent, 1)
+        .select("vec_id", "embedding",
+                F.col("cells")[0]["cell"].alias("cell"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # MIXED hoist (opt r14 batch 2): the l2 norm moves to the

@@ -64,16 +64,26 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
     last_ms = 0
     for pdf in pdfs:
         pdf = pdf.sort_values("ts")
-        for _, row in pdf.iterrows():
-            v = float(row["value"])
-            last_ms = max(last_ms, int(row["ts"].value // 1_000_000))
+        # Column-extracted loop, not iterrows (optimization r14, guide
+        # §4.3 "heavyweight per-row machinery"): iterrows materializes
+        # a pandas Series PER ROW (~50 µs each — measured 9.2 s for a
+        # 200k-row key batch, 0.36 s this way). Welford itself stays
+        # the sequential scalar recurrence: each step's float ops and
+        # their order are IDENTICAL, so state and alerts are
+        # bit-identical; only the row-access machinery changed.
+        ts_col = pdf["ts"]
+        vals = pdf["value"].to_numpy()
+        ts_ns = ts_col.to_numpy("datetime64[ns]").astype("int64")
+        for i in range(len(vals)):
+            v = float(vals[i])
+            last_ms = max(last_ms, int(ts_ns[i]) // 1_000_000)
             # judge against history BEFORE folding the point in
             if n >= MIN_N:
                 var = m2 / (n - 1)
                 if var > 0.0:
                     z = (v - mean) / math.sqrt(var)
                     if abs(z) > Z_THRESH:
-                        alerts.append((key[0], row["ts"], v, z, n))
+                        alerts.append((key[0], ts_col.iloc[i], v, z, n))
             n += 1
             delta = v - mean
             mean += delta / n

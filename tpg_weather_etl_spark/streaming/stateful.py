@@ -69,11 +69,21 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
     ewma, n, last_ts = state.get if state.exists else (None, 0, 0)
     for pdf in pdfs:
         pdf = pdf.sort_values("sched_ts")
-        for _, row in pdf.iterrows():
-            d = float(row["delay_min"])
+        # Column-extracted loop, not iterrows (optimization r14, guide
+        # §4.3): iterrows builds a pandas Series per row (~55 µs each —
+        # measured 11.1 s for a 200k-row key batch, 0.1 s this way).
+        # The EWMA recurrence is order-sensitive and stays the same
+        # scalar loop with the identical float-op sequence, so the
+        # resulting state is bit-identical. datetime64[us] truncation
+        # equals the old Timestamp.value // 1000 (ns → µs) for any
+        # post-epoch timestamp.
+        vals = pdf["delay_min"].to_numpy()
+        ts_us = pdf["sched_ts"].to_numpy("datetime64[us]").astype("int64")
+        for i in range(len(vals)):
+            d = float(vals[i])
             ewma = d if ewma is None else ALPHA * d + (1 - ALPHA) * ewma
             n += 1
-            last_ts = max(last_ts, int(row["sched_ts"].value // 1000))
+            last_ts = max(last_ts, int(ts_us[i]))
     state.update((ewma, n, last_ts))
     # Event-time TTL: anchor on the key's newest event (last_ts is
     # MICROseconds; timers take ms), clamped above the current
