@@ -1608,11 +1608,21 @@ def _semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # best cell, computed MAP-ONLY by _cell_topm (optimization r14:
     # the former window-ranked k× affinity explosion and its Exchange
     # are gone); persisted because the self-join consumes it twice,
-    # at storage width (the projection's cast+norm are dropped here)
+    # at storage width (the projection's cast+norm are dropped here).
+    # Persisted HASH-PARTITIONED ON CELL: the intra-cell self-join
+    # below then reads both sides co-partitioned from the cache and
+    # plans with ZERO join exchanges (one corpus exchange at build vs
+    # two at join, and the n²/k-pair cosine verify — the family's
+    # dominant cost — keeps its parallelism even when the corpus scan
+    # is a single split, which is exactly what happens at gate SFs:
+    # without this the map-only build inherits the 1-split layout and
+    # AQE streams the whole verify through ONE task; measured 2x on
+    # the keeper, probe stage 4.2 s/1 task).
     asg = track(
         _cell_topm(e, cent, 1)
         .select("vec_id", "embedding",
                 F.col("cells")[0]["cell"].alias("cell"))
+        .repartition(F.col("cell"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # MIXED hoist (opt r14 batch 2): the l2 norm moves to the
