@@ -58,6 +58,18 @@ def _clean_cache_baseline(spark):
     from tpg_weather_etl_spark.caching import release_all
     release_all()
     spark.catalog.clearCache()
+    # Budgets are also canonical w.r.t. a CONSISTENT width config:
+    # shuffle.partitions must match the session's defaultParallelism-
+    # derived width (tool: 32/32, this suite: 4/4), else explicit
+    # width-N repartitions stop co-partitioning with
+    # ENSURE_REQUIREMENTS exchanges and plans gain one Exchange. An
+    # app main() run by an earlier test calls get_spark(), whose
+    # builder conf is APPLIED to the existing session (getOrCreate
+    # contract) and flips shuffle.partitions to the production
+    # default (observed: test_dashboard_smoke → curation_e2e 8 → 9
+    # in the full suite only). Re-pin the suite's canonical value.
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   spark.sparkContext.defaultParallelism)
     yield
 
 
