@@ -2797,10 +2797,18 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tpg_weather_etl_spark.caching import track
 
+    # HASH(doc_id), not round-robin (optimization r14, same layout
+    # argument as the production shingle builder in _shingle_df):
+    # doc_id survives the shingle explode, so this one exchange
+    # satisfies the ClusteredDistribution of the shingle distinct,
+    # the per-doc counts agg AND the signature groupBy(doc_id) — all
+    # three plan exchange-free over the persisted sample shingles.
+    # Width stays defaultParallelism: the sample is capped at
+    # EVAL_SAMPLE_MAX docs, so no byte-scaled width is needed.
     docs = deterministic_sample_capped(
         t(spark, sf_dir, "documents"), "doc_id", EVAL_SAMPLE_PCT,
         EVAL_SAMPLE_MAX,
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     # both halves of the evaluation branch over the sample's shingle
     # table 4x (counts, exact join sides, signatures, verify) — the
     # same reuse point the production pipeline persists
