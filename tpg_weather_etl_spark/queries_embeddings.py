@@ -1196,9 +1196,52 @@ def _topm_cells(m: int) -> Column:
     )
 
 
+# Parquet scan split size (spark.sql.files.maxPartitionBytes default).
+_SCAN_SPLIT_BYTES = 128 * 1024 * 1024
+
+# Don't bother spreading corpora smaller than this per core: the
+# per-row projection work an exchange would parallelize is below the
+# exchange's own stage cost (gate/bench corpora stay un-spread, so
+# their plans — and the shuffle budgets — are untouched).
+_SPREAD_MIN_BYTES_PER_CORE = 64 * 1024
+
+
+def _spread_small_scan(spark: SparkSession, e: DataFrame,
+                       sf_dir: str, table: str = "embeddings") -> DataFrame:
+    """Repartition ``e`` to core width ONLY when the table's parquet
+    bytes cannot yield that many scan splits (optimization r14, guide
+    §2.5 scale-adaptive partitioning): the map-only ``_cell_topm``
+    projection and everything pipelined above it (the candidate
+    verify) run at SCAN parallelism, which for gate/bench/probe-sized
+    corpora is 1-4 splits — the 50k probe ran the whole assign branch
+    on 4 of 32 cores. Below the threshold the corpus is by definition
+    small, so the one vec_id exchange is cheap (1x storage bytes —
+    the layout the old window formulation shuffled was 8x); above it
+    the scan already feeds >= defaultParallelism splits and the
+    repartition would be a pointless corpus-wide shuffle, so the
+    plan is untouched. Unreadable paths leave the scan alone."""
+    import os
+
+    width = spark.sparkContext.defaultParallelism
+    path = os.path.join(str(sf_dir), f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(f.stat().st_size for f in os.scandir(path)
+                       if f.is_file())
+        else:
+            size = os.stat(path).st_size
+    except OSError:
+        return e
+    if (size >= width * _SCAN_SPLIT_BYTES
+            or size < width * _SPREAD_MIN_BYTES_PER_CORE):
+        return e
+    return e.repartition(width, F.col("vec_id"))
+
+
 def _ivf_topk_from_centroids(e: DataFrame, cent: DataFrame,
                              nprobe: int = IVF_NPROBE,
-                             nassign: int = 1) -> DataFrame:
+                             nassign: int = 1,
+                             e_assign: DataFrame | None = None) -> DataFrame:
     """Shared IVF probe shape: assign vectors to their nearest
     centroid cell, probe each query's IVF_NPROBE nearest cells,
     exact-rerank candidates.
@@ -1220,7 +1263,12 @@ def _ivf_topk_from_centroids(e: DataFrame, cent: DataFrame,
     that same projection, folding the former separate q-side scan
     and second broadcast join into the probe broadcast.
     """
-    scored = _cell_topm(e, cent, nassign)
+    # ``e_assign`` (optional): the corpus side pre-spread to core
+    # width by _spread_small_scan — the map-heavy scored projection
+    # runs at scan parallelism otherwise. The query branch below
+    # stays on the raw ``e`` so its vec_id filter reaches the scan.
+    scored = _cell_topm(e if e_assign is None else e_assign,
+                        cent, nassign)
     # nassign > 1 = multi-assignment (IVF with replication): each
     # vector is indexed in its nassign nearest cells, trading an
     # nassign× bigger index for recall at the same nprobe — the
@@ -1264,7 +1312,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with the deterministic label-mean coarse quantizer
     (SQL-expressible, so the oracle builds bit-identical centroids)."""
     e = t(spark, sf_dir, "embeddings")
-    return _ivf_topk_from_centroids(e, _centroids(spark, sf_dir))
+    return _ivf_topk_from_centroids(
+        e, _centroids(spark, sf_dir),
+        e_assign=_spread_small_scan(spark, e, sf_dir))
 
 
 KMEANS_IVF_K = 8
@@ -1456,12 +1506,24 @@ def kmeans_centroids(
     # object per (session, fit) restores CacheManager/track dedup for
     # everything downstream. Keyed by session identity so a stopped
     # session's handle is never served to a new one.
+    # ONE-slice RDD, not createDataFrame(list) (optimization r14):
+    # the local-list path parallelizes the k rows over
+    # defaultParallelism slices, so EVERY materialization of anything
+    # built on the centroids (each broadcast build, each _cent_parts
+    # aggregate) schedules 32 near-empty tasks — measured 0.5-2 s of
+    # pure task overhead per run at the bench, 38 s of executor time
+    # on the 50k probe's cold run. k rows are one slice of work.
+    def _df():
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            "cell int, ce array<double>")
+
     if cache_key is None:
-        return spark.createDataFrame(rows, "cell int, ce array<double>")
+        return _df()
     hit = _CENTROID_DF_MEMO.get(memo_key)
     if hit is not None and hit[0] is spark:
         return hit[1]
-    df = spark.createDataFrame(rows, "cell int, ce array<double>")
+    df = _df()
     _CENTROID_DF_MEMO[memo_key] = (spark, df)
     return df
 
@@ -1485,6 +1547,7 @@ def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk_from_centroids(
         e, kmeans_centroids(spark, e, cache_key=sf_dir),
         nprobe=KMEANS_IVF_NPROBE, nassign=KMEANS_IVF_NASSIGN,
+        e_assign=_spread_small_scan(spark, e, sf_dir),
     )
 
 

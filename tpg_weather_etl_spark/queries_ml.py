@@ -1599,6 +1599,7 @@ def _semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tpg_weather_etl_spark.queries_embeddings import (
         _cell_topm,
         _cos_rounded_norms,
+        _spread_small_scan,
         kmeans_centroids,
     )
 
@@ -1619,7 +1620,7 @@ def _semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE streams the whole verify through ONE task; measured 2x on
     # the keeper, probe stage 4.2 s/1 task).
     asg = track(
-        _cell_topm(e, cent, 1)
+        _cell_topm(_spread_small_scan(spark, e, sf_dir), cent, 1)
         .select("vec_id", "embedding",
                 F.col("cells")[0]["cell"].alias("cell"))
         .repartition(F.col("cell"))
