@@ -18,10 +18,12 @@ tools/stress_curation.py:
 - assert `_EDGE_ROWS_PER_PARTITION` sizing actually grows the loop
   partition count across tiers (the knob is load-bearing, not
   decorative);
-- record per-iteration PageRank wall time at every size
-  (`PAGERANK_ITER_TIMES`): within one run the iterations must stay
-  flat — growth would mean the loop is re-shuffling the edge list it
-  claims to have pre-partitioned;
+- record per-materialization-block PageRank wall time at every size
+  (`PAGERANK_ITER_TIMES`): within one run the blocks must stay flat —
+  growth would mean the loop is re-shuffling the edge list it claims
+  to have pre-partitioned (with the r15 fused loop the default
+  cadence yields one block; SPARK_GRAFT_PAGERANK_CHECKPOINT_EVERY=1
+  restores per-iteration probing);
 - time the CC pointer-jumping loop on the same graphs;
 - PLANTED-SKEW section (VERDICT r10 task 3): rebuild the mid tier
   with (a) one hub part added to ``--hub-share`` of all orders and
@@ -250,11 +252,17 @@ def main() -> int:
                 if lo in t and hi in t},
             "tripwire": round(RATIO_SLACK_PER_EDGE_UNIT * er, 2),
         })
-    # per-iteration flatness within each run: last iteration must not
-    # cost more than 2.5x the first (re-shuffling edge lists grows
-    # per-iteration time; flat = the pre-partitioned layout is reused)
+    # per-block flatness within each run: the last materialization
+    # block must not cost more than 2.5x the first (re-shuffling edge
+    # lists grows per-block time; flat = the pre-partitioned layout is
+    # reused). With the r15 fused loop the default cadence yields ONE
+    # block, making this gate vacuous (ratio 1.0) — scaling is then
+    # covered by the tier-ratio gate above; set
+    # SPARK_GRAFT_PAGERANK_CHECKPOINT_EVERY=1 to re-probe per
+    # iteration.
     iter_flat = {
-        str(n): round(max(ts[-1], 0.01) / max(ts[0], 0.01), 2)
+        str(n): (round(max(ts[-1], 0.01) / max(ts[0], 0.01), 2)
+                 if len(ts) > 1 else 1.0)
         for n, ts in pr_iters.items()
     }
     rec = {
@@ -284,8 +292,8 @@ def main() -> int:
         bad.append(f"loop partition sizing did not grow with edges: "
                    f"{loop_parts}")
     for n, f in iter_flat.items():
-        if f > 2.5 and max(pr_iters[int(n)][0],
-                           pr_iters[int(n)][-1]) > 2.0:
+        if len(pr_iters[int(n)]) > 1 and f > 2.5 and max(
+                pr_iters[int(n)][0], pr_iters[int(n)][-1]) > 2.0:
             bad.append(f"pagerank iterations grow within run at {n}: "
                        f"{pr_iters[int(n)]}")
 

@@ -11,6 +11,7 @@ O(graph diameter) steps and is exact, not approximate.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2033,11 +2034,29 @@ PAGERANK_ITERS = 5
 PAGERANK_DAMPING = 0.85
 PAGERANK_TOPK = 25
 
-# Instrumentation only: wall-clock of each PageRank iteration of the
-# most recent q_pagerank_parts call (tools/stress_graph.py records it
-# at two graph scales — a growing per-iteration time within one run
+# Materialize the rank vector every K iterations instead of every one
+# (optimization r15, guide §2.4/§5 — VERDICT r14 item 1: the loop was
+# driver-paced, one eager localCheckpoint ACTION per iteration, so
+# 5 of pagerank's ~9 jobs were scheduling barriers). Rank vector k+1
+# feeds ONLY rank vector k+2, so a lazy chain replays nothing: one
+# action executes every chained stage exactly once, and each groupBy's
+# hash(dst, parts) partitioning still feeds the next join without an
+# extra Exchange. The cadence is a LINEAGE-DEPTH guard, not a
+# correctness knob: at 5 iterations the chain materializes once at
+# loop exit; a deployment running hundreds of iterations sets
+# SPARK_GRAFT_PAGERANK_CHECKPOINT_EVERY to bound plan size (values
+# are bit-identical at any cadence — localCheckpoint changes where
+# the job boundary falls, never what is computed).
+PAGERANK_CHECKPOINT_EVERY = max(1, int(os.environ.get(
+    "SPARK_GRAFT_PAGERANK_CHECKPOINT_EVERY", str(PAGERANK_ITERS))))
+
+# Instrumentation only: wall-clock of each MATERIALIZATION BLOCK of
+# the most recent q_pagerank_parts call (tools/stress_graph.py records
+# it at two graph scales — a growing per-block time within one run
 # would mean the loop is re-shuffling the edge list it pre-partitioned
-# and checkpointed). Reset at every call; never read by the query.
+# and checkpointed). One entry per eager localCheckpoint; with the
+# default cadence (= PAGERANK_ITERS) that is ONE entry covering the
+# whole fused loop. Reset at every call; never read by the query.
 PAGERANK_ITER_TIMES: list[float] = []
 
 
@@ -2056,9 +2075,9 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-iteration job is one join of the (persisted,
     degree-annotated) edge list against the current rank vector on
     src, plus a groupBy dst — both co-partitionable; the edge list is
-    computed and cached ONCE across all iterations. The node count
-    (for the teleport term) is one bounded count() action, like the
-    CC convergence counter.
+    computed and cached ONCE across all iterations. The node and edge
+    counts (teleport term + loop sizing) are ONE bounded aggregate
+    over the checkpointed |V|-row degree table.
 
     Cross-engine determinism by induction: contributions r/outdeg are
     IEEE divisions of identical operands; their per-dst sum routes
@@ -2077,12 +2096,13 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _EDGE_ROWS_PER_PARTITION,
         _MAX_LOOP_PARTITIONS,
     )
-    # Same loop discipline as connected components (operators/
-    # graph.py): truncate the co-purchase lineage BEFORE iterating,
-    # size the loop's parallelism from the measured edge count, and
-    # checkpoint each round so round k's plan doesn't replay 1..k-1.
-    # The undirected list materializes once (it feeds both union
-    # branches AND the sizing count).
+    # Same setup discipline as connected components (operators/
+    # graph.py): truncate the co-purchase lineage BEFORE iterating and
+    # size the loop's parallelism from the measured edge count. Unlike
+    # CC (whose loop must ACT each round for its convergence check),
+    # the fixed-iteration rank chain is lazy between cadence points —
+    # see PAGERANK_CHECKPOINT_EVERY. The undirected list materializes
+    # once (it feeds both union branches AND the degree table).
     # Shared edge cache (optimization r14): resolves to the family's
     # one persisted edge list when warm (degree_distribution runs
     # first in the bench sweep). No extra localCheckpoint of the edge
@@ -2101,7 +2121,15 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # just to enumerate nodes the degree agg already had).
     deg = (edges.groupBy("src").agg(F.count("*").alias("outdeg"))
            .localCheckpoint(eager=True))
-    n_edges = 2 * und.count()
+    # ONE bounded action over the checkpointed |V|-row degree table
+    # yields BOTH the node count and the edge count (Σ outdeg = 2|E|
+    # by symmetrization) — the former separate und.count() and
+    # deg.count() actions are gone (optimization r15; the deg
+    # checkpoint above already materialized the shared edge persist,
+    # so nothing else needed the extra pass).
+    sizes = deg.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("outdeg").alias("ne")).first()
+    n, n_edges = sizes["n"], int(sizes["ne"] or 0)
     parts = max(1, min(_MAX_LOOP_PARTITIONS,
                        -(-n_edges // _EDGE_ROWS_PER_PARTITION)))
     # Checkpoint the edges ALREADY hash-partitioned by src at the
@@ -2112,16 +2140,15 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = (edges.join(deg, "src")
                  .repartition(parts, "src")
                  .localCheckpoint(eager=True))
-    n = deg.count()
     base = (1.0 - PAGERANK_DAMPING) / n
     ranks = deg.select(F.col("src").alias("node"),
                        F.lit(1.0 / n).alias("r"))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     PAGERANK_ITER_TIMES.clear()
+    blk0 = time.perf_counter()
     try:
-        for _ in range(PAGERANK_ITERS):
-            it0 = time.perf_counter()
+        for it in range(PAGERANK_ITERS):
             contrib = (edges_deg.join(
                 ranks, edges_deg["src"] == ranks["node"])
                 .select("dst",
@@ -2134,15 +2161,26 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             # took (values bit-identical: coalesce of a non-null s is
             # s). The groupBy's hash(dst, parts) partitioning ALSO
             # co-partitions next iteration's join on node.
-            ranks = (s.select(F.col("dst").alias("node"),
-                              (F.lit(base)
-                               + F.lit(PAGERANK_DAMPING) * F.col("s"))
-                              .alias("r"))
-                     .localCheckpoint(eager=True))
-            # eager checkpoint = the iteration's job already ran, so
-            # this is real per-iteration wall time, not lazy-plan time
-            PAGERANK_ITER_TIMES.append(
-                round(time.perf_counter() - it0, 3))
+            ranks = s.select(F.col("dst").alias("node"),
+                             (F.lit(base)
+                              + F.lit(PAGERANK_DAMPING) * F.col("s"))
+                             .alias("r"))
+            # Materialize on the cadence only (optimization r15): the
+            # fused lazy chain replays nothing — each rank vector has
+            # exactly one consumer — so per-iteration eager
+            # checkpoints were pure job-scheduling barriers. The LAST
+            # iteration always materializes INSIDE this pinned-conf
+            # region so the loop's shuffles run at `parts` width, not
+            # whatever the session restores to.
+            if ((it + 1) % PAGERANK_CHECKPOINT_EVERY == 0
+                    or it == PAGERANK_ITERS - 1):
+                ranks = ranks.localCheckpoint(eager=True)
+                # eager checkpoint = this block's job already ran, so
+                # this is real wall time of the fused block, not
+                # lazy-plan time
+                PAGERANK_ITER_TIMES.append(
+                    round(time.perf_counter() - blk0, 3))
+                blk0 = time.perf_counter()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (ranks.orderBy(F.desc("r"), F.asc("node"))

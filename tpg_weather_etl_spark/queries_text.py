@@ -1596,15 +1596,22 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one Generate (explode chunk index) over the materialized
     token array — same O(tokens) barrier pattern as ``_shingle_df``
     (a transform() lambda would re-tokenize per chunk, O(tokens²)) —
-    then chunks are hashed to 60-bit ints map-side, so the document
-    frequency groupBy and the doc_id re-join shuffle 8-byte longs,
-    never chunk text. At 100 TB: two shuffles (chunk_hash agg, doc_id
-    agg), both over compact keys; removing the duplicated chunks
-    (rather than reporting them) would be the same plan plus an
-    array_join re-assembly.
+    then chunks are hashed to 60-bit ints map-side, so every shuffle
+    moves 8-byte longs, never chunk text. SINGLE-PASS document
+    frequency (optimization r15, guide §2.3/§2.4): the former
+    groupBy(ch_hash) → join-back-on-ch_hash formulation evaluated the
+    un-persisted chunk subtree (corpus scan + tokenize + explode +
+    md5 + distinct) TWICE — the agg side shuffles partial counts and
+    the probe side raw rows, so no exchange reuse is possible — and
+    paid two ch_hash exchanges. A count over a ch_hash window
+    computes the identical df on the SAME rows in one pass and one
+    exchange. The scan repartition is HASH(doc_id) at byte-scaled
+    width (the r14 shingle-layout fix): doc_id survives the explode,
+    so the (doc_id, ch_hash) distinct and the final per-doc aggregate
+    both plan against doc-local partitions.
     """
     d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        corpus_repartition_width(spark, sf_dir), F.col("doc_id")
     )
     base = (
         d.select("doc_id", norm_text(F.col("text")).alias("norm"))
@@ -1626,11 +1633,9 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = exploded.select(
         "doc_id", stable_hash60(chunk).alias("ch_hash")
     ).distinct()
-    freq = chunks.groupBy("ch_hash").agg(
-        F.count(F.lit(1)).alias("df")  # chunks are distinct per doc
-    )
+    w_df = Window.partitionBy("ch_hash")
     return (
-        chunks.join(freq, "ch_hash")
+        chunks.withColumn("df", F.count(F.lit(1)).over(w_df))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
@@ -1681,8 +1686,13 @@ DUP_SPAN_W = 8   # span width in tokens (production: ~50 BPE tokens)
 
 
 def _doc_tokens_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HASH(doc_id) at byte-scaled width, not round-robin (optimization
+    # r15 — the r14 shingle-layout fix applied to the dup_span family):
+    # doc_id survives every downstream projection, so the per-doc
+    # window/aggregate/join consumers plan against doc-local
+    # partitions instead of re-exchanging corpus-position rows.
     d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        corpus_repartition_width(spark, sf_dir), F.col("doc_id")
     )
     return (
         d.select("doc_id", norm_text(F.col("text")).alias("norm"))
@@ -1693,13 +1703,25 @@ def _doc_tokens_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dup_span_starts(base: DataFrame) -> DataFrame:
     """(doc_id, i) start positions of W-token spans occurring ≥2
-    times in the corpus — shared by the coverage metric and the apply
-    step. Spans are built by the explode-index + O(W) element_at
-    pattern of ``_shingle_df`` (a transform() lambda re-tokenizes per
-    span — O(tokens²)), hashed to 60-bit ints map-side so the
-    occurrence-count groupBy and the doc re-join move 8-byte longs;
-    the duplicated-hash set scales with the corpus — co-partitioned
-    join, never broadcast."""
+    times in the corpus — shared by the coverage metric, the apply
+    step and the regions query. Spans are built by the explode-index
+    + O(W) element_at pattern of ``_shingle_df`` (a transform() lambda
+    re-tokenizes per span — O(tokens²)), hashed to 60-bit ints
+    map-side so the corpus-wide shuffle moves 8-byte longs.
+
+    SINGLE-PASS (optimization r15, guide §2.3/§2.4): the former
+    groupBy(sp_hash) → filter(cnt≥2) → join-back-on-sp_hash
+    formulation evaluated the corpus-wide span explode + md5 TWICE —
+    the count agg shuffles partial-count rows while the join probe
+    side shuffles raw (doc_id, i, sp_hash) rows, so the two subtrees
+    can never share an exchange — and on a low-duplication corpus the
+    partial counts compress ~nothing, so it paid two full
+    span-volume exchanges plus a second tokenize+hash pass. A count
+    over a sp_hash window keeps the identical rows (every occurrence
+    whose span hash occurs ≥2 times; sp_hash is never null — md5 of a
+    non-null string) with ONE explode and ONE exchange, and at scale
+    it also drops the duplicated-hash broadcast/SMJ the join needed.
+    """
     starts = base.filter(F.col("n") >= DUP_SPAN_W).select(
         "doc_id", "toks",
         F.explode(F.sequence(F.lit(0), F.col("n") - DUP_SPAN_W)).alias("i"),
@@ -1711,13 +1733,30 @@ def _dup_span_starts(base: DataFrame) -> DataFrame:
     spans = starts.select(
         "doc_id", "i", stable_hash60(span).alias("sp_hash")
     )
-    dup_hashes = (
-        spans.groupBy("sp_hash")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    w_cnt = Window.partitionBy("sp_hash")
+    return (
+        spans.withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
         .filter(F.col("cnt") >= 2)
-        .select("sp_hash")
+        .select("doc_id", "i")
     )
-    return spans.join(dup_hashes, "sp_hash").select("doc_id", "i")
+
+
+def _dup_span_starts_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted duplicated-start set — the shared reuse point of the
+    dup_span family (optimization r15, guide §5): fraction, apply and
+    regions each consume the IDENTICAL (doc_id, i) table, and the span
+    explode + corpus-wide sp_hash shuffle behind it is the family's
+    dominant cost. track()'s plan-equality dedup resolves all three
+    builders to ONE cache entry per sweep. The start set is
+    duplication-sized (two longs per duplicated span occurrence), far
+    below the corpus — cheap to hold at any scale; MEMORY_AND_DISK
+    spills rather than OOMs on a duplication-heavy corpus."""
+    from pyspark import StorageLevel
+
+    from tpg_weather_etl_spark.caching import track
+    return track(
+        _dup_span_starts(_doc_tokens_base(spark, sf_dir))
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1727,10 +1766,10 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     width W, so covered = Σ min(W, next_start − start) under a
     per-doc window over candidate starts only (a handful of rows per
     doc, not the token stream). Three shuffles total at any scale:
-    span-hash agg, doc_id window, doc_id final join.
+    span-hash window, doc_id window, doc_id final join.
     """
     base = _doc_tokens_base(spark, sf_dir)
-    dup_starts = _dup_span_starts(base)
+    dup_starts = _dup_span_starts_shared(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("i")
     covered = (
         dup_starts.withColumn("nxt", F.lead("i").over(w))
@@ -1802,7 +1841,7 @@ def q_dup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     base = _doc_tokens_base(spark, sf_dir)
     covered = (
-        _dup_span_starts(base)
+        _dup_span_starts_shared(spark, sf_dir)
         .select(
             "doc_id",
             F.explode(
@@ -1901,8 +1940,7 @@ def q_dup_span_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after the hash-count keys on doc_id. No suffix array,
     no global sort.
     """
-    base = _doc_tokens_base(spark, sf_dir)
-    dup_starts = _dup_span_starts(base)
+    dup_starts = _dup_span_starts_shared(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("i")
     brk = F.when(
         F.col("i") - F.lag("i").over(w) > DUP_SPAN_W, 1).otherwise(0)
