@@ -298,7 +298,7 @@ def main() -> None:
     qs[HEADLINE[0]](spark, sf_dir).write.format("noop").mode(
         "overwrite").save()
 
-    from tpg_weather_etl_spark.caching import mark, release_since
+    from tpg_weather_etl_spark.caching import live_since, mark, release_since
 
     def _sample(name: str) -> float:
         t0 = time.perf_counter()
@@ -308,6 +308,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     samples_map: dict[str, list[float]] = {}
+    # Cold-vs-warm honesty annotation (optimization r15, VERDICT r14
+    # item 8): per query, how many shared cache registrations
+    # (persists + result handles) it left LIVE for later queries — the
+    # query that PAID each family's cache build in this sweep. Rides
+    # only in the full record; no timing change.
+    cache_builds: dict[str, int] = {}
     failure: str | None = None
     try:
         for name in names:
@@ -329,6 +335,9 @@ def main() -> None:
             timings[name] = round(statistics.median(samples), 3)
             if len(samples) > 1:
                 samples_map[name] = [round(s, 3) for s in samples]
+            built = live_since(marker)
+            if built:
+                cache_builds[name] = built
         # rotation tier runs after the full headline (incl. graph) so
         # it can't perturb the recorded per-query signal, and inside
         # the try so release_all still covers its persisted
@@ -358,6 +367,11 @@ def main() -> None:
         # holds; the samples let a reader audit a suspect median).
         "repeat": {"n": REPEAT, "min_sec": REPEAT_MIN_SEC},
         "samples": samples_map,
+        # which queries paid a shared cache build this sweep (count of
+        # live persist/handle registrations they created) — their
+        # recorded time is cold build+consume; family members after
+        # them read warm (VERDICT r14 item 8)
+        "cache_builds": cache_builds,
     }
     if ACCEPTED_REGRESSIONS:
         record["accepted_regressions"] = dict(

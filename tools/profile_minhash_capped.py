@@ -155,8 +155,12 @@ def main() -> int:
         t0 = time.perf_counter()
         sh = _shingle_df_shared(spark, d)
         reduce_once = _mh_reduce_once(spark, d)
+        # tau mirrors production (optimization r15): the exact
+        # size-ratio prefilter rejects verify-certain losers before
+        # the intersection join; verified_pairs must stay IDENTICAL
+        # to pre-prefilter records (the prefilter is exact)
         n_pairs = (_pair_jaccard(sh, cand=cand,
-                                 reduce_once=reduce_once)
+                                 reduce_once=reduce_once, tau=0.5)
                    .filter(F.col("jaccard") >= 0.5).count())
         timings["verify"][n] = round(time.perf_counter() - t0, 2)
         census[n]["reduce_once"] = bool(reduce_once)

@@ -160,6 +160,17 @@ def mark() -> int:
     return _COUNTER
 
 
+def live_since(marker: int) -> int:
+    """How many registrations (tracked persists + result handles)
+    made after ``marker`` are still live — the bench's cold-vs-warm
+    annotation (optimization r15, VERDICT r14 item 8): a query whose
+    window created live cache entries is the one that PAID a shared
+    family cache build in that sweep, so its recorded time is a cold
+    build+consume while later family members read warm."""
+    return (sum(1 for s in _SEQS if s > marker)
+            + sum(1 for h in _HANDLES if h[0] > marker))
+
+
 def release_since(marker: int, blocking: bool = False) -> int:
     """Unpersist every DataFrame tracked after ``marker``; drop every
     result handle stored after it (the checkpoint blocks behind a

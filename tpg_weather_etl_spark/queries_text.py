@@ -276,7 +276,8 @@ def _shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pair_jaccard(shingles: DataFrame, counts: DataFrame | None = None,
                   cand: DataFrame | None = None,
-                  reduce_once: bool = False) -> DataFrame:
+                  reduce_once: bool = False,
+                  tau: float | None = None) -> DataFrame:
     """Exact shingle-set Jaccard per doc pair via inverted-index join.
 
     One shuffle on the shingle key; pair counts aggregate map-side.
@@ -301,6 +302,22 @@ def _pair_jaccard(shingles: DataFrame, counts: DataFrame | None = None,
     union docs; counts rows for never-matched ids drop in the inner
     joins); gate-scale callers keep the default so sf0.001/0.01 plans
     stay byte-identical.
+
+    ``tau`` (optimization r15, guide §3 / VERDICT r14 item 3,
+    candidate path only): exact size-ratio prefilter. J(A,B) =
+    |A∩B| / |A∪B| ≤ min(|A|,|B|) / max(|A|,|B|) — the intersection is
+    at most the smaller set, the union at least the larger — so a
+    candidate pair whose shingle-set size ratio is below tau is
+    verify-rejected with CERTAINTY and can be dropped BEFORE the
+    intersection join, unlike a bucket-cap change, which trades
+    recall. Valid only for callers that filter jaccard ≥ tau on the
+    output (no false negatives: J ≥ tau ⇒ min ≥ tau·max; survivors
+    still go through the exact verify). The filter reuses the
+    candidate-docs-scale na/nb aggregates the result join already
+    needs — its cost scales with candidates, never the corpus.
+    tau·max is exact in double arithmetic for the callers' tau = 0.5
+    (a power of two times an integer < 2^53), so a boundary pair with
+    min = tau·max is kept, never dropped.
     """
     a = shingles.select(F.col("doc_id").alias("doc_a"),
                         F.col("sh_hash").alias("sh_a"))
@@ -349,6 +366,39 @@ def _pair_jaccard(shingles: DataFrame, counts: DataFrame | None = None,
             b2_red = b2.join(
                 cand.select(F.col("doc_b").alias("doc_b2")).distinct(),
                 "doc_b2", "left_semi",
+            )
+        if tau is not None:
+            # size-ratio prefilter (see docstring). na/nb are the same
+            # candidate-docs-scale aggregates the no-tau path joins
+            # onto the result AFTER the intersection — here they join
+            # onto cand BEFORE it (that is the prefilter) and ride
+            # through the pair groupBy as functionally-dependent keys,
+            # so each aggregate appears ONCE in the plan and the final
+            # re-joins disappear; jaccard is computed from the same
+            # integers, so values are bit-identical. The two extra
+            # longs per intersection row are the whole added width.
+            na_c = a_red.groupBy("doc_a").agg(
+                F.count(F.lit(1)).alias("na"))
+            nb_c = b2_red.groupBy(F.col("doc_b2").alias("doc_b")).agg(
+                F.count(F.lit(1)).alias("nb"))
+            cand_sz = (
+                cand.join(na_c, "doc_a").join(nb_c, "doc_b")
+                .filter(F.least("na", "nb").cast("double")
+                        >= F.lit(tau)
+                        * F.greatest("na", "nb").cast("double"))
+            )
+            return (
+                cand_sz.join(a_red, "doc_a")
+                .join(b2_red, (F.col("doc_b") == F.col("doc_b2"))
+                      & (F.col("sh_b") == F.col("sh_a")), "inner")
+                .groupBy("doc_a", "doc_b", "na", "nb")
+                .agg(F.count(F.lit(1)).alias("n_inter"))
+                .select(
+                    "doc_a", "doc_b", "n_inter",
+                    (F.col("n_inter").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("n_inter")))
+                    .alias("jaccard"),
+                )
             )
         inter = (
             cand.join(a_red, "doc_a")
@@ -722,7 +772,7 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _pair_jaccard(sh, cand=cand).filter(
+    return _pair_jaccard(sh, cand=cand, tau=PJ_TAU).filter(
         F.col("jaccard") >= PJ_TAU
     )
 
@@ -785,7 +835,8 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = _pair_jaccard(sh, cand=cand,
-                          reduce_once=_mh_reduce_once(spark, sf_dir))
+                          reduce_once=_mh_reduce_once(spark, sf_dir),
+                          tau=0.5)
     return track(
         pairs.filter(F.col("jaccard") >= 0.5).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -884,7 +935,8 @@ def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str,
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return _pair_jaccard(
-        sh, cand=cand, reduce_once=_mh_reduce_once(spark, sf_dir)
+        sh, cand=cand, reduce_once=_mh_reduce_once(spark, sf_dir),
+        tau=0.5
     ).filter(F.col("jaccard") >= 0.5)
 
 
@@ -2865,7 +2917,13 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("doc_a") < F.col("doc_b")))
             .select("doc_a", "doc_b").distinct())
     cand = track(cand.persist(StorageLevel.MEMORY_AND_DISK))
-    detected = _pair_jaccard(sh, cand=cand).filter(F.col("jaccard") >= 0.5)
+    # tau prefilters ONLY the verify's intersection input
+    # (optimization r15): n_candidates below still counts the
+    # persisted cand — the detector's true LSH candidate volume, the
+    # cost metric — and detected is unchanged (every prefilter-dropped
+    # pair has J < 0.5 with certainty; see _pair_jaccard).
+    detected = _pair_jaccard(sh, cand=cand, tau=0.5).filter(
+        F.col("jaccard") >= 0.5)
 
     r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
     return (
